@@ -1,0 +1,86 @@
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from luceneindexer_spark.tokenizer import (
+    STOPWORDS,
+    duckdb_tokens_cte,
+    tokenize_batch,
+    tokenize_text,
+    with_tokens,
+)
+
+GOLDEN = [
+    ("getUserName", ["get", "user", "name"]),
+    ("parse_json_fast", ["parse", "json", "fast"]),
+    ("HTTPServer2 response", ["http", "server2", "response"]),
+    ("the quick Brown-Fox", ["quick", "brown", "fox"]),
+    ("", []),
+    (None, []),
+    ("THE THE the", []),
+    ("XMLHttpRequest", ["xml", "http", "request"]),
+    ("foo.bar(baz_qux)", ["foo", "bar", "baz", "qux"]),
+    ("a1B2c3", ["a1", "b2c3"]),
+    ("  multiple   spaces\tand\nnewlines ", ["multiple", "spaces", "newlines"]),
+]
+
+
+@pytest.mark.parametrize("text,want", GOLDEN)
+def test_golden_tokens(text, want):
+    assert tokenize_text(text) == want
+
+
+def test_batch_matches_scalar():
+    texts = [t for t, _ in GOLDEN] + ["def mainLoop(): return os.path_join(x)"]
+    got = tokenize_batch(pd.Series(texts)).tolist()
+    assert got == [tokenize_text(t) for t in texts]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=80), max_size=30))
+def test_batch_matches_scalar_property(texts):
+    got = tokenize_batch(pd.Series(texts, dtype=object)).tolist()
+    assert got == [tokenize_text(t) for t in texts]
+
+
+def test_idempotent_on_normalized():
+    toks = tokenize_text("SomeCamelCase snake_case plainword")
+    again = tokenize_text(" ".join(toks))
+    assert toks == again
+
+
+def test_stopwords_removed():
+    assert all(s not in tokenize_text(" ".join(STOPWORDS)) for s in STOPWORDS)
+
+
+def test_duckdb_cte_matches_python():
+    texts = [t for t, _ in GOLDEN if t] + ["def mainLoop(): os.path_join(x)"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("docs", df)
+    sql = f"SELECT doc_id, term FROM ({duckdb_tokens_cte('docs', 'doc_id', 'text')}) ORDER BY doc_id"
+    got = con.execute(sql).fetchall()
+    want = [(i, t) for i, txt in enumerate(texts) for t in tokenize_text(txt)]
+    got_by_doc = {}
+    for d, t in got:
+        got_by_doc.setdefault(d, []).append(t)
+    want_by_doc = {}
+    for d, t in want:
+        want_by_doc.setdefault(d, []).append(t)
+    # row order within doc is not guaranteed by SQL; compare multisets per doc
+    assert {k: sorted(v) for k, v in got_by_doc.items()} == {
+        k: sorted(v) for k, v in want_by_doc.items()
+    }
+
+
+def test_spark_udf_matches_scalar(spark):
+    texts = [t for t, _ in GOLDEN] + ["SparkSQL whole_stage CodeGen"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = with_tokens(df, "text").orderBy("doc_id").collect()
+    for r in rows:
+        assert r.tokens == tokenize_text(texts[r.doc_id])
+        assert r.doclen == len(r.tokens)
