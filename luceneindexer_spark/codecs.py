@@ -71,6 +71,61 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def varint_encode_grouped(values: np.ndarray, starts: np.ndarray
+                          ) -> tuple[bytes, np.ndarray]:
+    """Encode many concatenated groups in ONE vectorized pass.
+
+    ``starts`` are group start indices into ``values`` (ascending, starts[0]==0).
+    Returns (buffer, byte_offsets) where group i's bytes are
+    ``buffer[byte_offsets[i]:byte_offsets[i+1]]`` (byte_offsets has len(starts)+1).
+    Used by the per-partition run builder so posting-run encoding is a single
+    numpy pass per Arrow batch instead of a Python loop per term.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(starts.size + 1, dtype=np.int64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> _U7
+    byte_starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=byte_starts[1:])
+    total = int(byte_starts[-1] + nbytes[-1])
+    out = np.empty(total, dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        idx = byte_starts[mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & _LOW7
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    # byte offset of each group = byte_start of its first value (or total if empty)
+    ends = np.append(byte_starts, total)
+    offsets = np.empty(starts.size + 1, dtype=np.int64)
+    offsets[:-1] = ends[starts]
+    offsets[-1] = total
+    return out.tobytes(), offsets
+
+
+def run_encode(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode one per-partition posting RUN (pre-merge intermediate):
+    docs = varint([first_abs, gap1, gap2, ...]), tfs = varint(tf-1)."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.empty(doc_ids.size, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    return varint_encode(gaps), varint_encode(np.asarray(tfs, np.int64) - 1)
+
+
+def run_decode(docs_enc: bytes, tfs_enc: bytes, n: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    gaps = varint_decode(docs_enc, n).astype(np.int64)
+    docs = np.cumsum(gaps)
+    tfs = varint_decode(tfs_enc, n).astype(np.int64) + 1
+    return docs, tfs
+
+
 @dataclass
 class EncodedPostings:
     """One term's postings for one doc-range, block-compressed.

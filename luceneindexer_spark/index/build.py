@@ -1,0 +1,422 @@
+"""Inverted-index build: per-partition sorted posting runs → salted
+repartition-by-term shuffle → block-compressed global postings + norms +
+stats, resumable via the checkpoint manifest.
+
+Reference parity: this replaces the Lucene index build the wrapper drives at
+``lucene/cLuceneIndexWriter.java:80-125`` (analyze → in-memory segment →
+flush → background merge). The Spark shape (SURVEY.md §3.1):
+
+    docmap (stored-fields row store, dense deterministic doc_id)
+      → tokenize (vectorized Arrow batches, tokenizer.tokenize_batch)
+      → per-partition (term, range) runs, delta+varint encoded   [mapInPandas]
+      → repartition(P, term, range_id)   ← the salted repartition-by-term
+      → sortWithinPartitions(term, range_id, first_docid)
+      → merge runs → 128-posting blocks w/ per-block max-tf      [mapInPandas]
+      → write parquet partitionBy(bucket), per-wave dirs + manifest rows
+
+Skew handling (BASELINE.json north_rule): the shuffle key is
+(term, range_id) where range_id = doc_id // range_size is a doc-space shard.
+A hot term (>50% of docs) therefore spreads over n_ranges reducers instead of
+one, and any single group is structurally bounded by range_size postings —
+the salt is data-independent, so no second balancing pass is needed. The
+doc-partitioned layout is also what makes query fan-out embarrassingly
+parallel (query.engine scores per range then takes a global top-k).
+
+Resumability: the unit is the doc-id range. Ranges are statically assigned to
+waves (wave = range // ranges_per_wave); a wave's output dirs are
+deterministic, written with mode=overwrite, and its manifest rows are appended
+only after the write succeeds — so a kill at any point either loses an
+unrecorded wave (rebuilt identically, overwritten) or nothing. Restart
+rebuilds only waves with pending ranges and re-tokenizes only those ranges'
+docs (predicate pushdown on the doc_id-sorted docmap parquet).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs import encode_postings, run_decode, varint_encode, varint_encode_grouped
+from ..corpus import build_docmap
+from ..tokenizer import tokenize_batch
+from . import manifest as mf
+
+RUNS_SCHEMA = (
+    "term string, range_id long, first_docid long, n int, cf long, "
+    "max_tf int, docs_enc binary, tfs_enc binary"
+)
+
+POSTINGS_SCHEMA = (
+    "term string, range_id long, df long, cf long, max_tf int, "
+    "block_first array<long>, block_last array<long>, block_maxtf array<int>, "
+    "block_n array<int>, block_off_d array<int>, block_off_t array<int>, "
+    "docs_enc binary, tfs_enc binary"
+)
+
+NORMS_SCHEMA = "range_id long, first_doc long, n int, doclens_enc binary"
+
+POSITIONS_SCHEMA_COLS = ("term", "range_id", "doc_id", "positions")
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docmap(self): return os.path.join(self.root, "docmap")
+    @property
+    def postings(self): return os.path.join(self.root, "postings")
+    @property
+    def norms(self): return os.path.join(self.root, "norms")
+    @property
+    def positions(self): return os.path.join(self.root, "positions")
+    @property
+    def term_stats(self): return os.path.join(self.root, "term_stats")
+    @property
+    def corpus_stats(self): return os.path.join(self.root, "corpus_stats")
+
+    def wave_dir(self, base: str, wave: int) -> str:
+        return os.path.join(base, f"wave={wave}")
+
+
+class BuildInterrupted(RuntimeError):
+    """Raised by the _stop_after_waves test hook to simulate a killed job."""
+
+
+# ---------------------------------------------------------------------------
+# stage UDFs (all Arrow-batched; no per-posting Python)
+# ---------------------------------------------------------------------------
+
+def _runs_generator(range_size: int):
+    """mapInPandas fn: (doc_id, content) batches → per-(term, range) run rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tokens = tokenize_batch(pdf["content"])
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            lens = np.fromiter((len(t) for t in tokens), np.int64, len(tokens))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tokens if len(t)])
+            doc_rep = np.repeat(doc_ids, lens)
+
+            codes, uniq = pd.factorize(flat, sort=False)
+            order = np.lexsort((doc_rep, codes))
+            c = codes[order]
+            d = doc_rep[order]
+            newg = np.empty(c.size, dtype=bool)
+            newg[0] = True
+            newg[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+            g_start = np.flatnonzero(newg)
+            tfs = np.diff(np.append(g_start, c.size)).astype(np.int64)
+            g_code = c[g_start]
+            g_doc = d[g_start]
+
+            rg = g_doc // range_size
+            runb = np.empty(g_code.size, dtype=bool)
+            runb[0] = True
+            runb[1:] = (g_code[1:] != g_code[:-1]) | (rg[1:] != rg[:-1])
+            run_start = np.flatnonzero(runb)
+
+            gaps = np.empty_like(g_doc)
+            gaps[0] = g_doc[0]
+            gaps[1:] = np.diff(g_doc)
+            gaps[run_start] = g_doc[run_start]
+
+            d_buf, d_off = varint_encode_grouped(gaps, run_start)
+            t_buf, t_off = varint_encode_grouped(tfs - 1, run_start)
+            run_n = np.diff(np.append(run_start, g_code.size)).astype(np.int32)
+            run_cf = np.add.reduceat(tfs, run_start)
+            run_maxtf = np.maximum.reduceat(tfs, run_start).astype(np.int32)
+
+            d_mv = memoryview(d_buf)
+            t_mv = memoryview(t_buf)
+            n_runs = run_start.size
+            yield pd.DataFrame({
+                "term": uniq[g_code[run_start]],
+                "range_id": rg[run_start],
+                "first_docid": g_doc[run_start],
+                "n": run_n,
+                "cf": run_cf,
+                "max_tf": run_maxtf,
+                "docs_enc": [bytes(d_mv[d_off[i]:d_off[i + 1]])
+                             for i in range(n_runs)],
+                "tfs_enc": [bytes(t_mv[t_off[i]:t_off[i + 1]])
+                            for i in range(n_runs)],
+            })
+
+    return gen
+
+
+def _merge_one_group(rows: pd.DataFrame) -> dict:
+    """Merge the sorted runs of one (term, range_id) into one block-encoded
+    postings row (dict of POSTINGS_SCHEMA values)."""
+    docs_parts = []
+    tfs_parts = []
+    for de, te, n in zip(rows["docs_enc"], rows["tfs_enc"], rows["n"]):
+        d, t = run_decode(de, te, int(n))
+        docs_parts.append(d)
+        tfs_parts.append(t)
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tfs_parts)
+    if len(docs_parts) > 1:
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        tfs = tfs[order]
+    if docs.size > 1 and not (np.diff(docs) > 0).all():
+        raise ValueError("duplicate doc_id across runs for one term+range")
+    ep = encode_postings(docs, tfs)
+    return {
+        "term": rows["term"].iloc[0],
+        "range_id": int(rows["range_id"].iloc[0]),
+        "df": int(ep.n),
+        "cf": int(tfs.sum()),
+        "max_tf": int(ep.max_tf),
+        "block_first": ep.block_first.tolist(),
+        "block_last": ep.block_last.tolist(),
+        "block_maxtf": ep.block_maxtf.tolist(),
+        "block_n": ep.block_n.tolist(),
+        "block_off_d": ep.block_off_d.tolist(),
+        "block_off_t": ep.block_off_t.tolist(),
+        "docs_enc": ep.docs_enc,
+        "tfs_enc": ep.tfs_enc,
+    }
+
+
+def _merge_generator():
+    """mapInPandas fn over run rows sorted by (term, range_id, first_docid)
+    within each shuffle partition; carries the trailing (possibly incomplete)
+    group across Arrow batch boundaries."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            key = pdf["term"].astype(str) + "\x00" + pdf["range_id"].astype(str)
+            boundaries = np.flatnonzero(
+                np.concatenate(([True], key.to_numpy()[1:] != key.to_numpy()[:-1])))
+            if boundaries.size == 1:
+                pending = pdf  # single (possibly incomplete) group
+                continue
+            last_start = int(boundaries[-1])
+            pending = pdf.iloc[last_start:].reset_index(drop=True)
+            body = pdf.iloc[:last_start]
+            bnds = boundaries[:-1]
+            out = [
+                _merge_one_group(body.iloc[int(s):int(e)])
+                for s, e in zip(bnds, np.append(bnds[1:], last_start))
+            ]
+            yield pd.DataFrame(out)
+        if pending is not None and len(pending):
+            key = (pending["term"].astype(str) + "\x00"
+                   + pending["range_id"].astype(str)).to_numpy()
+            bnds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+            out = [
+                _merge_one_group(pending.iloc[int(s):int(e)])
+                for s, e in zip(bnds, np.append(bnds[1:], len(pending)))
+            ]
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def _norms_apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas fn: (range_id) group of (doc_id, doclen) → one norms row.
+    Exact doc lengths — our documented deviation from Lucene's 1-byte
+    quantized norms (SURVEY.md §1.4)."""
+    pdf = pdf.sort_values("doc_id")
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    first = int(doc_ids[0])
+    if not np.array_equal(doc_ids, np.arange(first, first + doc_ids.size)):
+        raise ValueError(f"range {key} doc_ids not contiguous")
+    enc = varint_encode(pdf["doclen"].to_numpy(np.int64))
+    return pd.DataFrame([{
+        "range_id": int(key[0]), "first_doc": first,
+        "n": int(doc_ids.size), "doclens_enc": enc,
+    }])
+
+
+# ---------------------------------------------------------------------------
+# build driver
+# ---------------------------------------------------------------------------
+
+def compute_snapshot(docmap: DataFrame) -> str:
+    """Deterministic input-snapshot id: doc count + xor-ish hash of all
+    content sha256 values (order-insensitive)."""
+    r = docmap.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("content_sha256")).alias("h")).collect()[0]
+    return f"n{r['n']}-h{(r['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame | None,
+    out_dir: str,
+    *,
+    n_buckets: int = 8,
+    range_size: int = 1 << 16,
+    waves: int = 1,
+    positions: bool = False,
+    merge_partitions: int | None = None,
+    docmap_partitions: int | None = None,
+    resume: bool = True,
+    _stop_after_waves: int | None = None,
+) -> dict:
+    """Build (or resume) the full index at out_dir. Returns a report dict.
+
+    corpus may be None on resume if the docmap was already written.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    sc = spark.sparkContext
+    merge_partitions = merge_partitions or sc.defaultParallelism
+    report: dict = {"waves_built": 0, "ranges_built": 0, "resumed": False}
+
+    # ---- stage 0: docmap (stored-fields row store) ----
+    t0 = time.time()
+    if resume and os.path.exists(os.path.join(paths.docmap, "_SUCCESS")):
+        docmap = spark.read.parquet(paths.docmap)
+        report["resumed"] = True
+    else:
+        if corpus is None:
+            raise ValueError("no docmap on disk and no corpus given")
+        docmap = build_docmap(
+            corpus, partitions=docmap_partitions or sc.defaultParallelism,
+            write_path=paths.docmap)
+    snapshot = compute_snapshot(docmap)
+    n_docs = docmap.count()
+    report["n_docs"] = n_docs
+    report["snapshot"] = snapshot
+    report["docmap_s"] = time.time() - t0
+
+    # ---- plan ranges and waves ----
+    n_ranges = max(1, math.ceil(n_docs / range_size))
+    ranges_per_wave = max(1, math.ceil(n_ranges / max(1, waves)))
+    n_waves = math.ceil(n_ranges / ranges_per_wave)
+    done = mf.completed_partitions(spark, out_dir, "postings", snapshot)
+    pending_by_wave: dict[int, list[int]] = {}
+    for r in range(n_ranges):
+        if r not in done:
+            pending_by_wave.setdefault(r // ranges_per_wave, []).append(r)
+    attempt = mf.max_attempt(spark, out_dir, "postings") + 1
+    report["n_ranges"] = n_ranges
+    report["pending_ranges"] = sum(len(v) for v in pending_by_wave.values())
+
+    rng_col = (F.col("doc_id") / F.lit(range_size)).cast("long")
+
+    # ---- per-wave build ----
+    waves_done = 0
+    for w in sorted(pending_by_wave):
+        wave_ranges = pending_by_wave[w]
+        tw = time.time()
+        lo = min(wave_ranges) * range_size
+        hi = (max(wave_ranges) + 1) * range_size
+        sub = (docmap
+               .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+               .filter(rng_col.isin(wave_ranges)))
+
+        runs = (sub.select("doc_id", "content")
+                .mapInPandas(_runs_generator(range_size), RUNS_SCHEMA))
+        merged = (runs
+                  .repartition(merge_partitions, "term", "range_id")
+                  .sortWithinPartitions("term", "range_id", "first_docid")
+                  .mapInPandas(_merge_generator(), POSTINGS_SCHEMA)
+                  .withColumn("bucket",
+                              F.pmod(F.xxhash64("term"),
+                                     F.lit(n_buckets)).cast("int")))
+        wave_post_dir = paths.wave_dir(paths.postings, w)
+        (merged.write.mode("overwrite").partitionBy("bucket")
+               .parquet(wave_post_dir))
+
+        norms = (sub
+                 .select(rng_col.alias("range_id"), "doc_id", "doclen")
+                 .groupBy("range_id")
+                 .applyInPandas(_norms_apply, NORMS_SCHEMA))
+        norms.write.mode("overwrite").parquet(paths.wave_dir(paths.norms, w))
+
+        if positions:
+            from ..tokenizer import tokenize_udf
+            pos = (sub.select("doc_id",
+                              F.posexplode(tokenize_udf("content"))
+                               .alias("pos", "term"))
+                   .groupBy("term", "doc_id")
+                   .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                   .withColumn("range_id",
+                               (F.col("doc_id") / F.lit(range_size)).cast("long"))
+                   .withColumn("bucket",
+                               F.pmod(F.xxhash64("term"),
+                                      F.lit(n_buckets)).cast("int")))
+            (pos.write.mode("overwrite").partitionBy("bucket")
+                .parquet(paths.wave_dir(paths.positions, w)))
+
+        # per-range manifest stats from the written wave
+        written = spark.read.parquet(wave_post_dir)
+        post_stats = {int(r["range_id"]): int(r["np"]) for r in
+                      written.groupBy("range_id")
+                             .agg(F.sum("df").alias("np")).collect()}
+        doc_stats = {int(r["range_id"]): int(r["cnt"]) for r in
+                     sub.groupBy(rng_col.alias("r"))
+                        .agg(F.count("*").alias("cnt"))
+                        .withColumnRenamed("r", "range_id").collect()}
+        wave_bytes = mf.dir_bytes(wave_post_dir)
+        wall = time.time() - tw
+        mf.append_rows(spark, out_dir, [{
+            "stage": "postings", "partition_id": r, "wave": w,
+            "input_snapshot": snapshot,
+            "n_docs": doc_stats.get(r, 0),
+            "n_postings": post_stats.get(r, 0),
+            "bytes": wave_bytes // max(1, len(wave_ranges)),
+            "wall_time_s": wall / max(1, len(wave_ranges)),
+            "status": mf.STATUS_COMPLETE, "attempt": attempt,
+            "finished_at": mf.now_iso(),
+        } for r in wave_ranges])
+        waves_done += 1
+        report["waves_built"] = waves_done
+        report["ranges_built"] += len(wave_ranges)
+        if _stop_after_waves is not None and waves_done >= _stop_after_waves:
+            raise BuildInterrupted(
+                f"test hook: stopped after {waves_done} wave(s)")
+
+    # ---- global stats + publish ----
+    t1 = time.time()
+    postings_all = spark.read.option("basePath", paths.postings).parquet(
+        paths.postings)
+    (postings_all.groupBy("term")
+     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+          F.max("max_tf").alias("max_tf"))
+     .write.mode("overwrite").parquet(paths.term_stats))
+
+    avgdl = docmap.agg((F.sum("doclen") / F.count("*"))
+                       .alias("avgdl")).collect()[0]["avgdl"]
+    spark.createDataFrame(
+        [(n_docs, float(avgdl or 0.0), range_size, n_buckets, n_ranges,
+          snapshot, positions, n_waves)],
+        "n_docs long, avgdl double, range_size long, n_buckets int, "
+        "n_ranges int, snapshot string, positions boolean, n_waves int",
+    ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+    report["stats_s"] = time.time() - t1
+
+    mf.publish(out_dir, {
+        "snapshot": snapshot, "n_docs": n_docs, "n_ranges": n_ranges,
+        "n_buckets": n_buckets, "range_size": range_size,
+        "positions": positions, "published_at": mf.now_iso(),
+    })
+    report["total_s"] = time.time() - t0
+    return report

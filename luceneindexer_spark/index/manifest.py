@@ -1,0 +1,112 @@
+"""Checkpoint manifest: per-partition build lineage + metrics.
+
+Spark-native analog of the reference's scan checkpoint metadata
+(``persistance/cMetadata.java:40-43,109-153`` — per-drive ``lastscan`` /
+``status`` / ``indexed`` / ``duration`` properties) and of Lucene's commit
+point (``cLuceneIndexWriter.java:161,176-195``). Per BASELINE.json north_rule
+the manifest records, for every build partition (doc-id range): partition id,
+input snapshot, postings written, bytes, wall time — and a killed build
+restarts only unfinished partitions (see index.build.build_index resume path).
+
+Rows are appended as small parquet files per completed wave; the final atomic
+"commit" is a ``_PUBLISHED`` marker written via tmp-file + rename (the
+Spark-native analog of ``IndexWriter.commit``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "stage string, partition_id long, wave int, input_snapshot string, "
+    "n_docs long, n_postings long, bytes long, wall_time_s double, "
+    "status string, attempt int, finished_at string"
+)
+
+STATUS_COMPLETE = "complete"
+
+
+def manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifest")
+
+
+def append_rows(spark: SparkSession, root: str, rows: list[dict]) -> None:
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in ("stage", "partition_id", "wave",
+                              "input_snapshot", "n_docs", "n_postings",
+                              "bytes", "wall_time_s", "status", "attempt",
+                              "finished_at")) for r in rows],
+        MANIFEST_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(manifest_dir(root))
+
+
+def read_manifest(spark: SparkSession, root: str) -> DataFrame | None:
+    path = manifest_dir(root)
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def completed_partitions(spark: SparkSession, root: str, stage: str,
+                         snapshot: str) -> dict[int, int]:
+    """{partition_id: max attempt} of partitions already complete for this
+    stage + input snapshot. Resume = all_partitions − these."""
+    m = read_manifest(spark, root)
+    if m is None:
+        return {}
+    rows = (m.filter((F.col("stage") == stage)
+                     & (F.col("input_snapshot") == snapshot)
+                     & (F.col("status") == STATUS_COMPLETE))
+            .groupBy("partition_id").agg(F.max("attempt").alias("attempt"))
+            .collect())
+    return {int(r["partition_id"]): int(r["attempt"]) for r in rows}
+
+
+def max_attempt(spark: SparkSession, root: str, stage: str) -> int:
+    m = read_manifest(spark, root)
+    if m is None:
+        return 0
+    r = m.filter(F.col("stage") == stage).agg(F.max("attempt")).collect()[0][0]
+    return int(r) if r is not None else 0
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def now_iso() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def publish(root: str, payload: dict) -> None:
+    """Atomic commit marker (tmp write + rename — the parquet dirs themselves
+    are already atomic per Spark's output-commit protocol)."""
+    tmp = os.path.join(root, "_PUBLISHED.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "_PUBLISHED"))
+
+
+def published(root: str) -> dict | None:
+    p = os.path.join(root, "_PUBLISHED")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

@@ -1,0 +1,248 @@
+"""Query engine over the compressed inverted index — the fast path.
+
+Reference parity: search entry point ``lucene/cLuceneIndexReader.java:272-397``
+(conjunctive BooleanQuery of MUST clauses → Lucene doc-at-a-time posting
+intersection with skip lists → BM25 → TopDocs). Spark shape (SURVEY.md §3.2):
+
+  tokenize query (driver, same pinned tokenizer)
+    → prune postings scan to the query terms' buckets (partition pruning)
+      and terms (parquet predicate pushdown)
+    → cogroup with norms by range_id → per-range vectorized intersection:
+      rarest-term-first (explicit conjunction ordering, SURVEY.md §4.1),
+      block metadata skips blocks outside the candidate docID window
+      (the skip-list analog), per-block max-tf bounds available for
+      score-upper-bound pruning → exact BM25 (k1=1.2 b=0.75, fp64,
+      term-sorted accumulation for determinism) → per-range top-k
+    → global TakeOrderedAndProject: orderBy(score desc, doc_id asc).limit(k)
+    → optional hydrate: broadcast-join the k rows back to the docmap
+      (stored-fields analog of ``searcher.doc(id)``, R:352-359).
+
+Unlike the reference (k = Integer.MAX_VALUE at R:340 — collects ALL hits),
+this is a real top-k with a deterministic tie-break.
+
+Scale: postings are doc-range-partitioned, so query fan-out is one small
+shuffle of only the query terms' rows, each range scored independently —
+no single node ever sees a whole hot-term posting list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1
+from ..codecs import EncodedPostings, decode_blocks_overlapping, decode_postings, varint_decode
+from ..index.build import IndexPaths
+from .oracle import query_terms
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    range_size: int
+    n_buckets: int
+    n_ranges: int
+    snapshot: str
+    positions: bool
+
+
+def load_meta(spark: SparkSession, root: str) -> IndexMeta:
+    r = spark.read.parquet(IndexPaths(root).corpus_stats).collect()[0]
+    return IndexMeta(
+        n_docs=r["n_docs"], avgdl=float(r["avgdl"]),
+        range_size=int(r["range_size"]), n_buckets=int(r["n_buckets"]),
+        n_ranges=int(r["n_ranges"]), snapshot=r["snapshot"],
+        positions=bool(r["positions"]))
+
+
+def _buckets_of(terms: list[str], n_buckets: int,
+                spark: SparkSession) -> dict[str, int]:
+    # must match F.pmod(F.xxhash64(term), n_buckets) used at build time;
+    # computed via one tiny local DataFrame to reuse the JVM hash exactly
+    rows = (spark.createDataFrame([(t,) for t in terms], "term string")
+            .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                    .cast("int").alias("b")).collect())
+    return {r["term"]: int(r["b"]) for r in rows}
+
+
+def _ep_from_row(row) -> EncodedPostings:
+    return EncodedPostings(
+        n=int(row.df), max_tf=int(row.max_tf),
+        block_first=np.asarray(row.block_first, dtype=np.int64),
+        block_last=np.asarray(row.block_last, dtype=np.int64),
+        block_maxtf=np.asarray(row.block_maxtf, dtype=np.int32),
+        block_off_d=np.asarray(row.block_off_d, dtype=np.int32),
+        block_off_t=np.asarray(row.block_off_t, dtype=np.int32),
+        block_n=np.asarray(row.block_n, dtype=np.int32),
+        docs_enc=bytes(row.docs_enc), tfs_enc=bytes(row.tfs_enc),
+    )
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return float(np.log1p((n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float],
+                       avgdl: float, k: int, k1: float = BM25_K1,
+                       b: float = BM25_B):
+    """cogroup-applyInPandas fn: one (range_id) group of postings rows +
+    the range's norms row → local top-k (doc_id, score)."""
+    score_order = sorted(terms_by_rarity)  # deterministic accumulation order
+
+    def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
+        if len(norms_pdf) == 0 or len(post_pdf) == 0:
+            return empty
+        by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
+        if any(t not in by_term for t in terms_by_rarity):
+            return empty  # conjunctive MUST: every term must exist in range
+
+        # rarest-first intersection with block skipping
+        cand, tf0 = decode_postings(by_term[terms_by_rarity[0]])
+        tfs_by_term: dict[str, np.ndarray] = {terms_by_rarity[0]: tf0}
+        for t in terms_by_rarity[1:]:
+            if cand.size == 0:
+                return empty
+            d2, t2 = decode_blocks_overlapping(
+                by_term[t], int(cand[0]), int(cand[-1]))
+            cand_new, i1, i2 = np.intersect1d(
+                cand, d2, assume_unique=True, return_indices=True)
+            if cand_new.size == 0:
+                return empty
+            for prev, arr in tfs_by_term.items():
+                tfs_by_term[prev] = arr[i1]
+            tfs_by_term[t] = t2[i2]
+            cand = cand_new
+
+        nr = norms_pdf.iloc[0]
+        doclens = varint_decode(bytes(nr["doclens_enc"]),
+                                int(nr["n"])).astype(np.float64)
+        dl = doclens[cand - int(nr["first_doc"])]
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in score_order:
+            tf = tfs_by_term[t].astype(np.float64)
+            score += idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
+
+        if cand.size > k:
+            top = np.argpartition(-score, k - 1)[:k]
+            order = top[np.lexsort((cand[top], -score[top]))]
+        else:
+            order = np.lexsort((cand, -score))
+        return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
+
+    return score_range
+
+
+def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
+              mode: str = "and") -> DataFrame:
+    """Top-k BM25 over the compressed index; rank-identical to
+    query.oracle.bm25_topk_oracle. Returns (doc_id, score)."""
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    terms = query_terms(query)
+    if not terms:
+        return empty
+    meta = load_meta(spark, root)
+    paths = IndexPaths(root)
+
+    stats = (spark.read.parquet(paths.term_stats)
+             .filter(F.col("term").isin(terms)).collect())
+    df_by_term = {r["term"]: int(r["df"]) for r in stats}
+    if any(t not in df_by_term for t in terms):
+        return empty  # a MUST term absent from the corpus
+    idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
+    terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
+
+    if mode == "phrase":
+        return _phrase_topk(spark, root, meta, query, terms, idf_by_term, k)
+
+    buckets = sorted(set(_buckets_of(terms, meta.n_buckets, spark).values()))
+    post = (spark.read.parquet(paths.postings)
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms)))
+    ranges = [int(r["range_id"]) for r in
+              post.select("range_id").distinct().collect()]
+    if not ranges:
+        return empty
+    norms = (spark.read.parquet(paths.norms)
+             .filter(F.col("range_id").isin(ranges)))
+
+    scored = (post.groupby("range_id")
+              .cogroup(norms.groupby("range_id"))
+              .applyInPandas(
+                  _make_range_scorer(terms_by_rarity, idf_by_term,
+                                     meta.avgdl, k),
+                  "doc_id long, score double"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _phrase_topk(spark: SparkSession, root: str, meta: IndexMeta, query: str,
+                 terms_dedup: list[str], idf_by_term: dict[str, float],
+                 k: int) -> DataFrame:
+    """Phrase ("whole words") mode over the positional index — reference
+    ``PhraseQuery`` path (R:285-301). Consecutive-position chain evaluated
+    with built-in array functions; scored as the conjunctive BM25 of the
+    constituent terms (documented deviation from Lucene's phrase-freq
+    scoring; the oracle uses the same definition)."""
+    from ..tokenizer import tokenize_text
+    seq = tokenize_text(query)          # with duplicates, in order
+    if not seq:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if not meta.positions:
+        raise ValueError("index was built without positions=True")
+    paths = IndexPaths(root)
+    buckets = sorted(set(_buckets_of(sorted(set(seq)), meta.n_buckets,
+                                     spark).values()))
+    pos = (spark.read.parquet(paths.positions)
+           .filter(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(list(set(seq)))))
+
+    joined = None
+    for i, t in enumerate(seq):
+        side = (pos.filter(F.col("term") == t)
+                .select("doc_id", F.col("positions").alias(f"p{i}")))
+        joined = side if joined is None else joined.join(side, "doc_id")
+    chain = F.filter(
+        F.col("p0"),
+        lambda p: reduce(lambda a, c: a & c,
+                         [F.array_contains(F.col(f"p{i}"), p + F.lit(i))
+                          for i in range(1, len(seq))],
+                         F.lit(True)))
+    cand = joined.filter(F.size(chain) > 0).select("doc_id")
+
+    # BM25 over the deduped constituent terms, tf = positions count
+    tf = (pos.join(F.broadcast(cand), "doc_id")
+          .select("doc_id", "term", F.size("positions").alias("tf")))
+    dl = spark.read.parquet(paths.docmap).select("doc_id", "doclen")
+    idf_map = F.create_map(*[F.lit(x) for t in sorted(idf_by_term)
+                             for x in (t, idf_by_term[t])])
+    scored = (
+        tf.join(dl, "doc_id")
+        .withColumn("contrib",
+                    idf_map[F.col("term")] * F.col("tf") * F.lit(BM25_K1 + 1.0)
+                    / (F.col("tf") + F.lit(BM25_K1)
+                       * (F.lit(1.0 - BM25_B)
+                          + F.lit(BM25_B) * F.col("doclen") / F.lit(meta.avgdl))))
+        .groupBy("doc_id").agg(F.sum("contrib").alias("score"),
+                               F.count("*").alias("_nt"))
+        .filter(F.col("_nt") == len(terms_dedup))
+        .select("doc_id", "score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:
+    """Join top-k hits back to stored fields (analog of ``searcher.doc(id)`` →
+    ``eDocument.from``, R:352-359) — broadcast the k rows, not the corpus."""
+    docmap = spark.read.parquet(IndexPaths(root).docmap)
+    return (docmap.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang",
+                    "size", "content_sha256")
+            .orderBy(F.desc("score"), F.asc("doc_id")))

@@ -1,0 +1,162 @@
+"""E2E: build the index on a deterministic synthetic corpus, verify the fast
+path (compressed postings + block-max intersection) is rank- and
+score-identical to the naive DataFrame oracle; verify invariants, upsert
+semantics, and kill/resume via the checkpoint manifest (SURVEY.md §5.2)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from luceneindexer_spark.corpus import HOT_TERM, PHRASE, RARE_TERM, synth_corpus
+from luceneindexer_spark.index.build import BuildInterrupted, build_index
+from luceneindexer_spark.index import manifest as mf
+from luceneindexer_spark.query import engine
+from luceneindexer_spark.query.oracle import bm25_topk_oracle
+
+N_DOCS = 300
+RANGE_SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    corpus = synth_corpus(spark, N_DOCS, partitions=4)
+    report = build_index(spark, corpus, root, n_buckets=4,
+                         range_size=RANGE_SIZE, waves=2, positions=True)
+    docmap = spark.read.parquet(f"{root}/docmap")
+    return root, corpus, docmap, report
+
+
+QUERY_SET = [
+    (RARE_TERM, "and"),
+    (HOT_TERM, "and"),
+    (f"{HOT_TERM} mergeSegments", "and"),
+    ("getUserName queryParser scoreDocs", "and"),
+    ("get_user_name", "and"),          # snake_case splits like camelCase
+    ("tokenStream", "and"),
+    ("postingList varintGap", "and"),
+    (PHRASE, "phrase"),
+    ("the a of", "and"),               # stopword-only → empty
+    ("nosuchterm tokenStream", "and"),  # absent MUST term → empty
+]
+
+
+@pytest.mark.parametrize("query,mode", QUERY_SET)
+def test_fast_path_rank_identical_to_oracle(built, spark, query, mode):
+    root, _, docmap, _ = built
+    want = [(r.doc_id, r.score) for r in
+            bm25_topk_oracle(docmap, query, k=10, mode=mode).collect()]
+    got = [(r.doc_id, r.score) for r in
+           engine.bm25_topk(spark, root, query, k=10, mode=mode).collect()]
+    assert [w[0] for w in want] == [g[0] for g in got]
+    for (_, ws), (_, gs) in zip(want, got):
+        assert abs(ws - gs) < 1e-9
+
+
+def test_k_larger_than_hits_and_k100(built, spark):
+    root, _, docmap, _ = built
+    want = [r.doc_id for r in
+            bm25_topk_oracle(docmap, HOT_TERM, k=100).collect()]
+    got = [r.doc_id for r in
+           engine.bm25_topk(spark, root, HOT_TERM, k=100).collect()]
+    assert want == got and len(got) == 100
+    got3 = engine.bm25_topk(spark, root, RARE_TERM, k=100).collect()
+    assert len(got3) == 3  # rare term planted in exactly 3 docs
+
+
+def test_per_row_sha256_invariant(built, spark):
+    """BASELINE.json input_hint: content sha256 equality vs the source table."""
+    root, corpus, docmap, _ = built
+    joined = docmap.alias("d").join(
+        corpus.alias("c"), ["repo", "path", "commit"], "inner")
+    n = docmap.count()
+    assert joined.count() == n
+    bad = joined.filter(
+        F.col("d.content_sha256")
+        != F.sha2(F.col("c.content").cast("binary"), 256)).count()
+    assert bad == 0
+    # doc_ids dense 0..N-1
+    r = docmap.agg(F.min("doc_id"), F.max("doc_id"),
+                   F.countDistinct("doc_id")).collect()[0]
+    assert (r[0], r[1], r[2]) == (0, n - 1, n)
+
+
+def test_upsert_latest_commit_wins(built, spark):
+    root, corpus, docmap, _ = built
+    multi = (corpus.groupBy("repo", "path")
+             .agg(F.count("*").alias("c"), F.max("commit").alias("latest"))
+             .filter("c > 1"))
+    assert multi.count() > 0
+    picked = docmap.join(multi, ["repo", "path"])
+    assert picked.filter(F.col("commit") != F.col("latest")).count() == 0
+
+
+def test_postings_match_naive_tf(built, spark):
+    """Σ df in postings == distinct (term, doc) pairs from a naive explode."""
+    root, _, docmap, _ = built
+    from luceneindexer_spark.tokenizer import with_tokens
+    naive = (with_tokens(docmap.select("doc_id", "content"), "content")
+             .select("doc_id", F.explode("tokens").alias("term"))
+             .groupBy("term", "doc_id").count())
+    post = spark.read.parquet(f"{root}/postings")
+    assert post.agg(F.sum("df")).collect()[0][0] == naive.count()
+    assert post.agg(F.sum("cf")).collect()[0][0] == \
+        naive.agg(F.sum("count")).collect()[0][0]
+
+
+def test_hot_term_spread_across_ranges(built, spark):
+    """Skew handling: the planted hot term's postings live in EVERY doc-range
+    (the structural salt), never in one reducer's row."""
+    root, _, _, report = built
+    post = spark.read.parquet(f"{root}/postings")
+    hot = post.filter(F.col("term") == HOT_TERM.lower())
+    assert hot.count() == report["n_ranges"]
+    assert hot.agg(F.max("df")).collect()[0][0] <= RANGE_SIZE
+
+
+def test_resume_rebuilds_only_unfinished(spark, tmp_path):
+    root = str(tmp_path / "idx_resume")
+    corpus = synth_corpus(spark, N_DOCS, partitions=4)
+    with pytest.raises(BuildInterrupted):
+        build_index(spark, corpus, root, n_buckets=4, range_size=RANGE_SIZE,
+                    waves=3, _stop_after_waves=1)
+    m = mf.read_manifest(spark, root)
+    done1 = {r["partition_id"] for r in m.filter("status='complete'").collect()}
+    assert 0 < len(done1) < -(-N_DOCS // RANGE_SIZE)
+    wave0 = sorted(glob.glob(f"{root}/postings/wave=*"))[0]
+    mtimes = {p: os.path.getmtime(p) for p in
+              glob.glob(f"{wave0}/**/*.parquet", recursive=True)}
+
+    report = build_index(spark, corpus, root, n_buckets=4,
+                         range_size=RANGE_SIZE, waves=3, resume=True)
+    assert report["resumed"] is True
+    assert report["pending_ranges"] == -(-N_DOCS // RANGE_SIZE) - len(done1)
+    # completed wave's files untouched by the resumed build
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t
+    m2 = mf.read_manifest(spark, root)
+    att = {r["partition_id"]: r["attempt"]
+           for r in m2.filter("status='complete'").collect()}
+    assert all(att[r] == 1 for r in done1)
+    assert all(a == 2 for r, a in att.items() if r not in done1)
+
+    # resumed index answers identically to a from-scratch build
+    fresh_root = str(tmp_path / "idx_fresh")
+    build_index(spark, corpus, fresh_root, n_buckets=4,
+                range_size=RANGE_SIZE, waves=1)
+    for q in (RARE_TERM, HOT_TERM, "getUserName queryParser"):
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             engine.bm25_topk(spark, root, q, k=10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             engine.bm25_topk(spark, fresh_root, q, k=10).collect()]
+        assert a == b
+
+
+def test_published_marker(built):
+    root, _, _, report = built
+    pub = mf.published(root)
+    assert pub is not None
+    assert pub["snapshot"] == report["snapshot"]
+    assert pub["n_docs"] == report["n_docs"]
