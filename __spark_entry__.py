@@ -1,38 +1,673 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end: build the compressed inverted index
+over the sf0.001 documents corpus, answer a BM25 query via the block-max
+fast path, hydrate stored fields.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data-pipeline ops. Every oracle is ANSI
+SQL that DuckDB evaluates over the same parquet views; all hashing in
+oracle-checked paths goes through md5 (identical in Spark/DuckDB/Python, see
+luceneindexer_spark.ops.hashing), and every float column is rounded to 6 (or
+fewer) decimals on BOTH sides so cross-engine fp accumulation-order noise
+cannot flip the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luceneindexer_spark import BM25_B, BM25_K1
+from luceneindexer_spark.corpus import docmap_from_documents
+from luceneindexer_spark.index.build import build_index
+from luceneindexer_spark.ops import dedup as D
+from luceneindexer_spark.ops import maintenance as M
+from luceneindexer_spark.ops import multimodal as MM
+from luceneindexer_spark.ops import similarity as S
+from luceneindexer_spark.ops import textstats as T
+from luceneindexer_spark.ops.hashing import MINHASH_P, h60_sql, perm_coeffs
+from luceneindexer_spark.query import engine
+from luceneindexer_spark.query.oracle import bm25_topk_oracle, query_terms
+from luceneindexer_spark.streaming.incremental import events_stream_agg
+from luceneindexer_spark.tokenizer import duckdb_tokens_cte
+
+# pinned query set over the driver `documents` table's vocabulary
+BM25_QUERY = "table stream window"
+INTERSECT_TERMS = ("table", "stream")
+MULTIFIELD_TERMS = ("merge", "spark")
+PHRASE = "batch batch batch"
+DELETED_IDS = tuple(range(10))
+
+K1_1 = BM25_K1 + 1.0  # 2.2
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the real compressed index over `documents`,
+    reusing the table's own dense doc_id so index results align with SQL
+    oracles on the raw table."""
+    root = _INDEX_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_PUBLISHED")):
+        return root
+    root = tempfile.mkdtemp(prefix="li_spark_idx_")
+    docmap = docmap_from_documents(spark, sf_dir)
+    paths_docmap = os.path.join(root, "docmap")
+    (docmap.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(paths_docmap))
+    build_index(spark, None, root, n_buckets=4, range_size=512, waves=1,
+                resume=True)
+    _INDEX_CACHE[sf_dir] = root
+    return root
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build → block-max WAND BM25 top-10 → hydrate."""
+    root = _index_root(spark, "/root/testdata/sf0.001")
+    topk = engine.bm25_topk(spark, root, BM25_QUERY, k=10)
+    return engine.hydrate(spark, root, topk)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _q_bm25_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docmap = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("content"))
+    r = bm25_topk_oracle(docmap, BM25_QUERY, k=10)
+    return _round6(r, "score")
+
+
+def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _index_root(spark, sf_dir)
+    r = engine.bm25_topk(spark, root, BM25_QUERY, k=10)
+    return _round6(r, "score")
+
+
+def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luceneindexer_spark.tokenizer import with_tokens
+    toks = with_tokens(_docs(spark, sf_dir).select("doc_id", "text"), "text")
+    return (toks.select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(20))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luceneindexer_spark.tokenizer import with_tokens
+    toks = with_tokens(_docs(spark, sf_dir).select("doc_id", "text"), "text")
+    return toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("total_tokens"),
+        F.round(F.sum("doclen") / F.count("*"), 6).alias("avgdl"))
+
+
+def _q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256)
+        .alias("content_sha256"))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return sigs.select(F.col("id").alias("doc_id"),
+                       "sig_0", "sig_1", "sig_2", "sig_3")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (D.simhash(_docs(spark, sf_dir), "doc_id", "text")
+            .select(F.col("id").alias("doc_id"), "simhash"))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                  threshold=0.5)
+    return _round6(pairs, "jaccard")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = D.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                              max_hamming=3)
+    return r.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    r = S.cosine_topk(emb, [float(x) for x in qv], k=10)
+    return _round6(r.withColumnRenamed("id", "vec_id"), "cosine")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    idx = S.build_sketch_index(emb)
+    r = S.ann_lsh_topk(idx, [float(x) for x in qv], k=10)
+    return _round6(r.withColumnRenamed("id", "vec_id"), "cosine")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.quality_features(_docs(spark, sf_dir), "doc_id", "text")
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.fingerprint_summary(_docs(spark, sf_dir), "doc_id", "text")
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _q_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id").limit(50))
+
+
+def _q_browse_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    deletes = docs.sparkSession.createDataFrame(
+        [(int(i),) for i in DELETED_IDS], "doc_id long")
+    return (M.apply_deletes(docs, deletes)
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id").limit(50))
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luceneindexer_spark.tokenizer import with_tokens
+    return with_tokens(_docs(spark, sf_dir).select("doc_id", "text", "lang",
+                                                   "source"), "text")
+
+
+def _q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    cond = F.col("lang") == "en"
+    for t in MULTIFIELD_TERMS:
+        cond = cond & F.array_contains("tokens", t)
+    return toks.filter(cond).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = F.concat(F.lit(" "),
+                    F.trim(F.regexp_replace(F.lower("text"),
+                                            "[^a-z0-9]+", " ")),
+                    F.lit(" "))
+    return (docs.filter(norm.contains(f" {PHRASE} "))
+            .select("doc_id").orderBy("doc_id"))
+
+
+def _q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    a, b = INTERSECT_TERMS
+    da = toks.filter(F.array_contains("tokens", a)).select("doc_id")
+    db = toks.filter(F.array_contains("tokens", b)).select("doc_id")
+    return da.intersect(db).orderBy("doc_id")
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "c_name",
+                    F.round("o_totalprice", 2).alias("total"))
+            .orderBy(F.desc("total"), F.asc("o_orderkey")).limit(25))
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                    "sum_value")
+            .orderBy("win_start", "event_type"))
+
+
+def _q_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_stream_agg(spark, sf_dir)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synth_media(_docs(spark, sf_dir), "doc_id", "text")
+    feats = MM.extract_features(media)
+    return feats.select(
+        "doc_id", "media_type", "byte_len",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("fsum"))
+
+
+def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synth_media(_docs(spark, sf_dir), "doc_id", "text")
+    return (MM.frame_sample_plan(media, every_n=10)
+            .withColumn("frame_idx", F.col("frame_idx").cast("long"))
+            .orderBy("doc_id", "frame_idx"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk_oracle": _q_bm25_oracle,
+        "bm25_topk_index": _q_bm25_index,
+        "term_df_top20": _q_term_df,
+        "corpus_stats": _q_corpus_stats,
+        "sha256_invariant": _q_sha256,
+        "minhash_sig4": _q_minhash,
+        "simhash60": _q_simhash,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_dedup_pairs": _q_simhash_pairs,
+        "embedding_cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "quality_features": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint_summary": _q_fingerprints,
+        "browse_first_50": _q_browse,
+        "browse_after_delete": _q_browse_after_delete,
+        "search_multifield": _q_multifield,
+        "phrase_search": _q_phrase,
+        "intersect_terms": _q_intersect,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "topk_orders_join": _q_topk_orders,
+        "events_window": _q_events_window,
+        "events_stream_agg": _q_events_stream,
+        "media_features": _q_media_features,
+        "frame_sample_plan": _q_frame_plan,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOK = duckdb_tokens_cte("documents", "doc_id", "text")
+
+_SIMPLE_TOK = """
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+"""
+
+_SHINGLES = """
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+      THEN list_transform(generate_series(1, len(ts) - 2),
+                          i -> array_to_string(ts[i:i+2], ' '))
+      ELSE [array_to_string(ts, ' ')] END) AS shingle
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents)
+"""
+
+
+def _bm25_sql(query: str, k: int) -> str:
+    terms = query_terms(query)
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score,
+         count(*) AS nt
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM scored WHERE nt = {len(terms)}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _minhash_sigs_select(n: int) -> str:
+    cols = []
+    for i in range(n):
+        a, b = perm_coeffs(i)
+        cols.append(f"min(({a} * x + {b}) % {MINHASH_P})::BIGINT AS sig_{i}")
+    return ",\n       ".join(cols)
+
+
+_MINHASH_X = f"""
+  SELECT doc_id, ({h60_sql('shingle')} % {MINHASH_P}) AS x
+  FROM ({_SHINGLES})
+"""
+
+
+def _minhash_pairs_sql(threshold: float) -> str:
+    bands = []
+    for b in range(8):
+        vals = " || ',' || ".join(
+            f"sig_{b * 4 + r}::VARCHAR" for r in range(4))
+        bands.append(f"SELECT doc_id, {b} AS band, "
+                     f"{h60_sql(vals)} AS bkey FROM sigs")
+    bands_sql = "\n    UNION ALL ".join(bands)
+    return f"""
+WITH x AS ({_MINHASH_X}),
+sigs AS (SELECT doc_id, {_minhash_sigs_select(32)} FROM x GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+shd AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES})),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+common AS (SELECT c.id_a, c.id_b, count(*) AS c
+           FROM cand c JOIN shd a ON a.doc_id = c.id_a
+           JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           GROUP BY c.id_a, c.id_b)
+SELECT m.id_a, m.id_b,
+       round(m.c::DOUBLE / (na.n + nb.n - m.c), 6)::DOUBLE AS jaccard
+FROM common m
+JOIN sizes na ON na.doc_id = m.id_a
+JOIN sizes nb ON nb.doc_id = m.id_b
+WHERE m.c::DOUBLE / (na.n + nb.n - m.c) >= {threshold}
+"""
+
+
+_SIMHASH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf, {h60_sql('tok')} AS h
+  FROM ({_SIMPLE_TOK}) GROUP BY doc_id, tok),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END AS w
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)),
+agg AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+       AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    return f"""
+WITH sh AS ({_SIMHASH_SQL}),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 15)) & 32767 AS ckey
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                l.simhash AS sha, r.simhash AS shb
+         FROM chunks l JOIN chunks r
+           ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, bit_count(xor(sha, shb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+"""
+
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT unnest(qv)::DOUBLE AS b, generate_subscripts(qv, 1) AS i FROM q),
+ep AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na
+         FROM ep JOIN qp USING (i) GROUP BY vec_id),
+nb AS (SELECT sum(b * b) AS nb FROM qp)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb.nb)), 6)::DOUBLE AS cosine
+FROM dots CROSS JOIN nb
+ORDER BY dot / (sqrt(na) * sqrt(nb.nb)) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _lang_id_sql() -> str:
+    from luceneindexer_spark.ops.textstats import LANG_MARKERS
+    vals = ", ".join(f"('{w}', '{lang}')"
+                     for lang, ws in LANG_MARKERS.items() for w in ws)
+    return f"""
+WITH markers(tok, lang) AS (VALUES {vals}),
+toks AS ({_SIMPLE_TOK}),
+hits AS (SELECT t.doc_id, m.lang, count(*) AS hits
+         FROM toks t JOIN markers m ON t.tok = m.tok
+         GROUP BY t.doc_id, m.lang),
+best AS (SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang ASC) AS rn
+    FROM hits) WHERE rn = 1)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+_QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id, n_chars,
+         len(ts)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::DOUBLE
+           AS tok_chars,
+         len(list_filter(ts, x -> list_contains(
+             ['the','and','of','to','in','is','a','that'], x)))::DOUBLE
+           AS n_stop
+  FROM f),
+h AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0 END
+           AS avg_len,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END
+           AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN tok_chars / n_chars ELSE 0 END
+           AS alnum_ratio
+  FROM g)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_len, 6)::DOUBLE AS avg_token_len,
+       round(stop_ratio, 6)::DOUBLE AS stopword_ratio,
+       round(alnum_ratio, 6)::DOUBLE AS alnum_ratio,
+       round(least(1.0, n_tokens / 20.0) * 0.25
+             + CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0
+                    THEN 0.25 ELSE 0 END
+             + CASE WHEN stop_ratio > 0.0 AND stop_ratio < 0.6
+                    THEN 0.25 ELSE 0 END
+             + alnum_ratio * 0.25, 6)::DOUBLE AS quality
+FROM h
+"""
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(lower(text))) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+       END::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+         ::BIGINT AS bpeish_tokens
+FROM documents
+"""
+
+
+def _fingerprint_sql(k: int = 5, w: int = 4) -> str:
+    h_gram = h60_sql(f"substring(t, i, {k})")
+    h_all = h60_sql("t")
+    return f"""
+WITH base AS (SELECT doc_id, lower(text) AS t, length(text) AS n
+              FROM documents),
+g0 AS (SELECT doc_id, t,
+              unnest(generate_series(1, n - {k - 1})) AS i
+       FROM base WHERE n >= {k}),
+grams AS (SELECT doc_id, i - 1 AS pos, {h_gram} AS h FROM g0),
+wmin AS (SELECT doc_id, pos,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                             AND {w - 1} FOLLOWING) AS fp,
+                count(*) OVER (PARTITION BY doc_id) AS cnt
+         FROM grams),
+fullw AS (SELECT doc_id, fp FROM wmin WHERE pos <= cnt - {w}),
+small AS (SELECT doc_id, min(h) AS fp FROM (
+            SELECT g.*, count(*) OVER (PARTITION BY doc_id) AS cnt
+            FROM grams g) WHERE cnt < {w} GROUP BY doc_id),
+shorts AS (SELECT doc_id, {h_all} AS fp
+           FROM base WHERE n < {k} AND n > 0),
+fps AS (SELECT DISTINCT doc_id, fp FROM (
+          SELECT * FROM fullw UNION ALL SELECT * FROM small
+          UNION ALL SELECT * FROM shorts))
+SELECT doc_id, count(*)::BIGINT AS n_fp,
+       min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+def _multifield_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in MULTIFIELD_TERMS)
+    return f"""
+WITH tok AS ({_TOK})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN (SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok
+                          WHERE term IN ({in_list}))
+      GROUP BY doc_id HAVING count(*) = {len(MULTIFIELD_TERMS)}) m
+  ON d.doc_id = m.doc_id
+WHERE d.lang = 'en'
+ORDER BY d.doc_id
+"""
+
+
+def _media_features_sql() -> str:
+    fcols = [h60_sql(f"md5(text) || ':' || {j}") + f" / {float(1 << 60)}"
+             for j in range(MM.FEATURE_DIM)]
+    fsum = " + ".join(f"({c})" for c in fcols)
+    return f"""
+SELECT doc_id,
+       (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+       length(text)::BIGINT AS byte_len,
+       round({fcols[0]}, 6)::DOUBLE AS f0,
+       round({fsum}, 6)::DOUBLE AS fsum
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    a, b = INTERSECT_TERMS
+    return {
+        "bm25_topk_oracle": _bm25_sql(BM25_QUERY, 10),
+        "bm25_topk_index": _bm25_sql(BM25_QUERY, 10),
+        "term_df_top20": f"""
+WITH tok AS ({_TOK})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""",
+        "corpus_stats": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+alldl AS (SELECT d.doc_id, coalesce(dl.doclen, 0) AS doclen
+          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(doclen)::BIGINT AS total_tokens,
+       round(sum(doclen)::DOUBLE / count(*), 6)::DOUBLE AS avgdl
+FROM alldl
+""",
+        "sha256_invariant":
+            "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "minhash_sig4": f"""
+WITH x AS ({_MINHASH_X})
+SELECT doc_id, {_minhash_sigs_select(4)}
+FROM x GROUP BY doc_id
+""",
+        "simhash60": _SIMHASH_SQL,
+        "minhash_dedup_pairs": _minhash_pairs_sql(0.5),
+        "simhash_dedup_pairs": _simhash_pairs_sql(3),
+        "embedding_cosine_topk": _COSINE_SQL,
+        # ann_lsh_topk: no SQL oracle (probabilistic probe set) → rows-only
+        "lang_id": _lang_id_sql(),
+        "quality_features": _QUALITY_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "fingerprint_summary": _fingerprint_sql(),
+        "browse_first_50": """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+ORDER BY doc_id LIMIT 50""",
+        "browse_after_delete": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN ({", ".join(str(i) for i in DELETED_IDS)})
+ORDER BY doc_id LIMIT 50""",
+        "search_multifield": _multifield_sql(),
+        "phrase_search": f"""
+SELECT doc_id FROM documents
+WHERE contains(' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')) || ' ', ' {PHRASE} ')
+ORDER BY doc_id""",
+        "intersect_terms": f"""
+WITH tok AS ({_TOK})
+SELECT DISTINCT doc_id FROM tok WHERE term = '{a}'
+INTERSECT
+SELECT DISTINCT doc_id FROM tok WHERE term = '{b}'
+ORDER BY doc_id
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE
+         AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "topk_orders_join": """
+SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2)::DOUBLE AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 25
+""",
+        "events_window": """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_stream_agg": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4)::DOUBLE AS total_value
+FROM events GROUP BY event_type
+""",
+        "media_features": _media_features_sql(),
+        "frame_sample_plan": """
+SELECT doc_id, unnest(generate_series(0, (length(text) % 300)::BIGINT,
+                                      10)) AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+ORDER BY doc_id, frame_idx
+""",
+    }

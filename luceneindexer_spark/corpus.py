@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tokenizer import with_tokens
+from .tokenizer import with_doclen, with_tokens
 
 # ---------------------------------------------------------------------------
 # synthetic corpus (FIXTURES.md §1)
@@ -185,7 +185,7 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
                     .cast("long"))
         .drop("_pid", "_local")
     )
-    docmap = with_tokens(docmap, "content").drop("tokens")
+    docmap = with_doclen(docmap, "content")
     docmap = (
         docmap
         .withColumn("size", F.length("content").cast("long"))
@@ -194,10 +194,11 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
                 "content_sha256", "content")
     )
     if write_path is not None:
-        # write sorted by doc_id so per-wave range filters prune row groups
-        (docmap.repartitionByRange(partitions, "doc_id")
-               .sortWithinPartitions("doc_id")
-               .write.mode("overwrite").parquet(write_path))
+        # already range-partitioned AND sorted by doc_id: doc_id is the dense
+        # rank over the (repo, path, commit) order that defined the range
+        # partitioning — writing as-is gives doc_id-clustered row groups for
+        # per-wave predicate pushdown with NO extra shuffle/sampling pass
+        docmap.write.mode("overwrite").parquet(write_path)
         sorted_df.unpersist()
         return spark.read.parquet(write_path)
     return docmap
@@ -207,7 +208,7 @@ def docmap_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docmap straight from the driver `documents` table, reusing its dense
     doc_id (already 0..N-1). Used by __spark_entry__ oracle queries."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d = with_tokens(d, "text").drop("tokens")
+    d = with_doclen(d, "text")
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("source").alias("repo"),

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..codecs import encode_postings, run_decode, varint_encode, varint_encode_grouped
 from ..corpus import build_docmap
-from ..tokenizer import tokenize_batch
+from ..tokenizer import tokenize_flat
 from . import manifest as mf
 
 RUNS_SCHEMA = (
@@ -102,17 +102,12 @@ def _runs_generator(range_size: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            tokens = tokenize_batch(pdf["content"])
+            uniq, codes, lens = tokenize_flat(pdf["content"].to_numpy())
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            lens = np.fromiter((len(t) for t in tokens), np.int64, len(tokens))
-            total = int(lens.sum())
-            if total == 0:
+            if codes.size == 0:
                 continue
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tokens if len(t)])
             doc_rep = np.repeat(doc_ids, lens)
 
-            codes, uniq = pd.factorize(flat, sort=False)
             order = np.lexsort((doc_rep, codes))
             c = codes[order]
             d = doc_rep[order]
@@ -301,13 +296,18 @@ def build_index(
             corpus, partitions=docmap_partitions or sc.defaultParallelism,
             write_path=paths.docmap)
     snapshot = compute_snapshot(docmap)
-    n_docs = docmap.count()
+    crow = docmap.agg(F.count("*").alias("n"),
+                      F.max("doc_id").alias("mx")).collect()[0]
+    n_docs = int(crow["n"])
+    max_id = int(crow["mx"]) if crow["mx"] is not None else -1
     report["n_docs"] = n_docs
     report["snapshot"] = snapshot
     report["docmap_s"] = time.time() - t0
 
     # ---- plan ranges and waves ----
-    n_ranges = max(1, math.ceil(n_docs / range_size))
+    # from MAX doc_id, not the row count: incremental appends start new docs
+    # at the next range boundary, leaving id gaps (streaming.incremental)
+    n_ranges = max(1, math.ceil((max_id + 1) / range_size))
     ranges_per_wave = max(1, math.ceil(n_ranges / max(1, waves)))
     n_waves = math.ceil(n_ranges / ranges_per_wave)
     done = mf.completed_partitions(spark, out_dir, "postings", snapshot)
@@ -323,6 +323,12 @@ def build_index(
 
     # ---- per-wave build ----
     waves_done = 0
+    timings: dict[str, float] = {}
+    report["timings"] = timings
+
+    def _mark(name: str, t: float) -> None:
+        timings[name] = timings.get(name, 0.0) + (time.time() - t)
+
     for w in sorted(pending_by_wave):
         wave_ranges = pending_by_wave[w]
         tw = time.time()
@@ -332,7 +338,13 @@ def build_index(
                .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
                .filter(rng_col.isin(wave_ranges)))
 
+        # Explicitly set the tokenize-stage parallelism: parquet file
+        # bin-packing (maxPartitionBytes + openCost) would otherwise collapse
+        # a compact docmap into 1-2 input splits and serialize the most
+        # expensive stage. Range partitioning by doc_id keeps each task a
+        # contiguous doc interval, so each (term, range) still yields ~1 run.
         runs = (sub.select("doc_id", "content")
+                .repartitionByRange(merge_partitions, "doc_id")
                 .mapInPandas(_runs_generator(range_size), RUNS_SCHEMA))
         merged = (runs
                   .repartition(merge_partitions, "term", "range_id")
@@ -344,12 +356,15 @@ def build_index(
         wave_post_dir = paths.wave_dir(paths.postings, w)
         (merged.write.mode("overwrite").partitionBy("bucket")
                .parquet(wave_post_dir))
+        _mark("postings_write", tw)
 
+        tn = time.time()
         norms = (sub
                  .select(rng_col.alias("range_id"), "doc_id", "doclen")
                  .groupBy("range_id")
                  .applyInPandas(_norms_apply, NORMS_SCHEMA))
         norms.write.mode("overwrite").parquet(paths.wave_dir(paths.norms, w))
+        _mark("norms_write", tn)
 
         if positions:
             from ..tokenizer import tokenize_udf
@@ -366,15 +381,16 @@ def build_index(
             (pos.write.mode("overwrite").partitionBy("bucket")
                 .parquet(paths.wave_dir(paths.positions, w)))
 
-        # per-range manifest stats from the written wave
+        # per-range manifest stats from the two (tiny) written outputs — no
+        # re-aggregation of the corpus
+        tm = time.time()
         written = spark.read.parquet(wave_post_dir)
         post_stats = {int(r["range_id"]): int(r["np"]) for r in
                       written.groupBy("range_id")
                              .agg(F.sum("df").alias("np")).collect()}
-        doc_stats = {int(r["range_id"]): int(r["cnt"]) for r in
-                     sub.groupBy(rng_col.alias("r"))
-                        .agg(F.count("*").alias("cnt"))
-                        .withColumnRenamed("r", "range_id").collect()}
+        doc_stats = {int(r["range_id"]): int(r["n"]) for r in
+                     spark.read.parquet(paths.wave_dir(paths.norms, w))
+                     .select("range_id", "n").collect()}
         wave_bytes = mf.dir_bytes(wave_post_dir)
         wall = time.time() - tw
         mf.append_rows(spark, out_dir, [{
@@ -387,6 +403,7 @@ def build_index(
             "status": mf.STATUS_COMPLETE, "attempt": attempt,
             "finished_at": mf.now_iso(),
         } for r in wave_ranges])
+        _mark("manifest", tm)
         waves_done += 1
         report["waves_built"] = waves_done
         report["ranges_built"] += len(wave_ranges)
@@ -401,6 +418,7 @@ def build_index(
     (postings_all.groupBy("term")
      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
           F.max("max_tf").alias("max_tf"))
+     .coalesce(min(merge_partitions, 8))
      .write.mode("overwrite").parquet(paths.term_stats))
 
     avgdl = docmap.agg((F.sum("doclen") / F.count("*"))

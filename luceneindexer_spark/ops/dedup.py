@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup is exact content-hash grouping
+(``lucene/cLuceneIndexReader.java:192-270`` — O(maxDoc) point queries against
+the Hash field; SURVEY.md §2.4 J3 / §3.3). ``exact_dedup`` is its one-shuffle
+Spark replacement; the rest (MinHash+LSH, SimHash, n-gram Jaccard) extend the
+same capability to near-duplicates at corpus scale.
+
+Scale notes
+-----------
+- MinHash signatures are computed entirely in Catalyst: explode shingles →
+  md5-based ``h60`` hash → 32 universal-hash min-aggregations in ONE hash
+  aggregate (partial/map-side combine is automatic). No Python in the path.
+- LSH banding turns the all-pairs O(N²) into a groupBy on (band, band_hash):
+  only docs sharing a band bucket are joined. Bucket join is self-equi-join
+  on the band key — shuffle-partitioned by bucket, skew-safe because a bucket
+  of identical docs is bounded by the duplicate-group size.
+- Verification (exact Jaccard over distinct shingles) touches only candidate
+  pairs, never the cross product.
+
+All hashing via ``hashing.h60`` so a DuckDB oracle reproduces every number
+exactly (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import LSH_BANDS, LSH_ROWS, MINHASH_P, NUM_PERM, h60_col, perm_coeffs
+
+SIMPLE_TOKEN_RE = "[a-z0-9]+"
+SHINGLE_K = 3
+
+
+def simple_tokens_col(colname: str) -> Column:
+    """Pinned *simple* tokenizer for dedup/textstats ops (distinct from the
+    index's code-aware tokenizer): maximal [a-z0-9]+ runs of the lowercased
+    text. The regex evaluates identically under Java regex and DuckDB."""
+    return F.regexp_extract_all(F.lower(F.col(colname)), F.lit(SIMPLE_TOKEN_RE), 0)
+
+
+def shingles_col(colname: str, k: int = SHINGLE_K) -> Column:
+    """Word k-gram shingles (space-joined) of the simple tokens; docs shorter
+    than k tokens produce their full token string as a single shingle."""
+    toks = simple_tokens_col(colname)
+    n = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(n >= k, grams).otherwise(full)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (reference J3/A5 replacement)
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical contents: (content_sha256, cnt, min_id, max_id)
+    for groups with >1 member. One shuffle replaces the reference's O(maxDoc)
+    point-query loop (R:192-270)."""
+    return (df.select(F.sha2(F.col(text_col).cast("binary"), 256)
+                      .alias("content_sha256"), F.col(id_col).alias("id"))
+            .groupBy("content_sha256")
+            .agg(F.count("*").alias("cnt"), F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id"))
+            .filter(F.col("cnt") > 1))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct content."""
+    keep = (df.select(F.col(id_col).alias("_id"),
+                      F.sha2(F.col(text_col).cast("binary"), 256).alias("_h"))
+            .groupBy("_h").agg(F.min("_id").alias(id_col)))
+    return df.join(keep.select(id_col), id_col, "inner")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_perm: int = NUM_PERM) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): MinHash over distinct word-3-gram shingles.
+
+    Pure Catalyst: one explode + one hash aggregate with n_perm min()s —
+    map-side partial aggregation collapses each partition's shingles before
+    the shuffle, so the shuffle is O(docs × n_perm), not O(shingles).
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles_col(text_col)).alias("shingle"))
+          .select("id", (h60_col(F.col("shingle")) % MINHASH_P).alias("x")))
+    aggs = []
+    for i in range(n_perm):
+        a, b = perm_coeffs(i)
+        aggs.append(F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P)
+                    .alias(f"sig_{i}"))
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS,
+                        rows: int = LSH_ROWS) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_rows.append(sigs.select(
+            "id", F.lit(b).alias("band"),
+            h60_col(F.concat_ws(",", *[c.cast("string") for c in cols]))
+            .alias("bkey")))
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bkey") == F.col("r.bkey"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str,
+                   text_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs only.
+    Returns (id_a, id_b, jaccard) for pairs >= threshold."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles_col(text_col)).alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("c")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (common.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard", F.col("c") /
+                        (F.col("na") + F.col("nb") - F.col("c")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: verified near-dup pairs."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs)
+    return jaccard_verify(df, cand, id_col, text_col, threshold)
+
+
+def dedup_drop_list(pairs: DataFrame) -> DataFrame:
+    """Docs to drop: every id that appears as the larger member of a verified
+    pair (keep-smallest policy; transitive groups collapse to their min id
+    because every non-min member pairs with at least one smaller id)."""
+    return pairs.select(F.col("id_b").alias("id")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # h60 is a 60-bit hash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 60-bit SimHash over simple tokens, tf-weighted.
+
+    Pure Catalyst: explode tokens → tf per (id, token) → h60 → explode the 60
+    bit positions → signed tf contributions → per-bit majority → recombine.
+    The bit explosion multiplies rows ×60 but all of it stays in one
+    whole-stage-codegen pipeline between two hash aggregates.
+    """
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(simple_tokens_col(text_col)).alias("tok"))
+          .groupBy("id", "tok").agg(F.count("*").alias("tf"))
+          .select("id", "tf", h60_col(F.col("tok")).alias("h")))
+    bits = tf.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "tf", "h")
+    contrib = bits.select(
+        "id", "b",
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN tf "
+               "ELSE -tf END").alias("w"))
+    return (contrib.groupBy("id", "b").agg(F.sum("w").alias("s"))
+            .withColumn("bit", F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                "ELSE CAST(0 AS BIGINT) END"))
+            .groupBy("id").agg(F.sum("bit").alias("simhash")))
+
+
+def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: the 60-bit hash splits into 4 chunks of 15 bits; any pair within
+    Hamming distance 3 must agree on >= 1 chunk (pigeonhole), so candidates =
+    pairs sharing a chunk value — an equi-join, never a cross product.
+    """
+    if max_hamming >= 4:
+        raise ValueError("4-chunk banding guarantees recall only for d <= 3")
+    sh = simhash(df, id_col, text_col)
+    chunks = None
+    for c in range(4):
+        part = sh.select(
+            F.col("id"), F.col("simhash"), F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(0x7FFF)
+            .alias("ckey"))
+        chunks = part if chunks is None else chunks.unionByName(part)
+    l = chunks.alias("l")
+    r = chunks.alias("r")
+    cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+                   & (F.col("l.ckey") == F.col("r.ckey"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.simhash").alias("sh_a"),
+                    F.col("r.simhash").alias("sh_b"))
+            .distinct())
+    return (cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95,
+                          n_planes: int = 16) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold over an array<float> column.
+
+    Candidates via random-hyperplane LSH (sign sketch): plane p's normal is a
+    deterministic pseudo-random vector derived from h60(p, dim-index); docs
+    sharing a 16-bit sketch land in one bucket. Verification computes exact
+    fp64 cosine on candidates only. Recall is probabilistic for mid
+    similarities but ~1 for the >=0.95 regime this targets (and exact 1.0 for
+    identical vectors); the brute-force variant in similarity.py is the
+    audit path.
+    """
+    from .similarity import cosine_expr, norm_expr
+    dim = len(emb.select(vec_col).first()[0])
+    import hashlib as _hl
+
+    def plane(p: int) -> list[float]:
+        # deterministic pseudo-random +-1 normal per (plane, dim)
+        return [1.0 if int(_hl.md5(f"plane:{p}:{j}".encode())
+                           .hexdigest()[:15], 16) % 2 == 1 else -1.0
+                for j in range(dim)]
+
+    v = F.col(vec_col)
+    sketch = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane(p)]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sketch = sketch + F.when(dot > 0,
+                                 F.shiftleft(F.lit(1).cast("long"), p)
+                                 ).otherwise(F.lit(0).cast("long"))
+    sk = emb.select(F.col(id_col).alias("id"), v.alias("_v"),
+                    sketch.alias("sketch"))
+    l = sk.alias("l")
+    r = sk.alias("r")
+    cand = (l.join(r, (F.col("l.sketch") == F.col("r.sketch"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l._v").alias("va"), F.col("r._v").alias("vb")))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (cand.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

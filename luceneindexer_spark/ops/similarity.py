@@ -1,0 +1,150 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Not present in the reference (its only similarity notion is BM25 ranking,
+``lucene/cLuceneIndexReader.java:340``); required as a first-class
+training-data-pipeline operator. Two paths:
+
+- ``cosine_topk``: brute-force exact top-k for one query vector — a single
+  narrow projection + ``TakeOrderedAndProject``; the audit baseline. Scales
+  linearly: the scan is embarrassingly parallel, no shuffle except the final
+  k-row merge.
+- ``ann_lsh_topk``: sign-sketch (random hyperplane) bucketed search — probes
+  only buckets within a small Hamming radius of the query sketch, an
+  IVF-style scale path: at 100 TB the postings-style sketch index prunes
+  ~(1 - probed/2^bits) of the corpus before any dot product.
+- ``knn_join``: all-pairs k-NN between two embedding tables via the same
+  sketch blocking.
+
+All arithmetic fp64 with in-order ``F.aggregate`` accumulation so results are
+deterministic and DuckDB-reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential fp64 dot product (deterministic accumulation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec``: (id, cosine), ordered
+    (cosine desc, id asc). Catalyst plans the order+limit as
+    TakeOrderedAndProject: per-partition heaps, k-row driver merge."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (emb.select(F.col(id_col).alias("id"),
+                       cosine_expr(F.col(vec_col), q).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# sign-sketch ANN
+# ---------------------------------------------------------------------------
+
+def _plane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane normal (md5-derived, shared
+    with ops.dedup.embedding_dedup_pairs)."""
+    return [1.0 if int(hashlib.md5(f"plane:{p}:{j}".encode())
+                       .hexdigest()[:15], 16) % 2 == 1 else -1.0
+            for j in range(dim)]
+
+
+def sketch_expr(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
+    """16-bit sign sketch of an embedding (bit p = sign of <v, plane_p>)."""
+    sk = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = dot_expr(vec_col, F.array(*[F.lit(x) for x in _plane(p, dim)]))
+        sk = sk + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)
+                         ).otherwise(F.lit(0).cast("long"))
+    return sk
+
+
+def build_sketch_index(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_planes: int = 16) -> DataFrame:
+    """Materializable ANN index: (id, sketch, vec). Persist partitioned by
+    sketch for bucket pruning at scale."""
+    dim = len(emb.select(vec_col).first()[0])
+    return emb.select(F.col(id_col).alias("id"),
+                      sketch_expr(F.col(vec_col), dim, n_planes)
+                      .alias("sketch"),
+                      F.col(vec_col).alias("vec"))
+
+
+def _hamming_ball(center: int, radius: int, n_bits: int) -> list[int]:
+    """All sketches within Hamming distance ``radius`` of center (small:
+    radius<=2, n_bits=16 → 137 values)."""
+    out = [center]
+    if radius >= 1:
+        for i in range(n_bits):
+            out.append(center ^ (1 << i))
+    if radius >= 2:
+        for i in range(n_bits):
+            for j in range(i + 1, n_bits):
+                out.append(center ^ (1 << i) ^ (1 << j))
+    return out
+
+
+def ann_lsh_topk(index: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 16, probe_radius: int = 2) -> DataFrame:
+    """Approximate top-k: probe only buckets within ``probe_radius`` of the
+    query's sketch, exact cosine within them. (id, cosine) ordered like
+    cosine_topk. With the sketch index partitioned by sketch, the isin()
+    filter prunes partitions before any vector is read."""
+    import numpy as np
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = q.size
+    qsk = 0
+    for p in range(n_planes):
+        if float(np.dot(q, np.asarray(_plane(p, dim)))) > 0:
+            qsk |= 1 << p
+    probes = _hamming_ball(qsk, probe_radius, n_planes)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (index.filter(F.col("sketch").isin(probes))
+            .select("id", cosine_expr(F.col("vec"), qcol).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k))
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8) -> DataFrame:
+    """For each left row, its k nearest right rows by cosine — sketch-blocked
+    (coarse 8-bit sketch → equi-join) then windowed top-k per left id.
+    Returns (id_l, id_r, cosine, rank<=k). Approximate: only pairs agreeing
+    on the coarse sketch compete (recall/cost trade documented at call
+    sites; exact variant = crossJoin for small rights)."""
+    from pyspark.sql import Window
+    diml = len(left.select(vec_col).first()[0])
+    ls = left.select(F.col(id_col).alias("id_l"),
+                     F.col(vec_col).alias("vl"),
+                     sketch_expr(F.col(vec_col), diml, n_planes).alias("sk"))
+    rs = right.select(F.col(id_col).alias("id_r"),
+                      F.col(vec_col).alias("vr"),
+                      sketch_expr(F.col(vec_col), diml, n_planes).alias("sk"))
+    w = Window.partitionBy("id_l").orderBy(F.desc("cosine"), F.asc("id_r"))
+    return (ls.join(rs, "sk")
+            .select("id_l", "id_r",
+                    cosine_expr(F.col("vl"), F.col("vr")).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,166 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+winnowing document fingerprints.
+
+Not in the reference (its only text analysis is the Lucene StandardAnalyzer
+exercised at ``lucene/cLuceneIndexWriter.java:66``); these are the standard
+training-data-pipeline document filters, built pure-Catalyst so each has an
+exactly-reproducing DuckDB oracle. All token work uses the pinned *simple*
+tokenizer (``ops.dedup.simple_tokens_col``); hashing via ``hashing.h60``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import simple_tokens_col
+from .hashing import h60_col
+
+# ---------------------------------------------------------------------------
+# language ID (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+# pinned marker vocabularies (tiny, deterministic; argmax of marker hits)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
+    "es": ("el", "la", "los", "las", "que", "y", "en", "un", "una", "por"),
+    "fr": ("le", "les", "et", "des", "une", "est", "pour", "dans", "qui"),
+}
+LANG_FALLBACK = "und"
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang): argmax of marker-word hit counts, ties broken by
+    lang name asc, no hits → 'und'. One explode + one agg + one window."""
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "tok string, lang string")
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(simple_tokens_col(text_col)).alias("tok"))
+    hits = (toks.join(F.broadcast(markers), "tok")
+            .groupBy("id", "lang").agg(F.count("*").alias("hits")))
+    w = Window.partitionBy("id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("id", "lang"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(best, "id", "left")
+            .select("id", F.coalesce("lang", F.lit(LANG_FALLBACK))
+                    .alias("pred_lang")))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a", "that")
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features (all fp64, rounded to 6dp for cross-engine
+    comparability): n_chars, n_tokens, avg_token_len, stopword_ratio,
+    alnum_ratio, and a composite quality score in [0, 1]."""
+    toks = simple_tokens_col(text_col)
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    tok_chars = F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                            F.lit(0), lambda a, x: a + x).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+                    ).cast("double")
+    avg_len = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    alnum_ratio = F.when(n_chars > 0, tok_chars / n_chars).otherwise(0.0)
+    # composite: reward 3<=avg_len<=10, some stopwords, mostly-alnum text
+    score = (F.least(F.lit(1.0), n_tokens / 20.0) * 0.25
+             + F.when((avg_len >= 3.0) & (avg_len <= 10.0), 0.25)
+                .otherwise(0.0)
+             + F.when((stop_ratio > 0.0) & (stop_ratio < 0.6), 0.25)
+                .otherwise(0.0)
+             + alnum_ratio * 0.25)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(score, 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+BPEISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws_tokens, bpeish_tokens): whitespace split count + a BPE-ish
+    regex count (letter runs / digit runs / single punctuation) over the
+    lowercased text — the standard cheap proxy for LLM token budgeting."""
+    t = F.lower(F.col(text_col))
+    ws = F.size(F.split(F.trim(t), "\\s+"))
+    ws = F.when(F.length(F.trim(t)) == 0, 0).otherwise(ws)
+    bpeish = F.size(F.regexp_extract_all(t, F.lit(BPEISH_RE), 0))
+    return df.select(F.col(id_col).alias("id"),
+                     ws.cast("long").alias("ws_tokens"),
+                     bpeish.cast("long").alias("bpeish_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+FP_K = 5   # char k-gram length
+FP_W = 4   # winnowing window (k-grams per window)
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str,
+                 k: int = FP_K, w: int = FP_W) -> DataFrame:
+    """(id, fp) distinct winnowing fingerprints: min h60 hash in every window
+    of ``w`` consecutive char ``k``-grams of the lowercased text. Docs
+    shorter than ``k`` chars hash their whole text once.
+
+    Standard winnowing (Schleimer et al., SIGMOD'03) guarantees any shared
+    substring of length >= w+k-1 yields a shared fingerprint — the basis for
+    overlap detection between corpus shards.
+    """
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"), n.alias("_n"))
+    # 0-based k-gram positions: gram p = substring(_t, p+1, k)
+    grams = (base.filter(F.col("_n") >= k)
+             .select("id", F.posexplode(
+                 F.expr(f"transform(sequence(1, _n - {k - 1}), "
+                        f"i -> substring(_t, i, {k}))")).alias("pos", "gram")))
+    short = (base.filter((F.col("_n") < k) & (F.col("_n") > 0))
+             .select("id", h60_col(F.col("_t")).alias("fp")))
+    hashed = grams.select("id", "pos", h60_col(F.col("gram")).alias("h"))
+    win = Window.partitionBy("id").orderBy("pos") \
+                .rowsBetween(Window.currentRow, w - 1)
+    cnt = Window.partitionBy("id")
+    full = (hashed
+            .withColumn("_cnt", F.count("*").over(cnt))
+            .withColumn("fp", F.min("h").over(win))
+            # full windows only: 0-based start pos <= cnt - w
+            .filter(F.col("pos") <= F.col("_cnt") - w)
+            .select("id", "fp"))
+    # docs with 1..w-1 grams have no full window → their global min
+    small = (hashed.withColumn("_cnt", F.count("*").over(cnt))
+             .filter(F.col("_cnt") < w)
+             .groupBy("id").agg(F.min("h").alias("fp")))
+    return full.union(small).union(short).distinct()
+
+
+def fingerprint_summary(df: DataFrame, id_col: str, text_col: str,
+                        k: int = FP_K, w: int = FP_W) -> DataFrame:
+    """(id, n_fp, min_fp, max_fp, xor_fp) — order-insensitive per-doc digest
+    of the fingerprint set (compact driver-oracle surface)."""
+    fp = fingerprints(df, id_col, text_col, k, w)
+    return (fp.groupBy("id")
+            .agg(F.count("*").alias("n_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp")))

@@ -133,8 +133,13 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
             score += idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
 
         if cand.size > k:
-            top = np.argpartition(-score, k - 1)[:k]
-            order = top[np.lexsort((cand[top], -score[top]))]
+            # argpartition alone breaks ties arbitrarily; keep EVERY doc tied
+            # with the kth score so the lexsort can apply the deterministic
+            # (score desc, doc_id asc) tie-break the oracle uses
+            part = np.argpartition(-score, k - 1)
+            kth = score[part[k - 1]]
+            sel = np.flatnonzero(score >= kth)
+            order = sel[np.lexsort((cand[sel], -score[sel]))][:k]
         else:
             order = np.lexsort((cand, -score))
         return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
@@ -142,46 +147,148 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
     return score_range
 
 
+class QuerySession:
+    """Long-lived query serving session: postings/norms/term-stats loaded once
+    and optionally cached in memory. The reference reopens its IndexReader on
+    every query (``cIndex.java:134-137``) — we instead serve from a cached
+    DataFrame (SURVEY.md §3.2 Spark shape) for p50 latency."""
+
+    def __init__(self, spark: SparkSession, root: str, cache: bool = False):
+        self.spark = spark
+        self.root = root
+        self.meta = load_meta(spark, root)
+        self.paths = IndexPaths(root)
+        self.post = spark.read.parquet(self.paths.postings)
+        self.norms = spark.read.parquet(self.paths.norms)
+        self.stats = spark.read.parquet(self.paths.term_stats)
+        self._cached = cache
+        if cache:
+            # cache the metadata-heavy small tables fully; postings cached
+            # column-pruned (the binary blobs dominate — keep them too: the
+            # whole index is the working set of a serving node)
+            self.post = self.post.persist()
+            self.norms = self.norms.persist()
+            self.stats = self.stats.persist()
+            self.post.count()
+            self.norms.count()
+            self.stats.count()
+
+    def close(self) -> None:
+        if self._cached:
+            for df in (self.post, self.norms, self.stats):
+                df.unpersist()
+
+    def topk(self, query: str, k: int = 10, mode: str = "and") -> DataFrame:
+        spark = self.spark
+        meta = self.meta
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        terms = query_terms(query)
+        if not terms:
+            return empty
+        stats = self.stats.filter(F.col("term").isin(terms)).collect()
+        df_by_term = {r["term"]: int(r["df"]) for r in stats}
+        if any(t not in df_by_term for t in terms):
+            return empty  # a MUST term absent from the corpus
+        idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
+        terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
+
+        if mode == "phrase":
+            return _phrase_topk(spark, self.root, meta, query, terms,
+                                idf_by_term, k)
+
+        if self._cached:
+            # in-memory scan: bucket pruning buys nothing, and skipping the
+            # ranges-collect saves a whole Spark job per query
+            post = self.post.filter(F.col("term").isin(terms))
+            norms = self.norms
+        else:
+            # disk path: bucket pruning = parquet partition pruning; the
+            # ranges filter keeps the cogroup from touching norms of ranges
+            # where no query term occurs
+            buckets = sorted(set(_buckets_of(terms, meta.n_buckets,
+                                             spark).values()))
+            post = self.post.filter(F.col("bucket").isin(buckets)
+                                    & F.col("term").isin(terms))
+            ranges = [int(r["range_id"]) for r in
+                      post.select("range_id").distinct().collect()]
+            if not ranges:
+                return empty
+            norms = self.norms.filter(F.col("range_id").isin(ranges))
+
+        scored = (post.groupby("range_id")
+                  .cogroup(norms.groupby("range_id"))
+                  .applyInPandas(
+                      _make_range_scorer(terms_by_rarity, idf_by_term,
+                                         meta.avgdl, k),
+                      "doc_id long, score double"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+    def topk_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Score a BATCH of conjunctive queries in ONE distributed pass:
+        returns (query_id, doc_id, score, rank<=k). Amortizes job overhead
+        across queries — the throughput-oriented serving path (single-query
+        p50 in local mode is dominated by fixed job costs; a real deployment
+        batches the query stream exactly like this)."""
+        spark = self.spark
+        meta = self.meta
+        all_terms = sorted({t for q in queries.values()
+                            for t in query_terms(q)})
+        out_schema = "query_id string, doc_id long, score double"
+        if not all_terms:
+            return spark.createDataFrame([], out_schema + ", rank int")
+        stats = self.stats.filter(F.col("term").isin(all_terms)).collect()
+        df_by_term = {r["term"]: int(r["df"]) for r in stats}
+        plans = []  # (qid, terms_by_rarity, idf_by_term)
+        for qid, q in queries.items():
+            terms = query_terms(q)
+            if not terms or any(t not in df_by_term for t in terms):
+                continue
+            idf = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
+            plans.append((qid, sorted(terms, key=lambda t: (df_by_term[t], t)),
+                          idf))
+        if not plans:
+            return spark.createDataFrame([], out_schema + ", rank int")
+        live_terms = sorted({t for _, ts, _ in plans for t in ts})
+        post = self.post.filter(F.col("term").isin(live_terms))
+        norms = self.norms
+        avgdl, kk = meta.avgdl, k
+
+        def score_ranges(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
+                         ) -> pd.DataFrame:
+            out = []
+            scorers = {
+                qid: _make_range_scorer(ts, idf, avgdl, kk)
+                for qid, ts, idf in plans}
+            for qid, ts, idf in plans:
+                sub = post_pdf[post_pdf["term"].isin(ts)]
+                r = scorers[qid](_key, sub, norms_pdf)
+                if len(r):
+                    r = r.copy()
+                    r.insert(0, "query_id", qid)
+                    out.append(r)
+            if not out:
+                return pd.DataFrame({"query_id": pd.Series(dtype=object),
+                                     "doc_id": pd.Series(dtype=np.int64),
+                                     "score": pd.Series(dtype=np.float64)})
+            return pd.concat(out, ignore_index=True)
+
+        scored = (post.groupby("range_id")
+                  .cogroup(norms.groupby("range_id"))
+                  .applyInPandas(score_ranges, out_schema))
+        from pyspark.sql import Window
+        w = (Window.partitionBy("query_id")
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
 def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
               mode: str = "and") -> DataFrame:
     """Top-k BM25 over the compressed index; rank-identical to
-    query.oracle.bm25_topk_oracle. Returns (doc_id, score)."""
-    empty = spark.createDataFrame([], "doc_id long, score double")
-    terms = query_terms(query)
-    if not terms:
-        return empty
-    meta = load_meta(spark, root)
-    paths = IndexPaths(root)
-
-    stats = (spark.read.parquet(paths.term_stats)
-             .filter(F.col("term").isin(terms)).collect())
-    df_by_term = {r["term"]: int(r["df"]) for r in stats}
-    if any(t not in df_by_term for t in terms):
-        return empty  # a MUST term absent from the corpus
-    idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
-    terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
-
-    if mode == "phrase":
-        return _phrase_topk(spark, root, meta, query, terms, idf_by_term, k)
-
-    buckets = sorted(set(_buckets_of(terms, meta.n_buckets, spark).values()))
-    post = (spark.read.parquet(paths.postings)
-            .filter(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(terms)))
-    ranges = [int(r["range_id"]) for r in
-              post.select("range_id").distinct().collect()]
-    if not ranges:
-        return empty
-    norms = (spark.read.parquet(paths.norms)
-             .filter(F.col("range_id").isin(ranges)))
-
-    scored = (post.groupby("range_id")
-              .cogroup(norms.groupby("range_id"))
-              .applyInPandas(
-                  _make_range_scorer(terms_by_rarity, idf_by_term,
-                                     meta.avgdl, k),
-                  "doc_id long, score double"))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    query.oracle.bm25_topk_oracle. Returns (doc_id, score). One-shot
+    convenience wrapper — use QuerySession for serving."""
+    return QuerySession(spark, root, cache=False).topk(query, k, mode)
 
 
 def _phrase_topk(spark: SparkSession, root: str, meta: IndexMeta, query: str,

@@ -1,0 +1,127 @@
+"""Incremental index maintenance + streaming aggregation.
+
+Reference parity (SURVEY.md §2.9): the folder watcher
+(``drives/folderwatcher/cFolderWatcher.java:161-300`` — OS WatchService events
+→ debounce → blocking queues → index upsert workers) becomes a Structured
+Streaming file source with an ``availableNow`` catch-up trigger and a
+``foreachBatch`` sink that appends to the index; the 4s debounce/dedup
+(``cFolderWatcher.java:432-448``) becomes latest-commit-wins dedup inside the
+micro-batch.
+
+Incremental design (LSM-ish, no rewrite of existing partitions): new docs get
+doc_ids starting at the next range boundary past the current maximum, so
+every existing doc-range — postings, norms, manifest rows — is untouched;
+only NEW ranges are built and appended as a new wave. Global term_stats /
+corpus_stats are re-aggregated from the postings table (cheap: dictionary-
+sized). This is exactly the reference's append-only segment model
+(SURVEY.md §1.4) expressed as parquet waves.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import DOC_ORDER
+from ..tokenizer import with_doclen
+from ..index import manifest as mf
+from ..index.build import IndexPaths, build_index
+from ..query.engine import load_meta
+
+
+def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
+                     *, merge_partitions: int | None = None) -> dict:
+    """Append a batch of new documents to an existing index (micro-batch
+    upsert path). New doc_ids start at the next range boundary, so existing
+    postings/norms waves are never rewritten."""
+    meta = load_meta(spark, root)
+    paths = IndexPaths(root)
+    start_id = meta.n_ranges * meta.range_size
+
+    from pyspark.sql import Window
+    latest = (new_corpus
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("repo", "path")
+                  .orderBy(F.desc("commit"))))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    w = Window.orderBy(*DOC_ORDER)
+    add = (latest.withColumn("doc_id",
+                             (F.row_number().over(w) - 1 + start_id)
+                             .cast("long")))
+    add = with_doclen(add, "content")
+    add = (add.withColumn("size", F.length("content").cast("long"))
+           .withColumn("content_sha256",
+                       F.sha2(F.col("content").cast("binary"), 256))
+           .select("doc_id", "repo", "path", "commit", "lang", "size",
+                   "doclen", "content_sha256", "content"))
+    add.write.mode("append").parquet(paths.docmap)
+
+    # rebuild only the new ranges by rerunning build with the appended docmap:
+    # mark all pre-existing ranges complete under the NEW snapshot so only the
+    # new ones are pending.
+    docmap = spark.read.parquet(paths.docmap)
+    from ..index.build import compute_snapshot
+    snapshot = compute_snapshot(docmap)
+    done = mf.completed_partitions(spark, root, "postings", snapshot)
+    old_done = set(range(meta.n_ranges)) - set(done)
+    if old_done:
+        mf.append_rows(spark, root, [{
+            "stage": "postings", "partition_id": r, "wave": -1,
+            "input_snapshot": snapshot, "n_docs": 0, "n_postings": 0,
+            "bytes": 0, "wall_time_s": 0.0, "status": mf.STATUS_COMPLETE,
+            "attempt": 0, "finished_at": mf.now_iso(),
+        } for r in sorted(old_done)])
+    # waves=huge → one wave PER range, so new waves' dirs (wave=<range_id>,
+    # range_id >= old n_ranges) can never collide with dirs of the original
+    # build (whose wave ids are < old n_ranges).
+    report = build_index(
+        spark, None, root, n_buckets=meta.n_buckets,
+        range_size=meta.range_size, waves=1_000_000_000,
+        merge_partitions=merge_partitions, resume=True)
+    return report
+
+
+def watch_corpus(spark: SparkSession, root: str, source_dir: str,
+                 checkpoint_dir: str, schema: str = (
+                     "repo string, path string, commit string, "
+                     "lang string, content string")):
+    """ST1–ST3: stream new corpus parquet files into the index. availableNow
+    processes the backlog then stops (the scheduled-rescan analog, ST4);
+    leave trigger continuous for a long-lived watcher."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_documents(spark, root, batch_df)
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def events_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation demo over the driver's events table: availableNow
+    micro-batches → complete-mode memory sink → one batch-equivalent result
+    (event_type, n_events, total_value). Proves the readStream → agg →
+    writeStream path; the oracle is the plain batch GROUP BY."""
+    import tempfile
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY; stage a symlink
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    name = f"events_agg_{int(time.time() * 1000) % 10 ** 9}"
+    q = (spark.readStream.schema(schema).parquet(stage)
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n_events"),
+              F.round(F.sum("value"), 4).alias("total_value"))
+         .writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

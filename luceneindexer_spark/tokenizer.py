@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 ACRONYM_RE = r"([A-Z]+)([A-Z][a-z])"
 CAMEL_RE = r"([a-z0-9])([A-Z])"
@@ -62,32 +62,76 @@ def tokenize_text(s: str | None) -> list[str]:
     return [t for t in toks if t not in _STOP_SET]
 
 
-def tokenize_batch(s: pd.Series) -> pd.Series:
-    """Vectorized batch tokenizer: pandas str ops + one numpy stopword mask.
+_SEP = "\x01"  # never alphanumeric; regex classes can't match across it
 
-    Returns a Series of lists of str (Arrow array<string>)."""
-    base = (
-        s.fillna("")
-        .str.replace(ACRONYM_RE, r"\1 \2", regex=True)
-        .str.replace(CAMEL_RE, r"\1 \2", regex=True)
-        .str.lower()
-        .str.findall(TERM_RE)
-    )
-    lists = base.to_numpy()
-    if lists.size == 0:
-        return base
-    counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=lists.size)
-    if counts.sum() == 0:
-        return pd.Series([[] for _ in range(lists.size)], index=s.index)
-    flat = np.concatenate([np.asarray(x, dtype=object) if len(x) else
-                           np.empty(0, dtype=object) for x in lists])
-    keep = ~np.isin(flat, _STOP_ARR)
-    row_ids = np.repeat(np.arange(counts.size), counts)
-    kept_counts = np.bincount(row_ids[keep], minlength=counts.size)
-    kept_flat = flat[keep]
-    bounds = np.cumsum(kept_counts)[:-1]
-    out = np.split(kept_flat, bounds)
-    return pd.Series([list(x) for x in out], index=s.index)
+
+def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch tokenizer core: one C-level regex pass over ONE joined string.
+
+    Returns (uniq_terms object-array, codes int64, doc_counts int64):
+    token i (in document order) is ``uniq_terms[codes[i]]``; document d owns
+    the next ``doc_counts[d]`` tokens. Stopwords are dropped via a mask over
+    the (tiny) unique-term vocabulary — never over the token stream.
+
+    This shape feeds the posting-run builder directly (it needs exactly the
+    factorized stream), so the hot path does regex + factorize ONCE.
+    """
+    # replacing the separator with a space is tokenization-invariant: both
+    # are non-alnum, match neither regex class, and delimit [a-z0-9]+ runs
+    docs = ["" if t is None else str(t).replace(_SEP, " ") for t in texts]
+    n = len(docs)
+    if n == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    big = _SEP.join(docs)
+    big = _ACRONYM_C.sub(r"\1 \2", big)
+    big = _CAMEL_C.sub(r"\1 \2", big)
+    big = big.lower()
+    parts = big.split(_SEP)
+    tok_lists = [_TERM_C.findall(p) for p in parts]
+    counts = np.fromiter((len(x) for x in tok_lists), np.int64, n)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                counts)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for x in tok_lists:
+        flat[pos:pos + len(x)] = x
+        pos += len(x)
+    codes, uniq = pd.factorize(flat, sort=False)
+    stop_mask = np.isin(uniq, _STOP_ARR)
+    if stop_mask.any():
+        keep = ~stop_mask[codes]
+        row_ids = np.repeat(np.arange(n), counts)
+        counts = np.bincount(row_ids[keep], minlength=n).astype(np.int64)
+        codes = codes[keep]
+        # re-factorize to drop stopword entries from the vocabulary
+        kept_terms = uniq[~stop_mask]
+        remap = np.full(uniq.size, -1, dtype=np.int64)
+        remap[np.flatnonzero(~stop_mask)] = np.arange(kept_terms.size)
+        codes = remap[codes]
+        uniq = kept_terms
+    return np.asarray(uniq, dtype=object), codes, counts
+
+
+def tokenize_batch(s: pd.Series) -> pd.Series:
+    """Vectorized batch tokenizer returning a Series of lists of str
+    (Arrow array<string>). Built on tokenize_flat."""
+    if len(s) == 0:
+        return pd.Series([], index=s.index, dtype=object)
+    uniq, codes, counts = tokenize_flat(s.to_numpy())
+    toks = uniq[codes] if codes.size else np.empty(0, dtype=object)
+    bounds = np.cumsum(counts)[:-1]
+    return pd.Series([list(x) for x in np.split(toks, bounds)], index=s.index)
+
+
+def doclen_batch(s: pd.Series) -> pd.Series:
+    """Token count per document WITHOUT materializing/transferring the token
+    arrays (the docmap build needs only doclen — shipping array<string> back
+    through Arrow just to take its size would dominate the stage)."""
+    _, _, counts = tokenize_flat(s.to_numpy())
+    return pd.Series(counts, index=s.index)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -95,10 +139,20 @@ def tokenize_udf(s: pd.Series) -> pd.Series:
     return tokenize_batch(s)
 
 
+@pandas_udf(IntegerType())
+def doclen_udf(s: pd.Series) -> pd.Series:
+    return doclen_batch(s).astype("int32")
+
+
 def with_tokens(df, text_col: str, out_col: str = "tokens"):
     """df + tokens column (vectorized Arrow UDF) + doclen column."""
     return (df.withColumn(out_col, tokenize_udf(F.col(text_col)))
               .withColumn("doclen", F.size(F.col(out_col))))
+
+
+def with_doclen(df, text_col: str):
+    """df + doclen only — no token-array Arrow transfer (docmap hot path)."""
+    return df.withColumn("doclen", doclen_udf(F.col(text_col)))
 
 
 def _sql_quote(t: str) -> str:

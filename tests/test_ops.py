@@ -1,0 +1,153 @@
+"""Training-data ops: dedup finds planted duplicates, similarity search
+matches numpy brute force, multimodal plumbing is deterministic, batch query
+serving matches single-query results."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from luceneindexer_spark.corpus import DUP_EVERY, synth_corpus
+from luceneindexer_spark.ops import dedup as D
+from luceneindexer_spark.ops import maintenance as M
+from luceneindexer_spark.ops import multimodal as MM
+from luceneindexer_spark.ops import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    # synthetic corpus has exact duplicate contents every DUP_EVERY docs
+    df = (synth_corpus(spark, 400, partitions=4)
+          .withColumn("doc_id", F.monotonically_increasing_id()))
+    return df.persist()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_exact_duplicate_groups(spark, corpus_df):
+    groups = D.exact_duplicate_groups(corpus_df, "doc_id", "content")
+    rows = groups.collect()
+    assert len(rows) > 0          # planted ~1% exact dups
+    assert all(r.cnt > 1 for r in rows)
+    kept = D.exact_dedup(corpus_df, "doc_id", "content")
+    n_all = corpus_df.count()
+    n_dupes = sum(r.cnt - 1 for r in rows)
+    assert kept.count() == n_all - n_dupes
+
+
+def test_minhash_finds_planted_dups(spark, corpus_df):
+    pairs = D.minhash_dedup_pairs(corpus_df, "doc_id", "content",
+                                  threshold=0.9).collect()
+    assert len(pairs) > 0
+    # exact duplicates must surface with jaccard == 1.0
+    exact = {(r.min_id, r.max_id) for r in
+             D.exact_duplicate_groups(corpus_df, "doc_id", "content")
+             .collect() if r.cnt == 2}
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+    assert exact <= found
+    assert all(r.jaccard >= 0.9 for r in pairs)
+
+
+def test_simhash_exact_dups_hamming_zero(spark, corpus_df):
+    pairs = D.simhash_dedup_pairs(corpus_df, "doc_id", "content",
+                                  max_hamming=3).collect()
+    exact = {(r.min_id, r.max_id) for r in
+             D.exact_duplicate_groups(corpus_df, "doc_id", "content")
+             .collect() if r.cnt == 2}
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.hamming
+             for r in pairs}
+    for p in exact:
+        assert found.get(p) == 0
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    rows = emb_df.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    want = [int(rows[i].vec_id) for i in order]
+    got = [r.id for r in S.cosine_topk(emb_df, q.tolist(), k=10).collect()]
+    assert got == want
+
+
+def test_ann_lsh_contains_self_and_matches_brute_prefix(spark, emb_df):
+    rows = emb_df.orderBy("vec_id").collect()
+    q = list(rows[0].embedding)
+    idx = S.build_sketch_index(emb_df)
+    got = S.ann_lsh_topk(idx, q, k=10).collect()
+    assert got[0].id == 0 and abs(got[0].cosine - 1.0) < 1e-9
+
+
+def test_knn_join_rank_contract(spark, emb_df):
+    left = emb_df.limit(20)
+    r = S.knn_join(left, emb_df, k=3)
+    rows = r.collect()
+    assert all(x.rank <= 3 for x in rows)
+    # self-match is rank 1 with cosine ~1 (same sketch guaranteed)
+    by_l = {x.id_l: x for x in rows if x.rank == 1}
+    for lid, x in by_l.items():
+        assert abs(x.cosine - 1.0) < 1e-9 or x.id_r != lid
+
+
+def test_embedding_dedup_identical_vectors(spark, emb_df):
+    two = emb_df.limit(1).select(
+        F.lit(900001).alias("vec_id"), "embedding")
+    three = emb_df.limit(1).select(
+        F.lit(900002).alias("vec_id"), "embedding")
+    aug = emb_df.select("vec_id", "embedding").unionByName(two) \
+                .unionByName(three)
+    pairs = D.embedding_dedup_pairs(aug, "vec_id", "embedding",
+                                    threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    first_id = emb_df.orderBy("vec_id").first().vec_id
+    assert (int(first_id), 900001) in found
+    assert (900001, 900002) in found
+
+
+def test_multimodal_features_deterministic(spark, corpus_df):
+    docs = corpus_df.limit(50).select("doc_id", F.col("content").alias("text"))
+    media = MM.synth_media(docs, "doc_id", "text")
+    f1 = {r.doc_id: r.feature for r in MM.extract_features(media).collect()}
+    f2 = {r.doc_id: r.feature for r in MM.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == MM.FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_multimodal_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_real(b"xx")
+
+
+def test_apply_deletes(spark, corpus_df):
+    deletes = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    out = M.apply_deletes(corpus_df.select("doc_id"), deletes)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 not in ids and 1 not in ids
+    assert len(ids) == corpus_df.count() - 2
+
+
+def test_topk_batch_matches_single(spark, tmp_path_factory):
+    from luceneindexer_spark.index.build import build_index
+    from luceneindexer_spark.query.engine import QuerySession
+    root = str(tmp_path_factory.mktemp("idx_batch"))
+    corpus = synth_corpus(spark, 200, partitions=2)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1)
+    qs = QuerySession(spark, root, cache=True)
+    queries = {"a": "sharedlogger", "b": "getUserName queryParser",
+               "c": "xyzzyplugh", "d": "the a of"}
+    batch = qs.topk_batch(queries, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in queries.items():
+        single = [(i + 1, r.doc_id, r.score) for i, r in
+                  enumerate(qs.topk(q, k=10).collect())]
+        got = sorted(by_q.get(qid, []))
+        assert got == single, qid
+    qs.close()

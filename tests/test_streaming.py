@@ -1,0 +1,88 @@
+"""Incremental/streaming surface (SURVEY.md §2.9): micro-batch append keeps
+query results identical to the oracle over the appended docmap; the
+file-watcher stream ingests a backlog via availableNow."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from luceneindexer_spark.corpus import synth_corpus
+from luceneindexer_spark.index.build import build_index
+from luceneindexer_spark.query import engine
+from luceneindexer_spark.query.oracle import bm25_topk_oracle
+from luceneindexer_spark.streaming.incremental import (append_documents,
+                                                       watch_corpus)
+
+
+def _new_docs(spark, n, tag):
+    # distinct (repo, path) keyspace so appends never collide with the base
+    return (spark.range(n).select(
+        F.format_string(f"inc/{tag}-repo%d", F.col("id") % 3).alias("repo"),
+        F.format_string(f"src/{tag}/f%d.py", F.col("id")).alias("path"),
+        F.sha2(F.format_string(f"{tag}/%d", F.col("id")), 256)
+        .substr(1, 40).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.format_string(
+            "def newFeatureFn%d(): return sharedlogger mergeSegments "
+            "incrementalToken tag%d", F.col("id"), F.col("id") % 5)
+        .alias("content")))
+
+
+def test_append_then_query_matches_oracle(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    base = synth_corpus(spark, 200, partitions=2)
+    build_index(spark, base, root, n_buckets=4, range_size=64, waves=1)
+
+    add = _new_docs(spark, 37, "b1")
+    rep = append_documents(spark, root, add)
+    assert rep["ranges_built"] >= 1
+
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    assert docmap.count() == 237
+    # new docs got ids from the next range boundary (no rewrite of old ranges)
+    new_ids = (docmap.filter(F.col("repo").startswith("inc/"))
+               .agg(F.min("doc_id"), F.max("doc_id")).collect()[0])
+    assert new_ids[0] == 256                # ceil(200/64)=4 ranges → 4*64
+    assert new_ids[1] == 256 + 36
+
+    for q in ("incrementalToken", "sharedlogger",
+              "newFeatureFn3 incrementalToken"):
+        want = [(r.doc_id, round(r.score, 9)) for r in
+                bm25_topk_oracle(docmap, q, k=10).collect()]
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               engine.bm25_topk(spark, root, q, k=10).collect()]
+        assert got == want, q
+
+
+def test_second_append_and_dedup_within_batch(spark, tmp_path):
+    root = str(tmp_path / "idx2")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    # batch with two commits for one key → latest-commit-wins (debounce analog)
+    one = _new_docs(spark, 5, "x")
+    dup = one.withColumn("commit", F.concat(F.lit("z"),
+                                            F.col("commit").substr(2, 39))) \
+             .withColumn("content", F.concat(F.col("content"),
+                                             F.lit(" revisedAgain")))
+    append_documents(spark, root, one.unionByName(dup))
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    added = docmap.filter(F.col("repo").startswith("inc/"))
+    assert added.count() == 5
+    # 'z…' commits sort after the originals → revised contents won
+    assert added.filter(~F.col("content").contains("revisedAgain")).count() == 0
+
+
+def test_watch_corpus_ingests_backlog(spark, tmp_path):
+    root = str(tmp_path / "idx3")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    _new_docs(spark, 12, "w1").coalesce(1).write.mode("append").parquet(src)
+    q = watch_corpus(spark, root, src, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    assert docmap.count() == 112
+    got = engine.bm25_topk(spark, root, "incrementalToken", k=20).collect()
+    assert len(got) == 12
