@@ -185,6 +185,28 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id"))
 
 
+LANG_FAMILY = (("en", "germanic"), ("de", "germanic"), ("es", "romance"),
+               ("fr", "romance"), ("zh", "sinitic"))
+
+
+def _q_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/J5: category derivation via broadcast dim join (the reference's
+    extension→category config map, cConfig.java:331-342)."""
+    dim = spark.createDataFrame(list(LANG_FAMILY), "lang string, family string")
+    return (_docs(spark, sf_dir)
+            .join(F.broadcast(dim), "lang", "left")
+            .withColumn("family", F.coalesce("family", F.lit("other")))
+            .groupBy("family").agg(F.count("*").alias("n_docs"),
+                                   F.sum("n_chars").alias("total_chars"))
+            .orderBy("family"))
+
+
+def _q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J3: exact-duplicate groups by content hash (one shuffle replaces
+    the reference's O(maxDoc) point-query loop, R:192-270)."""
+    return D.exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_docs(spark, sf_dir)
             .select("doc_id", "text", "lang", "source", "n_chars")
@@ -302,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
+        "category_counts": _q_category_counts,
+        "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
         "browse_after_delete": _q_browse_after_delete,
         "search_multifield": _q_multifield,
@@ -616,6 +640,18 @@ FROM x GROUP BY doc_id
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_summary": _fingerprint_sql(),
+        "category_counts": f"""
+WITH dim(lang, family) AS (VALUES {", ".join(f"('{l}', '{f}')" for l, f in LANG_FAMILY)})
+SELECT coalesce(dim.family, 'other') AS family,
+       count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS total_chars
+FROM documents d LEFT JOIN dim ON d.lang = dim.lang
+GROUP BY 1 ORDER BY 1
+""",
+        "duplicate_groups": """
+SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS cnt,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
         "browse_first_50": """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 ORDER BY doc_id LIMIT 50""",

@@ -159,6 +159,9 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
             "_rn", F.row_number().over(
                 Window.partitionBy(*DOC_KEY).orderBy(F.desc("commit"))))
         .filter(F.col("_rn") == 1).drop("_rn")
+        # persisted because repartitionByRange's boundary-sampling pass would
+        # otherwise re-execute the whole dedup window a second time
+        .persist()
     )
 
     sorted_df = (
@@ -200,6 +203,7 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
         # per-wave predicate pushdown with NO extra shuffle/sampling pass
         docmap.write.mode("overwrite").parquet(write_path)
         sorted_df.unpersist()
+        latest.unpersist()
         return spark.read.parquet(write_path)
     return docmap
 

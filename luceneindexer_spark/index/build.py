@@ -260,6 +260,23 @@ def compute_snapshot(docmap: DataFrame) -> str:
     return f"n{r['n']}-h{(r['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
+def _corpus_profile(docmap: DataFrame) -> dict:
+    """ONE aggregation job for everything the build needs from the docmap:
+    snapshot hash, doc count, max doc_id, total token count."""
+    r = docmap.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("content_sha256")).alias("h"),
+        F.max("doc_id").alias("mx"),
+        F.sum("doclen").alias("toks")).collect()[0]
+    n = int(r["n"])
+    return {
+        "snapshot": f"n{n}-h{(r['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}",
+        "n_docs": n,
+        "max_id": int(r["mx"]) if r["mx"] is not None else -1,
+        "avgdl": (float(r["toks"]) / n) if n else 0.0,
+    }
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame | None,
@@ -295,11 +312,10 @@ def build_index(
         docmap = build_docmap(
             corpus, partitions=docmap_partitions or sc.defaultParallelism,
             write_path=paths.docmap)
-    snapshot = compute_snapshot(docmap)
-    crow = docmap.agg(F.count("*").alias("n"),
-                      F.max("doc_id").alias("mx")).collect()[0]
-    n_docs = int(crow["n"])
-    max_id = int(crow["mx"]) if crow["mx"] is not None else -1
+    prof = _corpus_profile(docmap)
+    snapshot = prof["snapshot"]
+    n_docs = prof["n_docs"]
+    max_id = prof["max_id"]
     report["n_docs"] = n_docs
     report["snapshot"] = snapshot
     report["docmap_s"] = time.time() - t0
@@ -421,14 +437,14 @@ def build_index(
      .coalesce(min(merge_partitions, 8))
      .write.mode("overwrite").parquet(paths.term_stats))
 
-    avgdl = docmap.agg((F.sum("doclen") / F.count("*"))
-                       .alias("avgdl")).collect()[0]["avgdl"]
-    spark.createDataFrame(
-        [(n_docs, float(avgdl or 0.0), range_size, n_buckets, n_ranges,
-          snapshot, positions, n_waves)],
-        "n_docs long, avgdl double, range_size long, n_buckets int, "
-        "n_ranges int, snapshot string, positions boolean, n_waves int",
-    ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+    mf.write_local_parquet(paths.corpus_stats, {
+        "n_docs": [n_docs], "avgdl": [prof["avgdl"]],
+        "range_size": [range_size], "n_buckets": [n_buckets],
+        "n_ranges": [n_ranges], "snapshot": [snapshot],
+        "positions": [positions], "n_waves": [n_waves]},
+        schema="n_docs long, avgdl double, range_size long, n_buckets int, "
+               "n_ranges int, snapshot string, positions boolean, "
+               "n_waves int")
     report["stats_s"] = time.time() - t1
 
     mf.publish(out_dir, {

@@ -35,16 +35,47 @@ def manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifest")
 
 
+_PA_TYPES = {"string": "string", "long": "int64", "int": "int32",
+             "double": "float64", "boolean": "bool_"}
+
+
+def _pa_schema(ddl: str):
+    import pyarrow as pa
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        fields.append(pa.field(name, getattr(pa, _PA_TYPES[typ])()))
+    return pa.schema(fields)
+
+
+def write_local_parquet(path: str, columns: dict, schema: str,
+                        filename: str = "part-00000.parquet",
+                        append: bool = False) -> None:
+    """Driver-side parquet write for TINY control tables (manifest rows,
+    corpus stats): a direct pyarrow write costs ~ms where a 1-row Spark job
+    costs ~0.5s of scheduling — these fixed costs are what caps build
+    scaling at small corpus sizes. Fully readable by spark.read.parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    if append:
+        filename = f"part-{int(time.time() * 1e6)}-{os.getpid()}.parquet"
+    table = pa.Table.from_pydict(columns, schema=_pa_schema(schema))
+    tmp = os.path.join(path, "." + filename + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(path, filename))
+
+
 def append_rows(spark: SparkSession, root: str, rows: list[dict]) -> None:
     if not rows:
         return
-    df = spark.createDataFrame(
-        [tuple(r[c] for c in ("stage", "partition_id", "wave",
-                              "input_snapshot", "n_docs", "n_postings",
-                              "bytes", "wall_time_s", "status", "attempt",
-                              "finished_at")) for r in rows],
-        MANIFEST_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(manifest_dir(root))
+    cols = ("stage", "partition_id", "wave", "input_snapshot", "n_docs",
+            "n_postings", "bytes", "wall_time_s", "status", "attempt",
+            "finished_at")
+    write_local_parquet(
+        manifest_dir(root),
+        {c: [r[c] for r in rows] for c in cols},
+        MANIFEST_SCHEMA, append=True)
 
 
 def read_manifest(spark: SparkSession, root: str) -> DataFrame | None:

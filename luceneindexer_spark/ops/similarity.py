@@ -79,15 +79,29 @@ def sketch_expr(vec_col: Column, dim: int, n_planes: int = 16) -> Column:
     return sk
 
 
+def pick_n_planes(n_vectors: int) -> int:
+    """Sketch width scaled to corpus size: target ~50+ vectors per bucket so
+    a small probe radius always yields enough top-k candidates. Clamped to
+    [4, 24] (24 bits ≈ 16M buckets — enough for 10^9+ vectors)."""
+    import math
+    if n_vectors <= 1:
+        return 4
+    return max(4, min(24, int(math.log2(max(2.0, n_vectors / 50)))))
+
+
 def build_sketch_index(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       n_planes: int = 16) -> DataFrame:
-    """Materializable ANN index: (id, sketch, vec). Persist partitioned by
-    sketch for bucket pruning at scale."""
+                       n_planes: int | None = None) -> DataFrame:
+    """Materializable ANN index: (id, sketch, n_planes, vec). Persist
+    partitioned by sketch for bucket pruning at scale. ``n_planes`` defaults
+    to a corpus-size-derived width (self-described in the output)."""
     dim = len(emb.select(vec_col).first()[0])
+    if n_planes is None:
+        n_planes = pick_n_planes(emb.count())
     return emb.select(F.col(id_col).alias("id"),
                       sketch_expr(F.col(vec_col), dim, n_planes)
                       .alias("sketch"),
+                      F.lit(n_planes).alias("n_planes"),
                       F.col(vec_col).alias("vec"))
 
 
@@ -106,12 +120,15 @@ def _hamming_ball(center: int, radius: int, n_bits: int) -> list[int]:
 
 
 def ann_lsh_topk(index: DataFrame, query_vec: list[float], k: int = 10,
-                 n_planes: int = 16, probe_radius: int = 2) -> DataFrame:
+                 n_planes: int | None = None,
+                 probe_radius: int = 2) -> DataFrame:
     """Approximate top-k: probe only buckets within ``probe_radius`` of the
     query's sketch, exact cosine within them. (id, cosine) ordered like
     cosine_topk. With the sketch index partitioned by sketch, the isin()
     filter prunes partitions before any vector is read."""
     import numpy as np
+    if n_planes is None:
+        n_planes = int(index.select("n_planes").first()[0])
     q = np.asarray(query_vec, dtype=np.float64)
     dim = q.size
     qsk = 0

@@ -66,15 +66,20 @@ _SEP = "\x01"  # never alphanumeric; regex classes can't match across it
 
 
 def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch tokenizer core: one C-level regex pass over ONE joined string.
+    """Batch tokenizer core — the hot path: one C-level regex pass over ONE
+    joined string, then a single factorize.
 
     Returns (uniq_terms object-array, codes int64, doc_counts int64):
     token i (in document order) is ``uniq_terms[codes[i]]``; document d owns
     the next ``doc_counts[d]`` tokens. Stopwords are dropped via a mask over
     the (tiny) unique-term vocabulary — never over the token stream.
 
-    This shape feeds the posting-run builder directly (it needs exactly the
-    factorized stream), so the hot path does regex + factorize ONCE.
+    An alternative fully-numpy byte-domain implementation
+    (``tokenize_flat_np``, property-tested identical) avoids per-token
+    Python string objects entirely; on conventional hardware it reduces
+    memory traffic further, but in this sandbox VM (lazy page faulting makes
+    large fresh allocations disproportionately expensive) the regex+arena
+    path measures faster, so it is the default.
     """
     # replacing the separator with a space is tokenization-invariant: both
     # are non-alnum, match neither regex class, and delimit [a-z0-9]+ runs
@@ -113,6 +118,148 @@ def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         codes = remap[codes]
         uniq = kept_terms
     return np.asarray(uniq, dtype=object), codes, counts
+
+
+# ---------------------------------------------------------------------------
+# numpy byte-domain tokenizer (alternative implementation)
+# ---------------------------------------------------------------------------
+# The regex path allocates one Python str per token — on conventional
+# hardware the allocator/memory traffic can become the bottleneck at corpus
+# scale. This path stays entirely in numpy uint8/uint64 arrays: boundary
+# masks replace the two regex substitutions, token identity comes from a
+# 2x64-bit segment rolling hash (wraparound-mod-2^64 polynomial, invertible
+# odd base), and Python strings are materialized only for the UNIQUE
+# vocabulary (one slice per distinct term). Not the default here: this
+# sandbox VM's lazy page faulting makes the large fresh intermediates cost
+# more than they save (measured both ways; see tokenize_flat docstring).
+
+_B1 = np.uint64(0x9E3779B97F4A7C15)   # odd → invertible mod 2^64
+_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_B1_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_B2_INV = np.uint64(pow(0xC2B2AE3D27D4EB4F, -1, 1 << 64))
+
+
+def _seg_hash(c: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+              base: np.uint64, base_inv: np.uint64) -> np.ndarray:
+    """Polynomial hash of each [start, end) segment of byte array c, all
+    arithmetic wrapping mod 2^64. hash(s,e) = Σ c[j]·B^(e-1-j), computed as
+    (S[e-1] − S[s-1])·P[e-1] with P[i]=B^{-i} prefix products and
+    S[i]=Σ c[j]·B^{-j}... (equivalently with inverse powers; exact closed
+    form verified by the property tests)."""
+    n = c.size
+    with np.errstate(over="ignore"):
+        pinv = np.empty(n, dtype=np.uint64)
+        pinv[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(n - 1, base_inv, dtype=np.uint64),
+                               out=pinv[1:]) if n > 1 else None
+        # pinv[i] = B^-i
+        s = np.cumsum(c.astype(np.uint64) * pinv, dtype=np.uint64)
+        p = np.empty(n, dtype=np.uint64)
+        p[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, base, dtype=np.uint64),
+                                   out=p[1:])
+        # p[i] = B^i
+        hi = s[ends - 1]
+        lo = np.where(starts > 0, s[starts - 1], np.uint64(0))
+        return (hi - lo) * p[ends - 1]
+
+
+def tokenize_flat_np(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch tokenizer core — numpy byte-domain implementation.
+
+    Semantics identical to ``tokenize_flat`` (property-tested): acronym +
+    camelCase boundary split, lowercase, [a-z0-9]+ terms, stopword filter.
+    Zero per-token Python objects; see tokenize_flat's docstring for when to
+    prefer which.
+    """
+    docs = ["" if t is None else str(t).replace(_SEP, " ") for t in texts]
+    n = len(docs)
+    empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+             np.zeros(n, dtype=np.int64))
+    if n == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    big = _SEP.join(docs).encode("utf-8")
+    b = np.frombuffer(big, dtype=np.uint8)
+    if b.size == 0:
+        return empty
+
+    is_up = (b >= 65) & (b <= 90)
+    is_lo = (b >= 97) & (b <= 122)
+    is_di = (b >= 48) & (b <= 57)
+    alnum = is_up | is_lo | is_di
+
+    # boundary[i] == True → split between i and i+1 (both alnum):
+    #   acronym rule ([A-Z]+)([A-Z][a-z]): upper[i] & upper[i+1] & lower[i+2]
+    #   camel rule ([a-z0-9])([A-Z]):      (lower|digit)[i] & upper[i+1]
+    m = b.size
+    boundary = np.zeros(m, dtype=bool)
+    if m >= 2:
+        boundary[:-1] |= (is_lo[:-1] | is_di[:-1]) & is_up[1:]
+    if m >= 3:
+        boundary[:-2] |= is_up[:-2] & is_up[1:-1] & is_lo[2:]
+
+    # token starts: alnum position that is not preceded by alnum, or is
+    # preceded by a boundary
+    prev_alnum = np.zeros(m, dtype=bool)
+    prev_alnum[1:] = alnum[:-1]
+    prev_boundary = np.zeros(m, dtype=bool)
+    prev_boundary[1:] = boundary[:-1]
+    tok_start_mask = alnum & (~prev_alnum | prev_boundary)
+    starts_pos = np.flatnonzero(tok_start_mask)
+    if starts_pos.size == 0:
+        return empty
+    # token ends: alnum position not followed by alnum, or followed by split
+    next_alnum = np.zeros(m, dtype=bool)
+    next_alnum[:-1] = alnum[1:]
+    tok_end_mask = alnum & (~next_alnum | boundary)
+    ends_pos = np.flatnonzero(tok_end_mask) + 1  # exclusive
+
+    # lowercase fold + compact to alnum-only byte stream
+    c_low = b + np.uint8(32) * is_up.astype(np.uint8)
+    keep_idx = np.flatnonzero(alnum)
+    c = c_low[keep_idx]
+    # map big-string positions → compact positions
+    pos_map = np.cumsum(alnum.astype(np.int64)) - 1
+    cs = pos_map[starts_pos]
+    ce = pos_map[ends_pos - 1] + 1
+
+    h1 = _seg_hash(c, cs, ce, _B1, _B1_INV)
+    h2 = _seg_hash(c, cs, ce, _B2, _B2_INV)
+    lens = (ce - cs).astype(np.uint64)
+    key = np.empty(cs.size, dtype=[("a", "u8"), ("b", "u8"), ("l", "u8")])
+    key["a"] = h1
+    key["b"] = h2
+    key["l"] = lens
+
+    uniq_keys, first_idx, codes = np.unique(
+        key, return_index=True, return_inverse=True)
+    codes = codes.astype(np.int64)
+
+    # materialize ONLY the unique terms (vocab-sized Python work)
+    uniq = np.empty(uniq_keys.size, dtype=object)
+    for j, i in enumerate(first_idx):
+        s0, e0 = int(starts_pos[i]), int(ends_pos[i])
+        uniq[j] = c_low[s0:e0].tobytes().decode("ascii")
+
+    # doc assignment via separator positions
+    sep_pos = np.flatnonzero(b == 1)
+    doc_of_tok = np.searchsorted(sep_pos, starts_pos)
+    counts = np.bincount(doc_of_tok, minlength=n).astype(np.int64)
+
+    # stopword filter over the vocabulary
+    stop_mask = np.isin(uniq, _STOP_ARR)
+    if stop_mask.any():
+        keep = ~stop_mask[codes]
+        counts = np.bincount(doc_of_tok[keep], minlength=n).astype(np.int64)
+        codes = codes[keep]
+        kept_terms = uniq[~stop_mask]
+        remap = np.full(uniq.size, -1, dtype=np.int64)
+        remap[np.flatnonzero(~stop_mask)] = np.arange(kept_terms.size)
+        codes = remap[codes]
+        uniq = kept_terms
+    return uniq, codes, counts
 
 
 def tokenize_batch(s: pd.Series) -> pd.Series:

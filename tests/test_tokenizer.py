@@ -84,3 +84,30 @@ def test_spark_udf_matches_scalar(spark):
     for r in rows:
         assert r.tokens == tokenize_text(texts[r.doc_id])
         assert r.doclen == len(r.tokens)
+
+
+def test_numpy_tokenizer_matches_regex_path():
+    """tokenize_flat_np (byte-domain) must be token-identical to the default
+    regex path on adversarial boundary cases."""
+    import numpy as np
+    from luceneindexer_spark.tokenizer import tokenize_flat, tokenize_flat_np
+
+    docs = [
+        "getUserName parse_json_fast HTTPServer2 HTML5x the a of",
+        "XMLParser AAb Ab x01\x01weird", "", "   ",
+        "camelCaseX YCamel ABCdEFGh xABc", "ünïcödé Überraschung",
+        "a" * 300 + "B" + "c" * 5, "123 456abc ABC123 a1B2c3",
+        "UPPERONLY", "the the the",
+    ]
+    a = tokenize_flat(np.array(docs, dtype=object))
+    b = tokenize_flat_np(np.array(docs, dtype=object))
+
+    def expand(u, c, k):
+        toks = [u[i] for i in c]
+        out, p = [], 0
+        for cnt in k:
+            out.append(toks[p:p + cnt])
+            p += cnt
+        return out
+
+    assert expand(*a) == expand(*b)
