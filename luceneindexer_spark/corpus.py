@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tokenizer import with_doclen, with_tokens
+from .tokenizer import with_doclen
 
 # ---------------------------------------------------------------------------
 # synthetic corpus (FIXTURES.md §1)
@@ -144,11 +144,13 @@ DOC_ORDER = ("repo", "path", "commit")
 
 def build_docmap(corpus: DataFrame, partitions: int | None = None,
                  write_path: str | None = None) -> DataFrame:
-    """Latest-commit-wins dedup + deterministic dense doc_id + doclen/sha256.
+    """Latest-commit-wins dedup + deterministic dense doc_id + sha256.
 
-    Returns columns: doc_id, repo, path, commit, lang, size, doclen,
+    Returns columns: doc_id, repo, path, commit, lang, size,
     content_sha256, content. Deterministic: doc_id is the rank in the global
-    (repo, path, commit) order, independent of parallelism.
+    (repo, path, commit) order, independent of parallelism. Never tokenizes —
+    doc lengths live in the index's DOCLEN_TERM postings (index.build), so
+    the corpus is tokenized exactly once, in the wave build.
     """
     spark = corpus.sparkSession
     if partitions is None:
@@ -188,12 +190,11 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
                     .cast("long"))
         .drop("_pid", "_local")
     )
-    docmap = with_doclen(docmap, "content")
     docmap = (
         docmap
         .withColumn("size", F.length("content").cast("long"))
         .withColumn("content_sha256", F.sha2(F.col("content").cast("binary"), 256))
-        .select("doc_id", "repo", "path", "commit", "lang", "size", "doclen",
+        .select("doc_id", "repo", "path", "commit", "lang", "size",
                 "content_sha256", "content")
     )
     if write_path is not None:

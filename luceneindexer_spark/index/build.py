@@ -1,6 +1,7 @@
 """Inverted-index build: per-partition sorted posting runs → salted
-repartition-by-term shuffle → block-compressed global postings + norms +
-stats, resumable via the checkpoint manifest.
+repartition-by-term shuffle → block-compressed global postings (incl.
+per-doc-length postings under the DOCLEN_TERM sentinel — the norms
+store) + stats, resumable via the checkpoint manifest.
 
 Reference parity: this replaces the Lucene index build the wrapper drives at
 ``lucene/cLuceneIndexWriter.java:80-125`` (analyze → in-memory segment →
@@ -44,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import encode_postings, run_decode, varint_encode, varint_encode_grouped
+from ..codecs import encode_postings, run_decode, varint_encode_grouped
 from ..corpus import build_docmap
 from ..tokenizer import tokenize_flat
 from . import manifest as mf
@@ -61,8 +62,6 @@ POSTINGS_SCHEMA = (
     "docs_enc binary, tfs_enc binary"
 )
 
-NORMS_SCHEMA = "range_id long, first_doc long, n int, doclens_enc binary"
-
 POSITIONS_SCHEMA_COLS = ("term", "range_id", "doc_id", "positions")
 
 
@@ -74,8 +73,6 @@ class IndexPaths:
     def docmap(self): return os.path.join(self.root, "docmap")
     @property
     def postings(self): return os.path.join(self.root, "postings")
-    @property
-    def norms(self): return os.path.join(self.root, "norms")
     @property
     def positions(self): return os.path.join(self.root, "positions")
     @property
@@ -95,8 +92,17 @@ class BuildInterrupted(RuntimeError):
 # stage UDFs (all Arrow-batched; no per-posting Python)
 # ---------------------------------------------------------------------------
 
+#: sentinel "term" whose postings carry per-doc token counts (tf == doclen).
+#: The tokenizer can never emit an empty string, so "" is collision-free.
+#: This is the norms store (Lucene's per-doc norms, SURVEY §1.4) expressed
+#: as just another posting list — built, merged, compressed, and queried
+#: through the identical pipeline, so the corpus is tokenized exactly ONCE.
+DOCLEN_TERM = ""
+
+
 def _runs_generator(range_size: int):
-    """mapInPandas fn: (doc_id, content) batches → per-(term, range) run rows."""
+    """mapInPandas fn: (doc_id, content) batches → per-(term, range) run rows
+    (+ DOCLEN_TERM rows carrying doclens)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,7 +145,7 @@ def _runs_generator(range_size: int):
             d_mv = memoryview(d_buf)
             t_mv = memoryview(t_buf)
             n_runs = run_start.size
-            yield pd.DataFrame({
+            main = pd.DataFrame({
                 "term": uniq[g_code[run_start]],
                 "range_id": rg[run_start],
                 "first_docid": g_doc[run_start],
@@ -151,6 +157,37 @@ def _runs_generator(range_size: int):
                 "tfs_enc": [bytes(t_mv[t_off[i]:t_off[i + 1]])
                             for i in range(n_runs)],
             })
+
+            # DOCLEN_TERM runs: docs with >=1 token, tf = doclen
+            nz = np.flatnonzero(lens > 0)
+            order2 = np.argsort(doc_ids[nz], kind="stable")
+            sd = doc_ids[nz][order2]
+            sl = lens[nz][order2]
+            srg = sd // range_size
+            sstart = np.flatnonzero(
+                np.concatenate(([True], srg[1:] != srg[:-1])))
+            sgaps = np.empty_like(sd)
+            sgaps[0] = sd[0]
+            sgaps[1:] = np.diff(sd)
+            sgaps[sstart] = sd[sstart]
+            sd_buf, sd_off = varint_encode_grouped(sgaps, sstart)
+            sl_buf, sl_off = varint_encode_grouped(sl - 1, sstart)
+            sd_mv = memoryview(sd_buf)
+            sl_mv = memoryview(sl_buf)
+            sn = np.diff(np.append(sstart, sd.size)).astype(np.int32)
+            doclen_rows = pd.DataFrame({
+                "term": np.full(sstart.size, DOCLEN_TERM, dtype=object),
+                "range_id": srg[sstart],
+                "first_docid": sd[sstart],
+                "n": sn,
+                "cf": np.add.reduceat(sl, sstart),
+                "max_tf": np.maximum.reduceat(sl, sstart).astype(np.int32),
+                "docs_enc": [bytes(sd_mv[sd_off[i]:sd_off[i + 1]])
+                             for i in range(sstart.size)],
+                "tfs_enc": [bytes(sl_mv[sl_off[i]:sl_off[i + 1]])
+                            for i in range(sstart.size)],
+            })
+            yield pd.concat([main, doclen_rows], ignore_index=True)
 
     return gen
 
@@ -231,22 +268,6 @@ def _merge_generator():
     return gen
 
 
-def _norms_apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas fn: (range_id) group of (doc_id, doclen) → one norms row.
-    Exact doc lengths — our documented deviation from Lucene's 1-byte
-    quantized norms (SURVEY.md §1.4)."""
-    pdf = pdf.sort_values("doc_id")
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    first = int(doc_ids[0])
-    if not np.array_equal(doc_ids, np.arange(first, first + doc_ids.size)):
-        raise ValueError(f"range {key} doc_ids not contiguous")
-    enc = varint_encode(pdf["doclen"].to_numpy(np.int64))
-    return pd.DataFrame([{
-        "range_id": int(key[0]), "first_doc": first,
-        "n": int(doc_ids.size), "doclens_enc": enc,
-    }])
-
-
 # ---------------------------------------------------------------------------
 # build driver
 # ---------------------------------------------------------------------------
@@ -262,18 +283,17 @@ def compute_snapshot(docmap: DataFrame) -> str:
 
 def _corpus_profile(docmap: DataFrame) -> dict:
     """ONE aggregation job for everything the build needs from the docmap:
-    snapshot hash, doc count, max doc_id, total token count."""
+    snapshot hash, doc count, max doc_id. (avgdl comes from the DOCLEN_TERM
+    postings at stats time — the docmap is never tokenized.)"""
     r = docmap.agg(
         F.count("*").alias("n"),
         F.bit_xor(F.xxhash64("content_sha256")).alias("h"),
-        F.max("doc_id").alias("mx"),
-        F.sum("doclen").alias("toks")).collect()[0]
+        F.max("doc_id").alias("mx")).collect()[0]
     n = int(r["n"])
     return {
         "snapshot": f"n{n}-h{(r['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}",
         "n_docs": n,
         "max_id": int(r["mx"]) if r["mx"] is not None else -1,
-        "avgdl": (float(r["toks"]) / n) if n else 0.0,
     }
 
 
@@ -374,14 +394,6 @@ def build_index(
                .parquet(wave_post_dir))
         _mark("postings_write", tw)
 
-        tn = time.time()
-        norms = (sub
-                 .select(rng_col.alias("range_id"), "doc_id", "doclen")
-                 .groupBy("range_id")
-                 .applyInPandas(_norms_apply, NORMS_SCHEMA))
-        norms.write.mode("overwrite").parquet(paths.wave_dir(paths.norms, w))
-        _mark("norms_write", tn)
-
         if positions:
             from ..tokenizer import tokenize_udf
             pos = (sub.select("doc_id",
@@ -397,16 +409,17 @@ def build_index(
             (pos.write.mode("overwrite").partitionBy("bucket")
                 .parquet(paths.wave_dir(paths.positions, w)))
 
-        # per-range manifest stats from the two (tiny) written outputs — no
-        # re-aggregation of the corpus
+        # per-range manifest stats from ONE pass over the (tiny) written
+        # wave — doc counts come from the DOCLEN_TERM rows
         tm = time.time()
         written = spark.read.parquet(wave_post_dir)
-        post_stats = {int(r["range_id"]): int(r["np"]) for r in
-                      written.groupBy("range_id")
-                             .agg(F.sum("df").alias("np")).collect()}
-        doc_stats = {int(r["range_id"]): int(r["n"]) for r in
-                     spark.read.parquet(paths.wave_dir(paths.norms, w))
-                     .select("range_id", "n").collect()}
+        stats_rows = (written.groupBy("range_id").agg(
+            F.sum(F.when(F.col("term") != DOCLEN_TERM, F.col("df"))
+                  .otherwise(0)).alias("np"),
+            F.sum(F.when(F.col("term") == DOCLEN_TERM, F.col("df"))
+                  .otherwise(0)).alias("nd")).collect())
+        post_stats = {int(r["range_id"]): int(r["np"]) for r in stats_rows}
+        doc_stats = {int(r["range_id"]): int(r["nd"]) for r in stats_rows}
         wave_bytes = mf.dir_bytes(wave_post_dir)
         wall = time.time() - tw
         mf.append_rows(spark, out_dir, [{
@@ -431,14 +444,22 @@ def build_index(
     t1 = time.time()
     postings_all = spark.read.option("basePath", paths.postings).parquet(
         paths.postings)
-    (postings_all.groupBy("term")
-     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
-          F.max("max_tf").alias("max_tf"))
+    # one pass: per-term stats (DOCLEN_TERM excluded) + total token count
+    # (the DOCLEN_TERM rows' cf = Σ doclen) for avgdl
+    stats_df = (postings_all.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                     F.max("max_tf").alias("max_tf"))
+                .persist())
+    (stats_df.filter(F.col("term") != DOCLEN_TERM)
      .coalesce(min(merge_partitions, 8))
      .write.mode("overwrite").parquet(paths.term_stats))
+    dl_row = stats_df.filter(F.col("term") == DOCLEN_TERM).collect()
+    total_tokens = int(dl_row[0]["cf"]) if dl_row else 0
+    stats_df.unpersist()
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     mf.write_local_parquet(paths.corpus_stats, {
-        "n_docs": [n_docs], "avgdl": [prof["avgdl"]],
+        "n_docs": [n_docs], "avgdl": [avgdl],
         "range_size": [range_size], "n_buckets": [n_buckets],
         "n_ranges": [n_ranges], "snapshot": [snapshot],
         "positions": [positions], "n_waves": [n_waves]},

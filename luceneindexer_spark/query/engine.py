@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
-from ..codecs import EncodedPostings, decode_blocks_overlapping, decode_postings, varint_decode
-from ..index.build import IndexPaths
+from ..codecs import EncodedPostings, decode_blocks_overlapping, decode_postings
+from ..index.build import DOCLEN_TERM, IndexPaths
 from .oracle import query_terms
 
 
@@ -92,7 +92,8 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                        avgdl: float, k: int, k1: float = BM25_K1,
                        b: float = BM25_B):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
-    the range's norms row → local top-k (doc_id, score)."""
+    the range's DOCLEN_TERM postings row (norms) → local top-k
+    (doc_id, score)."""
     score_order = sorted(terms_by_rarity)  # deterministic accumulation order
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
@@ -122,10 +123,11 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
             tfs_by_term[t] = t2[i2]
             cand = cand_new
 
-        nr = norms_pdf.iloc[0]
-        doclens = varint_decode(bytes(nr["doclens_enc"]),
-                                int(nr["n"])).astype(np.float64)
-        dl = doclens[cand - int(nr["first_doc"])]
+        # doclens come from the DOCLEN_TERM posting list (tf == doclen);
+        # only blocks overlapping the candidate window are decoded
+        nep = _ep_from_row(next(norms_pdf.itertuples()))
+        nd, ntf = decode_blocks_overlapping(nep, int(cand[0]), int(cand[-1]))
+        dl = ntf[np.searchsorted(nd, cand)].astype(np.float64)
         norm = k1 * (1.0 - b + b * dl / avgdl)
         score = np.zeros(cand.size, dtype=np.float64)
         for t in score_order:
@@ -159,7 +161,8 @@ class QuerySession:
         self.meta = load_meta(spark, root)
         self.paths = IndexPaths(root)
         self.post = spark.read.parquet(self.paths.postings)
-        self.norms = spark.read.parquet(self.paths.norms)
+        # norms = the DOCLEN_TERM posting rows of the same table (tf==doclen)
+        self.norms = self.post.filter(F.col("term") == DOCLEN_TERM)
         self.stats = spark.read.parquet(self.paths.term_stats)
         self._cached = cache
         if cache:
@@ -205,15 +208,17 @@ class QuerySession:
             # disk path: bucket pruning = parquet partition pruning; the
             # ranges filter keeps the cogroup from touching norms of ranges
             # where no query term occurs
-            buckets = sorted(set(_buckets_of(terms, meta.n_buckets,
-                                             spark).values()))
+            bmap = _buckets_of(terms + [DOCLEN_TERM], meta.n_buckets, spark)
+            buckets = sorted({bmap[t] for t in terms})
             post = self.post.filter(F.col("bucket").isin(buckets)
                                     & F.col("term").isin(terms))
             ranges = [int(r["range_id"]) for r in
                       post.select("range_id").distinct().collect()]
             if not ranges:
                 return empty
-            norms = self.norms.filter(F.col("range_id").isin(ranges))
+            norms = self.norms.filter(
+                (F.col("bucket") == bmap[DOCLEN_TERM])
+                & F.col("range_id").isin(ranges))
 
         scored = (post.groupby("range_id")
                   .cogroup(norms.groupby("range_id"))
@@ -291,6 +296,68 @@ def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
     return QuerySession(spark, root, cache=False).topk(query, k, mode)
 
 
+METADATA_FIELDS = ("repo", "path", "commit", "lang")
+
+
+def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
+                  k: int = 10, mode: str = "and") -> DataFrame:
+    """Reference-parity multi-field conjunctive search
+    (``cLuceneIndexReader.java:272-397``: one MUST clause per non-empty UI
+    field — Path/Filename/Extension/Category…). Spark shape: the ``content``
+    clause runs through the inverted index (BM25-ranked); metadata clauses
+    (repo/path/commit/lang — the Path/Filename/Extension/Category analogs)
+    become docmap predicates evaluated as a filter on an over-fetched
+    candidate set, then re-limited to k. Empty-valued fields are ignored
+    (reference P1, ``cSearchTable.java:222-246``).
+
+    Returns (doc_id, score, repo, path, commit, lang) ordered
+    (score desc, doc_id asc), at most k rows.
+    """
+    fields = {f: v for f, v in fields.items() if v and str(v).strip()}
+    meta_preds = {f: v for f, v in fields.items() if f in METADATA_FIELDS}
+    content_q = fields.get("content", "")
+    docmap = spark.read.parquet(IndexPaths(root).docmap)
+
+    def apply_meta(df: DataFrame) -> DataFrame:
+        for f, v in meta_preds.items():
+            df = df.filter(F.lower(F.col(f)).contains(str(v).lower()))
+        return df
+
+    if not content_q:
+        # pure metadata search: predicate pushdown on the docmap scan,
+        # deterministic doc_id order (no scores)
+        return (apply_meta(docmap)
+                .select("doc_id", F.lit(0.0).alias("score"),
+                        "repo", "path", "commit", "lang")
+                .orderBy("doc_id").limit(k))
+
+    # over-fetch: metadata predicates can only shrink the candidate set, so
+    # fetch enough BM25 candidates that k usually survive; correctness does
+    # not depend on the factor (worst case returns fewer than k, exactly like
+    # a too-selective reference query)
+    fetch = max(k * 10, 100)
+    hits = QuerySession(spark, root, cache=False).topk(content_q, fetch, mode)
+    return (apply_meta(docmap.join(F.broadcast(hits), "doc_id"))
+            .select("doc_id", "score", "repo", "path", "commit", "lang")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def load_doclens(spark: SparkSession, root: str) -> DataFrame:
+    """(doc_id, doclen) decoded from the DOCLEN_TERM posting rows — the
+    row-expanded view of the norms store (used by the phrase scorer, which
+    needs doclens as a joinable column)."""
+    post = (spark.read.parquet(IndexPaths(root).postings)
+            .filter(F.col("term") == DOCLEN_TERM))
+
+    def gen(batches):
+        for pdf in batches:
+            for r in pdf.itertuples():
+                d, t = decode_postings(_ep_from_row(r))
+                yield pd.DataFrame({"doc_id": d, "doclen": t})
+
+    return post.mapInPandas(gen, "doc_id long, doclen long")
+
+
 def _phrase_topk(spark: SparkSession, root: str, meta: IndexMeta, query: str,
                  terms_dedup: list[str], idf_by_term: dict[str, float],
                  k: int) -> DataFrame:
@@ -328,7 +395,7 @@ def _phrase_topk(spark: SparkSession, root: str, meta: IndexMeta, query: str,
     # BM25 over the deduped constituent terms, tf = positions count
     tf = (pos.join(F.broadcast(cand), "doc_id")
           .select("doc_id", "term", F.size("positions").alias("tf")))
-    dl = spark.read.parquet(paths.docmap).select("doc_id", "doclen")
+    dl = load_doclens(spark, root)
     idf_map = F.create_map(*[F.lit(x) for t in sorted(idf_by_term)
                              for x in (t, idf_by_term[t])])
     scored = (

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import DOC_ORDER
-from ..tokenizer import with_doclen
 from ..index import manifest as mf
 from ..index.build import IndexPaths, build_index
 from ..query.engine import load_meta
@@ -51,12 +50,11 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     add = (latest.withColumn("doc_id",
                              (F.row_number().over(w) - 1 + start_id)
                              .cast("long")))
-    add = with_doclen(add, "content")
     add = (add.withColumn("size", F.length("content").cast("long"))
            .withColumn("content_sha256",
                        F.sha2(F.col("content").cast("binary"), 256))
            .select("doc_id", "repo", "path", "commit", "lang", "size",
-                   "doclen", "content_sha256", "content"))
+                   "content_sha256", "content"))
     add.write.mode("append").parquet(paths.docmap)
 
     # rebuild only the new ranges by rerunning build with the appended docmap:

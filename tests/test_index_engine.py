@@ -100,9 +100,16 @@ def test_postings_match_naive_tf(built, spark):
     naive = (with_tokens(docmap.select("doc_id", "content"), "content")
              .select("doc_id", F.explode("tokens").alias("term"))
              .groupBy("term", "doc_id").count())
-    post = spark.read.parquet(f"{root}/postings")
+    from luceneindexer_spark.index.build import DOCLEN_TERM
+    post = (spark.read.parquet(f"{root}/postings")
+            .filter(F.col("term") != DOCLEN_TERM))
     assert post.agg(F.sum("df")).collect()[0][0] == naive.count()
     assert post.agg(F.sum("cf")).collect()[0][0] == \
+        naive.agg(F.sum("count")).collect()[0][0]
+    # the DOCLEN_TERM rows carry Σ doclen as cf (norms-as-postings)
+    dl = (spark.read.parquet(f"{root}/postings")
+          .filter(F.col("term") == DOCLEN_TERM))
+    assert dl.agg(F.sum("cf")).collect()[0][0] == \
         naive.agg(F.sum("count")).collect()[0][0]
 
 
