@@ -139,6 +139,10 @@ class EncodedPostings:
     block_first: np.ndarray     # int64, first docID of each block
     block_last: np.ndarray      # int64, last docID of each block
     block_maxtf: np.ndarray     # int32, max tf within each block
+    block_mintf: np.ndarray     # int32, min tf within each block (for norms
+    #                             rows this is the block's MIN doclen — the
+    #                             metadata-only doclen lower bound block-max
+    #                             WAND needs for score upper bounds)
     block_off_d: np.ndarray     # int32, byte offset of each block in docs_enc
     block_off_t: np.ndarray     # int32, byte offset of each block in tfs_enc
     block_n: np.ndarray         # int32, postings per block
@@ -178,6 +182,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     block_last = doc_ids[ends - 1]
     block_n = (ends - starts).astype(np.int32)
     block_maxtf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    block_mintf = np.minimum.reduceat(tfs, starts).astype(np.int32)
 
     d_chunks: list[bytes] = []
     t_chunks: list[bytes] = []
@@ -199,7 +204,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     return EncodedPostings(
         n=int(n), max_tf=int(tfs.max()),
         block_first=block_first, block_last=block_last,
-        block_maxtf=block_maxtf, block_off_d=off_d, block_off_t=off_t,
+        block_maxtf=block_maxtf, block_mintf=block_mintf,
+        block_off_d=off_d, block_off_t=off_t,
         block_n=block_n, docs_enc=b"".join(d_chunks), tfs_enc=b"".join(t_chunks),
     )
 
@@ -226,6 +232,49 @@ def decode_postings(ep: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
     docs = np.concatenate([p[0] for p in parts])
     tfs = np.concatenate([p[1] for p in parts])
     return docs, tfs
+
+
+def positions_decode(pos_enc: bytes, lens: np.ndarray) -> np.ndarray:
+    """Decode a flat positions buffer back to absolute token positions.
+
+    The buffer holds, per document (``lens[i]`` values each), the doc's sorted
+    token positions delta-encoded (first absolute, then gaps), varint-packed.
+    Returns the flat int64 positions array (``lens.sum()`` values); document
+    i's positions are the next ``lens[i]`` entries. Fully vectorized:
+    cumsum-with-reset via a per-doc base subtraction.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    vals = varint_decode(pos_enc, total).astype(np.int64)
+    if total == 0:
+        return vals
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nz = lens > 0
+    csum = np.cumsum(vals)
+    base = np.zeros(lens.size, dtype=np.int64)
+    base[nz] = csum[starts[nz]] - vals[starts[nz]]
+    return csum - np.repeat(base, lens)
+
+
+def positions_encode(positions: np.ndarray, starts: np.ndarray
+                     ) -> tuple[bytes, np.ndarray]:
+    """Delta+varint encode per-doc sorted position lists stored flat.
+
+    ``starts`` are doc start indices into ``positions`` (ascending,
+    starts[0] == 0; empty docs not represented — a doc's slice must be
+    non-empty). Returns (buffer, byte_offsets) like varint_encode_grouped.
+    Inverse of positions_decode given the same per-doc lens.
+    """
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    if positions.size == 0:
+        return b"", np.zeros(starts.size + 1, dtype=np.int64)
+    deltas = np.empty_like(positions)
+    deltas[0] = positions[0]
+    deltas[1:] = np.diff(positions)
+    deltas[starts] = positions[starts]
+    return varint_encode_grouped(deltas, starts)
 
 
 def decode_blocks_overlapping(ep: EncodedPostings, lo: int, hi: int

@@ -31,8 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .tokenizer import with_doclen
-
 # ---------------------------------------------------------------------------
 # synthetic corpus (FIXTURES.md §1)
 # ---------------------------------------------------------------------------
@@ -211,9 +209,11 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
 
 def docmap_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docmap straight from the driver `documents` table, reusing its dense
-    doc_id (already 0..N-1). Used by __spark_entry__ oracle queries."""
+    doc_id (already 0..N-1). Used by __spark_entry__ oracle queries. Shares
+    build_docmap's exact schema — and like it never tokenizes (doc lengths
+    live in the index's DOCLEN_TERM postings), keeping 'tokenized exactly
+    once' true for this producer too."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d = with_doclen(d, "text")
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("source").alias("repo"),
@@ -221,7 +221,6 @@ def docmap_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text").cast("binary"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
         F.col("n_chars").cast("long").alias("size"),
-        F.col("doclen"),
         F.sha2(F.col("text").cast("binary"), 256).alias("content_sha256"),
         F.col("text").alias("content"),
     )

@@ -45,24 +45,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import encode_postings, run_decode, varint_encode_grouped
+from ..codecs import (encode_postings, positions_decode, positions_encode,
+                      run_decode, varint_encode_grouped)
 from ..corpus import build_docmap
 from ..tokenizer import tokenize_flat
 from . import manifest as mf
 
 RUNS_SCHEMA = (
     "term string, range_id long, first_docid long, n int, cf long, "
-    "max_tf int, docs_enc binary, tfs_enc binary"
+    "max_tf int, docs_enc binary, tfs_enc binary, pos_enc binary"
 )
 
 POSTINGS_SCHEMA = (
     "term string, range_id long, df long, cf long, max_tf int, "
     "block_first array<long>, block_last array<long>, block_maxtf array<int>, "
+    "block_mintf array<int>, "
     "block_n array<int>, block_off_d array<int>, block_off_t array<int>, "
-    "docs_enc binary, tfs_enc binary"
+    "docs_enc binary, tfs_enc binary, pos_enc binary"
 )
-
-POSITIONS_SCHEMA_COLS = ("term", "range_id", "doc_id", "positions")
 
 
 @dataclass
@@ -73,8 +73,6 @@ class IndexPaths:
     def docmap(self): return os.path.join(self.root, "docmap")
     @property
     def postings(self): return os.path.join(self.root, "postings")
-    @property
-    def positions(self): return os.path.join(self.root, "positions")
     @property
     def term_stats(self): return os.path.join(self.root, "term_stats")
     @property
@@ -100,9 +98,12 @@ class BuildInterrupted(RuntimeError):
 DOCLEN_TERM = ""
 
 
-def _runs_generator(range_size: int):
+def _runs_generator(range_size: int, positions: bool = False):
     """mapInPandas fn: (doc_id, content) batches → per-(term, range) run rows
-    (+ DOCLEN_TERM rows carrying doclens)."""
+    (+ DOCLEN_TERM rows carrying doclens). With ``positions=True`` each run
+    row additionally carries the per-(doc, term) token positions
+    (delta+varint, codecs.positions_encode) emitted from the SAME tokenize
+    pass — the corpus is tokenized exactly once either way."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,6 +146,25 @@ def _runs_generator(range_size: int):
             d_mv = memoryview(d_buf)
             t_mv = memoryview(t_buf)
             n_runs = run_start.size
+
+            if positions:
+                # token position within its doc, in the sorted domain: the
+                # lexsort is stable, so tokens of one (term, doc) group keep
+                # their original in-doc order → per-group positions ascending
+                doc_tok_start = np.cumsum(lens) - lens
+                pos_in_doc = (np.arange(codes.size, dtype=np.int64)
+                              - np.repeat(doc_tok_start, lens))
+                pos_sorted = pos_in_doc[order]
+                # delta-reset at every (term, doc) GROUP start; run r's bytes
+                # are its groups' contiguous slice of the shared buffer
+                p_buf, p_off = positions_encode(pos_sorted, g_start)
+                p_mv = memoryview(p_buf)
+                run_bounds = np.append(p_off[run_start], p_off[-1])
+                pos_col = [bytes(p_mv[run_bounds[i]:run_bounds[i + 1]])
+                           for i in range(n_runs)]
+            else:
+                pos_col = [None] * n_runs
+
             main = pd.DataFrame({
                 "term": uniq[g_code[run_start]],
                 "range_id": rg[run_start],
@@ -156,6 +176,7 @@ def _runs_generator(range_size: int):
                              for i in range(n_runs)],
                 "tfs_enc": [bytes(t_mv[t_off[i]:t_off[i + 1]])
                             for i in range(n_runs)],
+                "pos_enc": pos_col,
             })
 
             # DOCLEN_TERM runs: docs with >=1 token, tf = doclen
@@ -186,6 +207,7 @@ def _runs_generator(range_size: int):
                              for i in range(sstart.size)],
                 "tfs_enc": [bytes(sl_mv[sl_off[i]:sl_off[i + 1]])
                             for i in range(sstart.size)],
+                "pos_enc": [None] * sstart.size,
             })
             yield pd.concat([main, doclen_rows], ignore_index=True)
 
@@ -194,7 +216,11 @@ def _runs_generator(range_size: int):
 
 def _merge_one_group(rows: pd.DataFrame) -> dict:
     """Merge the sorted runs of one (term, range_id) into one block-encoded
-    postings row (dict of POSTINGS_SCHEMA values)."""
+    postings row (dict of POSTINGS_SCHEMA values). Positions buffers (when
+    present) merge WITHOUT decoding while the concatenated run docIDs are
+    already ascending (the common case: runs arrive sorted by first_docid and
+    input partitions cover doc intervals); interleaved runs fall back to a
+    vectorized decode → per-doc slice permute → re-encode."""
     docs_parts = []
     tfs_parts = []
     for de, te, n in zip(rows["docs_enc"], rows["tfs_enc"], rows["n"]):
@@ -203,10 +229,29 @@ def _merge_one_group(rows: pd.DataFrame) -> dict:
         tfs_parts.append(t)
     docs = np.concatenate(docs_parts)
     tfs = np.concatenate(tfs_parts)
-    if len(docs_parts) > 1:
+    has_pos = rows["pos_enc"].iloc[0] is not None
+    pos_enc: bytes | None = None
+    already_sorted = docs.size <= 1 or bool((np.diff(docs) > 0).all())
+    if len(docs_parts) > 1 and not already_sorted:
         order = np.argsort(docs, kind="stable")
+        if has_pos:
+            # decode every run's flat positions, permute per-doc slices into
+            # the merged doc order, re-encode (all index arithmetic, no loop
+            # over postings)
+            flat = np.concatenate([
+                positions_decode(pe, t)
+                for pe, t in zip(rows["pos_enc"], tfs_parts)])
+            offs = np.cumsum(tfs) - tfs
+            new_lens = tfs[order]
+            starts_new = np.cumsum(new_lens) - new_lens
+            idx = (np.arange(flat.size, dtype=np.int64)
+                   - np.repeat(starts_new, new_lens)
+                   + np.repeat(offs[order], new_lens))
+            pos_enc = positions_encode(flat[idx], starts_new)[0]
         docs = docs[order]
         tfs = tfs[order]
+    elif has_pos:
+        pos_enc = b"".join(bytes(p) for p in rows["pos_enc"])
     if docs.size > 1 and not (np.diff(docs) > 0).all():
         raise ValueError("duplicate doc_id across runs for one term+range")
     ep = encode_postings(docs, tfs)
@@ -219,11 +264,13 @@ def _merge_one_group(rows: pd.DataFrame) -> dict:
         "block_first": ep.block_first.tolist(),
         "block_last": ep.block_last.tolist(),
         "block_maxtf": ep.block_maxtf.tolist(),
+        "block_mintf": ep.block_mintf.tolist(),
         "block_n": ep.block_n.tolist(),
         "block_off_d": ep.block_off_d.tolist(),
         "block_off_t": ep.block_off_t.tolist(),
         "docs_enc": ep.docs_enc,
         "tfs_enc": ep.tfs_enc,
+        "pos_enc": pos_enc,
     }
 
 
@@ -381,7 +428,8 @@ def build_index(
         # contiguous doc interval, so each (term, range) still yields ~1 run.
         runs = (sub.select("doc_id", "content")
                 .repartitionByRange(merge_partitions, "doc_id")
-                .mapInPandas(_runs_generator(range_size), RUNS_SCHEMA))
+                .mapInPandas(_runs_generator(range_size, positions),
+                             RUNS_SCHEMA))
         merged = (runs
                   .repartition(merge_partitions, "term", "range_id")
                   .sortWithinPartitions("term", "range_id", "first_docid")
@@ -394,32 +442,20 @@ def build_index(
                .parquet(wave_post_dir))
         _mark("postings_write", tw)
 
-        if positions:
-            from ..tokenizer import tokenize_udf
-            pos = (sub.select("doc_id",
-                              F.posexplode(tokenize_udf("content"))
-                               .alias("pos", "term"))
-                   .groupBy("term", "doc_id")
-                   .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-                   .withColumn("range_id",
-                               (F.col("doc_id") / F.lit(range_size)).cast("long"))
-                   .withColumn("bucket",
-                               F.pmod(F.xxhash64("term"),
-                                      F.lit(n_buckets)).cast("int")))
-            (pos.write.mode("overwrite").partitionBy("bucket")
-                .parquet(paths.wave_dir(paths.positions, w)))
-
-        # per-range manifest stats from ONE pass over the (tiny) written
-        # wave — doc counts come from the DOCLEN_TERM rows
+        # per-range manifest stats: postings counts from ONE pass over the
+        # (tiny) written wave; doc counts from the docmap slice (counts EVERY
+        # doc in the range, including empty/all-stopword docs — the A7
+        # progress-counter semantics; DOCLEN_TERM df would count only
+        # tokenized docs)
         tm = time.time()
         written = spark.read.parquet(wave_post_dir)
-        stats_rows = (written.groupBy("range_id").agg(
-            F.sum(F.when(F.col("term") != DOCLEN_TERM, F.col("df"))
-                  .otherwise(0)).alias("np"),
-            F.sum(F.when(F.col("term") == DOCLEN_TERM, F.col("df"))
-                  .otherwise(0)).alias("nd")).collect())
+        stats_rows = (written.filter(F.col("term") != DOCLEN_TERM)
+                      .groupBy("range_id").agg(F.sum("df").alias("np"))
+                      .collect())
         post_stats = {int(r["range_id"]): int(r["np"]) for r in stats_rows}
-        doc_stats = {int(r["range_id"]): int(r["nd"]) for r in stats_rows}
+        doc_stats = {int(r["rid"]): int(r["nd"]) for r in
+                     (sub.groupBy(rng_col.alias("rid"))
+                      .agg(F.count("*").alias("nd")).collect())}
         wave_bytes = mf.dir_bytes(wave_post_dir)
         wall = time.time() - tw
         mf.append_rows(spark, out_dir, [{

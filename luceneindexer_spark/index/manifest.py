@@ -63,6 +63,16 @@ def write_local_parquet(path: str, columns: dict, schema: str,
     table = pa.Table.from_pydict(columns, schema=_pa_schema(schema))
     tmp = os.path.join(path, "." + filename + ".tmp")
     pq.write_table(table, tmp)
+    if not append:
+        # overwrite semantics must clear EVERY previous data file, not just
+        # our own fixed filename — a prior Spark writer leaves
+        # part-00000-<uuid> files that would otherwise survive as stale rows
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and f != filename:
+                try:
+                    os.remove(os.path.join(path, f))
+                except OSError:
+                    pass
     os.replace(tmp, os.path.join(path, filename))
 
 

@@ -48,6 +48,23 @@ def browse(docmap: DataFrame, n: int = 50) -> DataFrame:
             .orderBy("doc_id").limit(n))
 
 
+INDEX_SUBDIRS = ("postings", "docmap", "term_stats", "corpus_stats",
+                 "_manifest", "delete_list")
+
+
+def delete_index(root: str) -> None:
+    """D5: wipe the entire index — postings, stored fields, stats, manifest,
+    tombstones, and the published marker (reference: index + metadata wipe,
+    ``cMainLayoutController.java:577-615``). The marker is removed FIRST so a
+    crash mid-wipe can never leave a published-but-gutted index."""
+    import shutil
+    marker = os.path.join(root, "_PUBLISHED")
+    if os.path.exists(marker):
+        os.remove(marker)
+    for sub in INDEX_SUBDIRS:
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+
+
 def vacuum_docmap(spark: SparkSession, root: str) -> DataFrame:
     """Compaction view: docmap minus tombstones (physical rewrite would
     overwrite the docmap + affected postings partitions; returned lazily so

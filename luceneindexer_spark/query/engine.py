@@ -7,18 +7,26 @@ intersection with skip lists → BM25 → TopDocs). Spark shape (SURVEY.md §3.2
   tokenize query (driver, same pinned tokenizer)
     → prune postings scan to the query terms' buckets (partition pruning)
       and terms (parquet predicate pushdown)
-    → cogroup with norms by range_id → per-range vectorized intersection:
-      rarest-term-first (explicit conjunction ordering, SURVEY.md §4.1),
-      block metadata skips blocks outside the candidate docID window
-      (the skip-list analog), per-block max-tf bounds available for
-      score-upper-bound pruning → exact BM25 (k1=1.2 b=0.75, fp64,
-      term-sorted accumulation for determinism) → per-range top-k
+    → cogroup with norms by range_id → per-range vectorized scoring with
+      BLOCK-MAX WAND pruning (BASELINE.json north_rule): per-block score
+      upper bounds from block_maxtf + the norms rows' block_mintf (min
+      doclen per 128-doc block — metadata only, no norms decode), blocks
+      visited in upper-bound order, decoding stops once the running kth
+      score exceeds every remaining block's bound. Exact: a skipped block
+      provably contains no top-k (or tied) doc.
+    → exact BM25 (k1=1.2 b=0.75, fp64, term-sorted accumulation) on the
+      surviving candidates → per-range top-k
     → global TakeOrderedAndProject: orderBy(score desc, doc_id asc).limit(k)
     → optional hydrate: broadcast-join the k rows back to the docmap
       (stored-fields analog of ``searcher.doc(id)``, R:352-359).
 
-Unlike the reference (k = Integer.MAX_VALUE at R:340 — collects ALL hits),
-this is a real top-k with a deterministic tie-break.
+Delete semantics: tombstones (ops.maintenance delete list) are loaded once
+per QuerySession and filtered out INSIDE the scorer, before top-k selection —
+a deleted doc can never surface and never displaces a live doc from the k
+results (reference: ``cLuceneIndexReader.java:371-383`` deletes lazily at
+query time). The delete list is control-plane sized (it is compacted away by
+vacuum); at 10^12-doc scale it would be pre-partitioned by range alongside
+the index.
 
 Scale: postings are doc-range-partitioned, so query fan-out is one small
 shuffle of only the query terms' rows, each range scored independently —
@@ -28,7 +36,6 @@ no single node ever sees a whole hot-term posting list.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -36,9 +43,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
-from ..codecs import EncodedPostings, decode_blocks_overlapping, decode_postings
-from ..index.build import DOCLEN_TERM, IndexPaths
+from ..codecs import (EncodedPostings, decode_block, decode_blocks_overlapping,
+                      decode_postings, encode_postings, positions_decode)
+from ..index.build import DOCLEN_TERM, POSTINGS_SCHEMA, IndexPaths
 from .oracle import query_terms
+
+#: pseudo-term carrying a per-range candidate allowlist (exact multi-field
+#: conjunction): the tokenizer emits only [a-z0-9]+ and the norms sentinel is
+#: "", so "\x01" can never collide with a real term.
+ALLOW_TERM = "\x01"
+
+#: the exact column set the range scorers consume (= POSTINGS_SCHEMA order);
+#: projecting the cogroup inputs to it drops the bucket/wave partition
+#: columns and lets allowlist rows union in cleanly.
+SCORER_COLS = [c.strip().split(" ")[0] for c in POSTINGS_SCHEMA.split(",")]
 
 
 @dataclass
@@ -77,6 +95,7 @@ def _ep_from_row(row) -> EncodedPostings:
         block_first=np.asarray(row.block_first, dtype=np.int64),
         block_last=np.asarray(row.block_last, dtype=np.int64),
         block_maxtf=np.asarray(row.block_maxtf, dtype=np.int32),
+        block_mintf=np.asarray(row.block_mintf, dtype=np.int32),
         block_off_d=np.asarray(row.block_off_d, dtype=np.int32),
         block_off_t=np.asarray(row.block_off_t, dtype=np.int32),
         block_n=np.asarray(row.block_n, dtype=np.int32),
@@ -88,12 +107,97 @@ def _idf(n_docs: int, df: int) -> float:
     return float(np.log1p((n_docs - df + 0.5) / (df + 0.5)))
 
 
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Boolean membership mask of ``values`` in ascending ``sorted_arr``."""
+    if sorted_arr.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    ok = idx < sorted_arr.size
+    m = np.zeros(values.size, dtype=bool)
+    m[ok] = sorted_arr[idx[ok]] == values[ok]
+    return m
+
+
+class _BlockCache:
+    """Lazy per-block postings decoder with an optional decode counter.
+
+    The WAND audit surface: ``counters["blocks_decoded"]`` vs
+    ``counters["blocks_total"]`` proves score pruning skipped real work
+    (tests call the scorer driver-side with a shared dict; in the
+    distributed path the counters live in each Python worker)."""
+
+    __slots__ = ("ep", "_blocks", "counters")
+
+    def __init__(self, ep: EncodedPostings, counters: dict | None = None):
+        self.ep = ep
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.counters = counters
+        if counters is not None:
+            counters["blocks_total"] = (counters.get("blocks_total", 0)
+                                        + int(ep.block_first.size))
+
+    def block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        b = self._blocks.get(i)
+        if b is None:
+            b = decode_block(self.ep, i)
+            self._blocks[i] = b
+            if self.counters is not None:
+                self.counters["blocks_decoded"] = (
+                    self.counters.get("blocks_decoded", 0) + 1)
+        return b
+
+    def overlapping_idx(self, lo: int, hi: int) -> np.ndarray:
+        ep = self.ep
+        return np.flatnonzero((ep.block_last >= lo) & (ep.block_first <= hi))
+
+    def blocks_concat(self, idx) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenate the given block indices (ascending) → sorted docs."""
+        if len(idx) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        parts = [self.block(int(i)) for i in idx]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+
+def _block_dlmin(ep: EncodedPostings, nep: EncodedPostings) -> np.ndarray:
+    """Per-posting-block doclen lower bound from norms METADATA only: min of
+    ``block_mintf`` over the norms blocks overlapping each posting block's
+    [first, last] docID window (a superset window → a valid lower bound).
+    O(blocks) — metadata-sized, never decodes a norms posting."""
+    nb = ep.block_first.size
+    lo = np.searchsorted(nep.block_last, ep.block_first, side="left")
+    hi = np.searchsorted(nep.block_first, ep.block_last, side="right")
+    mint = nep.block_mintf
+    out = np.empty(nb, dtype=np.float64)
+    for i in range(nb):
+        l, h = int(lo[i]), int(hi[i])
+        out[i] = float(mint[l:h].min()) if h > l else 1.0
+    return out
+
+
+def _score_ub(idf: float, maxtf, dlmin, avgdl: float,
+              k1: float, b: float):
+    """BM25 score upper bound: tf/(tf+norm) is increasing in tf and
+    decreasing in doclen, so (maxtf, dlmin) bounds any posting's score."""
+    mt = np.asarray(maxtf, dtype=np.float64)
+    return idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * dlmin / avgdl))
+
+
+_WAND_CHUNK = 4  # rare-term blocks decoded per threshold update
+
+
 def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float],
                        avgdl: float, k: int, k1: float = BM25_K1,
-                       b: float = BM25_B):
+                       b: float = BM25_B, deletes: np.ndarray | None = None,
+                       allow: bool = False, counters: dict | None = None):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
     the range's DOCLEN_TERM postings row (norms) → local top-k
-    (doc_id, score)."""
+    (doc_id, score), with block-max WAND pruning.
+
+    ``deletes``: ascending doc_id array filtered out before selection.
+    ``allow``: require an ALLOW_TERM row per range (exact multi-field
+    conjunction) and restrict candidates to its docIDs.
+    """
     score_order = sorted(terms_by_rarity)  # deterministic accumulation order
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
@@ -102,46 +206,120 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                               "score": pd.Series(dtype=np.float64)})
         if len(norms_pdf) == 0 or len(post_pdf) == 0:
             return empty
+        allow_docs: np.ndarray | None = None
+        if allow:
+            amask = post_pdf["term"] == ALLOW_TERM
+            if not amask.any():
+                return empty  # no allowed docs in this range
+            allow_docs = decode_postings(
+                _ep_from_row(next(post_pdf[amask].itertuples())))[0]
+            post_pdf = post_pdf[~amask]
         by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
         if any(t not in by_term for t in terms_by_rarity):
             return empty  # conjunctive MUST: every term must exist in range
-
-        # rarest-first intersection with block skipping
-        cand, tf0 = decode_postings(by_term[terms_by_rarity[0]])
-        tfs_by_term: dict[str, np.ndarray] = {terms_by_rarity[0]: tf0}
-        for t in terms_by_rarity[1:]:
-            if cand.size == 0:
-                return empty
-            d2, t2 = decode_blocks_overlapping(
-                by_term[t], int(cand[0]), int(cand[-1]))
-            cand_new, i1, i2 = np.intersect1d(
-                cand, d2, assume_unique=True, return_indices=True)
-            if cand_new.size == 0:
-                return empty
-            for prev, arr in tfs_by_term.items():
-                tfs_by_term[prev] = arr[i1]
-            tfs_by_term[t] = t2[i2]
-            cand = cand_new
-
-        # doclens come from the DOCLEN_TERM posting list (tf == doclen);
-        # only blocks overlapping the candidate window are decoded
         nep = _ep_from_row(next(norms_pdf.itertuples()))
-        nd, ntf = decode_blocks_overlapping(nep, int(cand[0]), int(cand[-1]))
-        dl = ntf[np.searchsorted(nd, cand)].astype(np.float64)
-        norm = k1 * (1.0 - b + b * dl / avgdl)
-        score = np.zeros(cand.size, dtype=np.float64)
-        for t in score_order:
-            tf = tfs_by_term[t].astype(np.float64)
-            score += idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
 
+        rare = terms_by_rarity[0]
+        others = terms_by_rarity[1:]
+        rep = by_term[rare]
+        rcache = _BlockCache(rep, counters)
+        ocaches = {t: _BlockCache(by_term[t], counters) for t in others}
+        ncache = _BlockCache(nep)
+
+        # ---- block-max upper bounds (metadata only) ----
+        ub = _score_ub(idf_by_term[rare], rep.block_maxtf,
+                       _block_dlmin(rep, nep), avgdl, k1, b)
+        if others:
+            dlmin_range = float(nep.block_mintf.min())
+            ub += sum(
+                float(_score_ub(idf_by_term[t], by_term[t].max_tf,
+                                dlmin_range, avgdl, k1, b))
+                for t in others)
+
+        border = np.argsort(-ub, kind="stable")
+        ub_sorted = ub[border]
+
+        res_docs: list[np.ndarray] = []
+        res_scores: list[np.ndarray] = []
+        n_scored = 0
+        threshold = -np.inf
+        pos = 0
+        while pos < border.size:
+            if n_scored >= k and ub_sorted[pos] < threshold:
+                break  # bounds are sorted: every remaining block is prunable
+            chunk = border[pos:pos + _WAND_CHUNK]
+            if n_scored >= k:
+                chunk = chunk[ub[chunk] >= threshold]  # keep == (tie-break)
+            pos += _WAND_CHUNK
+            if chunk.size == 0:
+                continue
+            parts = [rcache.block(int(i)) for i in chunk]
+            cd = np.concatenate([p[0] for p in parts])
+            ct = np.concatenate([p[1] for p in parts])
+            if chunk.size > 1:
+                o = np.argsort(cd)  # chunk blocks are scattered in doc space
+                cd, ct = cd[o], ct[o]
+            if allow_docs is not None:
+                m = _in_sorted(cd, allow_docs)
+                cd, ct = cd[m], ct[m]
+            if deletes is not None and deletes.size:
+                m = ~_in_sorted(cd, deletes)
+                cd, ct = cd[m], ct[m]
+            if cd.size == 0:
+                continue
+
+            # conjunctive intersection, decoding only other-term blocks
+            # overlapping this chunk's doc windows (skip-list analog)
+            tfs_by_term: dict[str, np.ndarray] = {rare: ct}
+            dead = False
+            for t in others:
+                oc = ocaches[t]
+                sel: set[int] = set()
+                for i in chunk:
+                    lo = int(rep.block_first[int(i)])
+                    hi = int(rep.block_last[int(i)])
+                    sel.update(int(j) for j in oc.overlapping_idx(lo, hi))
+                d2, t2 = oc.blocks_concat(sorted(sel))
+                cand_new, i1, i2 = np.intersect1d(
+                    cd, d2, assume_unique=True, return_indices=True)
+                if cand_new.size == 0:
+                    dead = True
+                    break
+                for prev, arr in tfs_by_term.items():
+                    tfs_by_term[prev] = arr[i1]
+                tfs_by_term[t] = t2[i2]
+                cd = cand_new
+            if dead:
+                continue
+
+            nd, ntf = ncache.blocks_concat(
+                ncache.overlapping_idx(int(cd[0]), int(cd[-1])))
+            dl = ntf[np.searchsorted(nd, cd)].astype(np.float64)
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            score = np.zeros(cd.size, dtype=np.float64)
+            for t in score_order:
+                tf = tfs_by_term[t].astype(np.float64)
+                score += idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
+            res_docs.append(cd)
+            res_scores.append(score)
+            n_scored += cd.size
+            if n_scored >= k:
+                allsc = np.concatenate(res_scores)
+                threshold = float(
+                    np.partition(allsc, allsc.size - k)[allsc.size - k])
+
+        if not res_docs:
+            return empty
+        cand = np.concatenate(res_docs)
+        score = np.concatenate(res_scores)
         if cand.size > k:
             # argpartition alone breaks ties arbitrarily; keep EVERY doc tied
             # with the kth score so the lexsort can apply the deterministic
             # (score desc, doc_id asc) tie-break the oracle uses
             part = np.argpartition(-score, k - 1)
             kth = score[part[k - 1]]
-            sel = np.flatnonzero(score >= kth)
-            order = sel[np.lexsort((cand[sel], -score[sel]))][:k]
+            sel2 = np.flatnonzero(score >= kth)
+            order = sel2[np.lexsort((cand[sel2], -score[sel2]))][:k]
         else:
             order = np.lexsort((cand, -score))
         return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
@@ -149,11 +327,148 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
     return score_range
 
 
+# ---------------------------------------------------------------------------
+# phrase scorer (positional)
+# ---------------------------------------------------------------------------
+
+_POS_SHIFT = np.int64(1) << np.int64(32)  # doc-ordinal • position packing
+
+
+def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
+                        idf_by_term: dict[str, float], avgdl: float, k: int,
+                        k1: float = BM25_K1, b: float = BM25_B,
+                        deletes: np.ndarray | None = None,
+                        allow: bool = False):
+    """cogroup fn for phrase ("whole words") mode: per range, intersect the
+    phrase terms' doc lists, then verify the consecutive-position chain
+    entirely with sorted-key set operations on the delta-decoded positions
+    (reference ``PhraseQuery`` path, ``cLuceneIndexReader.java:285-301``).
+    Scored as the conjunctive BM25 of the constituent terms (documented
+    deviation from Lucene's phrase-freq scoring; the oracle pins the same
+    definition)."""
+    score_order = sorted(terms_dedup)
+
+    def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
+        if len(norms_pdf) == 0 or len(post_pdf) == 0:
+            return empty
+        allow_docs: np.ndarray | None = None
+        if allow:
+            amask = post_pdf["term"] == ALLOW_TERM
+            if not amask.any():
+                return empty
+            allow_docs = decode_postings(
+                _ep_from_row(next(post_pdf[amask].itertuples())))[0]
+            post_pdf = post_pdf[~amask]
+        rows = {r.term: r for r in post_pdf.itertuples()}
+        if any(t not in rows for t in terms_dedup):
+            return empty
+        dec: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in terms_dedup:
+            r = rows[t]
+            if r.pos_enc is None:
+                raise ValueError("index was built without positions=True")
+            d, tf = decode_postings(_ep_from_row(r))
+            dec[t] = (d, tf, positions_decode(bytes(r.pos_enc), tf))
+
+        cand = dec[terms_dedup[0]][0]
+        for t in terms_dedup[1:]:
+            cand = np.intersect1d(cand, dec[t][0], assume_unique=True)
+            if cand.size == 0:
+                return empty
+        if allow_docs is not None:
+            cand = cand[_in_sorted(cand, allow_docs)]
+            if cand.size == 0:
+                return empty
+        if deletes is not None and deletes.size:
+            cand = cand[~_in_sorted(cand, deletes)]
+            if cand.size == 0:
+                return empty
+
+        # per-term sorted (candidate-ordinal << 32 | position) key arrays
+        keysets: dict[str, np.ndarray] = {}
+        for t in set(seq):
+            d, tf, pos = dec[t]
+            m = _in_sorted(d, cand)
+            lens_c = tf[m]
+            offs = np.cumsum(tf) - tf
+            total = int(lens_c.sum())
+            starts_new = np.cumsum(lens_c) - lens_c
+            idx = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts_new, lens_c)
+                   + np.repeat(offs[m], lens_c))
+            p = pos[idx]
+            dkey = np.repeat(np.searchsorted(cand, d[m]).astype(np.int64),
+                             lens_c)
+            keysets[t] = dkey * _POS_SHIFT + p  # ascending by construction
+
+        live = keysets[seq[0]]
+        for i in range(1, len(seq)):
+            live = live[_in_sorted(live + np.int64(i), keysets[seq[i]])]
+            if live.size == 0:
+                return empty
+        match_docs = cand[np.unique(live // _POS_SHIFT)]
+
+        nep = _ep_from_row(next(norms_pdf.itertuples()))
+        nd, ntf = decode_blocks_overlapping(
+            nep, int(match_docs[0]), int(match_docs[-1]))
+        dl = ntf[np.searchsorted(nd, match_docs)].astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(match_docs.size, dtype=np.float64)
+        for t in score_order:
+            d, tf, _ = dec[t]
+            tfv = tf[np.searchsorted(d, match_docs)].astype(np.float64)
+            score += idf_by_term[t] * tfv * (k1 + 1.0) / (tfv + norm)
+
+        if match_docs.size > k:
+            part = np.argpartition(-score, k - 1)
+            kth = score[part[k - 1]]
+            sel2 = np.flatnonzero(score >= kth)
+            order = sel2[np.lexsort((match_docs[sel2], -score[sel2]))][:k]
+        else:
+            order = np.lexsort((match_docs, -score))
+        return pd.DataFrame({"doc_id": match_docs[order],
+                             "score": score[order]})
+
+    return score_range
+
+
+def _allow_rows_df(allow: DataFrame, range_size: int) -> DataFrame:
+    """Encode a (doc_id) allowlist DataFrame into per-range POSTINGS_SCHEMA
+    rows under ALLOW_TERM, ready to union into the scorer cogroup. The
+    shuffle is O(matched docs), range-partitioned like the index itself."""
+
+    def gen(key, pdf):
+        d = np.unique(pdf["doc_id"].to_numpy(np.int64))
+        ep = encode_postings(d, np.ones(d.size, dtype=np.int64))
+        return pd.DataFrame([{
+            "term": ALLOW_TERM, "range_id": int(key[0]), "df": int(ep.n),
+            "cf": int(ep.n), "max_tf": 1,
+            "block_first": ep.block_first.tolist(),
+            "block_last": ep.block_last.tolist(),
+            "block_maxtf": ep.block_maxtf.tolist(),
+            "block_mintf": ep.block_mintf.tolist(),
+            "block_n": ep.block_n.tolist(),
+            "block_off_d": ep.block_off_d.tolist(),
+            "block_off_t": ep.block_off_t.tolist(),
+            "docs_enc": ep.docs_enc, "tfs_enc": ep.tfs_enc, "pos_enc": None,
+        }])
+
+    return (allow
+            .withColumn("range_id",
+                        (F.col("doc_id") / F.lit(range_size)).cast("long"))
+            .groupBy("range_id").applyInPandas(gen, POSTINGS_SCHEMA))
+
+
 class QuerySession:
     """Long-lived query serving session: postings/norms/term-stats loaded once
     and optionally cached in memory. The reference reopens its IndexReader on
     every query (``cIndex.java:134-137``) — we instead serve from a cached
-    DataFrame (SURVEY.md §3.2 Spark shape) for p50 latency."""
+    DataFrame (SURVEY.md §3.2 Spark shape) for p50 latency. Delete tombstones
+    are loaded once (refresh with ``refresh_deletes``) and honored by every
+    query path."""
 
     def __init__(self, spark: SparkSession, root: str, cache: bool = False):
         self.spark = spark
@@ -165,6 +480,7 @@ class QuerySession:
         self.norms = self.post.filter(F.col("term") == DOCLEN_TERM)
         self.stats = spark.read.parquet(self.paths.term_stats)
         self._cached = cache
+        self.refresh_deletes()
         if cache:
             # cache the metadata-heavy small tables fully; postings cached
             # column-pruned (the binary blobs dominate — keep them too: the
@@ -176,12 +492,23 @@ class QuerySession:
             self.norms.count()
             self.stats.count()
 
+    def refresh_deletes(self) -> None:
+        from ..ops.maintenance import read_deletes
+        rows = read_deletes(self.spark, self.root).collect()
+        self.deletes = np.sort(np.array([r["doc_id"] for r in rows],
+                                        dtype=np.int64))
+
     def close(self) -> None:
         if self._cached:
             for df in (self.post, self.norms, self.stats):
                 df.unpersist()
 
-    def topk(self, query: str, k: int = 10, mode: str = "and") -> DataFrame:
+    def topk(self, query: str, k: int = 10, mode: str = "and",
+             allow: DataFrame | None = None) -> DataFrame:
+        """Top-k BM25. ``allow``: optional (doc_id) DataFrame restricting
+        results to an exact candidate set (multi-field conjunction) — encoded
+        as per-range ALLOW_TERM pseudo-postings and intersected inside the
+        scorer, so the k results are exact, not an over-fetch."""
         spark = self.spark
         meta = self.meta
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -196,8 +523,7 @@ class QuerySession:
         terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
 
         if mode == "phrase":
-            return _phrase_topk(spark, self.root, meta, query, terms,
-                                idf_by_term, k)
+            return self._phrase_topk(query, terms, idf_by_term, k, allow)
 
         if self._cached:
             # in-memory scan: bucket pruning buys nothing, and skipping the
@@ -220,14 +546,57 @@ class QuerySession:
                 (F.col("bucket") == bmap[DOCLEN_TERM])
                 & F.col("range_id").isin(ranges))
 
+        post = post.select(*SCORER_COLS)
+        if allow is not None:
+            post = post.unionByName(
+                _allow_rows_df(allow, meta.range_size))
         scored = (post.groupby("range_id")
-                  .cogroup(norms.groupby("range_id"))
+                  .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
                       _make_range_scorer(terms_by_rarity, idf_by_term,
-                                         meta.avgdl, k),
+                                         meta.avgdl, k,
+                                         deletes=self.deletes,
+                                         allow=allow is not None),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _phrase_topk(self, query: str, terms_dedup: list[str],
+                     idf_by_term: dict[str, float], k: int,
+                     allow: DataFrame | None = None) -> DataFrame:
+        """Phrase mode over the positional postings (positions live IN the
+        postings rows — no second table, no corpus-wide doclen decode: the
+        scorer touches only ranges containing all phrase terms, and norms
+        blocks overlapping actual matches)."""
+        from ..tokenizer import tokenize_text
+        spark = self.spark
+        meta = self.meta
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        seq = tokenize_text(query)          # with duplicates, in order
+        if not seq:
+            return empty
+        if not meta.positions:
+            raise ValueError("index was built without positions=True")
+        post = self.post.filter(F.col("term").isin(terms_dedup))
+        if not self._cached:
+            bmap = _buckets_of(terms_dedup + [DOCLEN_TERM], meta.n_buckets,
+                               spark)
+            buckets = sorted({bmap[t] for t in terms_dedup})
+            post = post.filter(F.col("bucket").isin(buckets))
+            norms = self.norms.filter(F.col("bucket") == bmap[DOCLEN_TERM])
+        else:
+            norms = self.norms
+        post = post.select(*SCORER_COLS)
+        if allow is not None:
+            post = post.unionByName(_allow_rows_df(allow, meta.range_size))
+        scored = (post.groupby("range_id")
+                  .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
+                  .applyInPandas(
+                      _make_phrase_scorer(seq, terms_dedup, idf_by_term,
+                                          meta.avgdl, k,
+                                          deletes=self.deletes,
+                                          allow=allow is not None),
+                      "doc_id long, score double"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Score a BATCH of conjunctive queries in ONE distributed pass:
@@ -258,12 +627,13 @@ class QuerySession:
         post = self.post.filter(F.col("term").isin(live_terms))
         norms = self.norms
         avgdl, kk = meta.avgdl, k
+        dels = self.deletes
 
         def score_ranges(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                          ) -> pd.DataFrame:
             out = []
             scorers = {
-                qid: _make_range_scorer(ts, idf, avgdl, kk)
+                qid: _make_range_scorer(ts, idf, avgdl, kk, deletes=dels)
                 for qid, ts, idf in plans}
             for qid, ts, idf in plans:
                 sub = post_pdf[post_pdf["term"].isin(ts)]
@@ -278,8 +648,8 @@ class QuerySession:
                                      "score": pd.Series(dtype=np.float64)})
             return pd.concat(out, ignore_index=True)
 
-        scored = (post.groupby("range_id")
-                  .cogroup(norms.groupby("range_id"))
+        scored = (post.select(*SCORER_COLS).groupby("range_id")
+                  .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(score_ranges, out_schema))
         from pyspark.sql import Window
         w = (Window.partitionBy("query_id")
@@ -298,17 +668,28 @@ def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
 
 METADATA_FIELDS = ("repo", "path", "commit", "lang")
 
+#: allowlist-vs-overfetch crossover: below this many metadata-matching docs
+#: the exact allowlist is shuffled into the scorer; above it, candidates are
+#: fetched with doubling (both paths are exact — see search_fields).
+ALLOWLIST_MAX = 100_000
+
 
 def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
-                  k: int = 10, mode: str = "and") -> DataFrame:
+                  k: int = 10, mode: str = "and",
+                  session: QuerySession | None = None) -> DataFrame:
     """Reference-parity multi-field conjunctive search
     (``cLuceneIndexReader.java:272-397``: one MUST clause per non-empty UI
     field — Path/Filename/Extension/Category…). Spark shape: the ``content``
     clause runs through the inverted index (BM25-ranked); metadata clauses
     (repo/path/commit/lang — the Path/Filename/Extension/Category analogs)
-    become docmap predicates evaluated as a filter on an over-fetched
-    candidate set, then re-limited to k. Empty-valued fields are ignored
-    (reference P1, ``cSearchTable.java:222-246``).
+    become docmap predicates. EXACT like the reference's conjunction: a
+    selective metadata predicate is pushed INTO the range scorer as a
+    per-range doc allowlist (ALLOW_TERM pseudo-postings), so the top-k is
+    over the true conjunction; an unselective one (matched docs >
+    ALLOWLIST_MAX, where shuffling the allowlist would approach a corpus
+    scan) falls back to over-fetching with doubling until k exact survivors
+    or the index is exhausted. Empty-valued fields are ignored (reference
+    P1, ``cSearchTable.java:222-246``).
 
     Returns (doc_id, score, repo, path, commit, lang) ordered
     (score desc, doc_id asc), at most k rows.
@@ -317,99 +698,59 @@ def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
     meta_preds = {f: v for f, v in fields.items() if f in METADATA_FIELDS}
     content_q = fields.get("content", "")
     docmap = spark.read.parquet(IndexPaths(root).docmap)
+    sess = session or QuerySession(spark, root, cache=False)
 
     def apply_meta(df: DataFrame) -> DataFrame:
         for f, v in meta_preds.items():
             df = df.filter(F.lower(F.col(f)).contains(str(v).lower()))
         return df
 
+    def with_deletes(df: DataFrame) -> DataFrame:
+        if sess.deletes.size == 0:
+            return df
+        dele = spark.createDataFrame(
+            [(int(d),) for d in sess.deletes], "doc_id long")
+        return df.join(F.broadcast(dele), "doc_id", "left_anti")
+
+    out_cols = ("doc_id", "score", "repo", "path", "commit", "lang")
+
     if not content_q:
         # pure metadata search: predicate pushdown on the docmap scan,
         # deterministic doc_id order (no scores)
-        return (apply_meta(docmap)
+        return (with_deletes(apply_meta(docmap))
                 .select("doc_id", F.lit(0.0).alias("score"),
                         "repo", "path", "commit", "lang")
                 .orderBy("doc_id").limit(k))
 
-    # over-fetch: metadata predicates can only shrink the candidate set, so
-    # fetch enough BM25 candidates that k usually survive; correctness does
-    # not depend on the factor (worst case returns fewer than k, exactly like
-    # a too-selective reference query)
+    if not meta_preds:
+        hits = sess.topk(content_q, k, mode)
+        return (docmap.join(F.broadcast(hits), "doc_id")
+                .select(*out_cols)
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    matched = apply_meta(docmap).select("doc_id")
+    n_matched = matched.count()
+    if n_matched == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, repo string, path string, "
+                "commit string, lang string")
+    if n_matched <= ALLOWLIST_MAX:
+        hits = sess.topk(content_q, k, mode, allow=matched)
+        return (docmap.join(F.broadcast(hits), "doc_id")
+                .select(*out_cols)
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    # unselective predicate: doubling over-fetch, exact termination — stop
+    # when k candidates survive the filter OR the index ran out of hits
     fetch = max(k * 10, 100)
-    hits = QuerySession(spark, root, cache=False).topk(content_q, fetch, mode)
-    return (apply_meta(docmap.join(F.broadcast(hits), "doc_id"))
-            .select("doc_id", "score", "repo", "path", "commit", "lang")
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-
-
-def load_doclens(spark: SparkSession, root: str) -> DataFrame:
-    """(doc_id, doclen) decoded from the DOCLEN_TERM posting rows — the
-    row-expanded view of the norms store (used by the phrase scorer, which
-    needs doclens as a joinable column)."""
-    post = (spark.read.parquet(IndexPaths(root).postings)
-            .filter(F.col("term") == DOCLEN_TERM))
-
-    def gen(batches):
-        for pdf in batches:
-            for r in pdf.itertuples():
-                d, t = decode_postings(_ep_from_row(r))
-                yield pd.DataFrame({"doc_id": d, "doclen": t})
-
-    return post.mapInPandas(gen, "doc_id long, doclen long")
-
-
-def _phrase_topk(spark: SparkSession, root: str, meta: IndexMeta, query: str,
-                 terms_dedup: list[str], idf_by_term: dict[str, float],
-                 k: int) -> DataFrame:
-    """Phrase ("whole words") mode over the positional index — reference
-    ``PhraseQuery`` path (R:285-301). Consecutive-position chain evaluated
-    with built-in array functions; scored as the conjunctive BM25 of the
-    constituent terms (documented deviation from Lucene's phrase-freq
-    scoring; the oracle uses the same definition)."""
-    from ..tokenizer import tokenize_text
-    seq = tokenize_text(query)          # with duplicates, in order
-    if not seq:
-        return spark.createDataFrame([], "doc_id long, score double")
-    if not meta.positions:
-        raise ValueError("index was built without positions=True")
-    paths = IndexPaths(root)
-    buckets = sorted(set(_buckets_of(sorted(set(seq)), meta.n_buckets,
-                                     spark).values()))
-    pos = (spark.read.parquet(paths.positions)
-           .filter(F.col("bucket").isin(buckets)
-                   & F.col("term").isin(list(set(seq)))))
-
-    joined = None
-    for i, t in enumerate(seq):
-        side = (pos.filter(F.col("term") == t)
-                .select("doc_id", F.col("positions").alias(f"p{i}")))
-        joined = side if joined is None else joined.join(side, "doc_id")
-    chain = F.filter(
-        F.col("p0"),
-        lambda p: reduce(lambda a, c: a & c,
-                         [F.array_contains(F.col(f"p{i}"), p + F.lit(i))
-                          for i in range(1, len(seq))],
-                         F.lit(True)))
-    cand = joined.filter(F.size(chain) > 0).select("doc_id")
-
-    # BM25 over the deduped constituent terms, tf = positions count
-    tf = (pos.join(F.broadcast(cand), "doc_id")
-          .select("doc_id", "term", F.size("positions").alias("tf")))
-    dl = load_doclens(spark, root)
-    idf_map = F.create_map(*[F.lit(x) for t in sorted(idf_by_term)
-                             for x in (t, idf_by_term[t])])
-    scored = (
-        tf.join(dl, "doc_id")
-        .withColumn("contrib",
-                    idf_map[F.col("term")] * F.col("tf") * F.lit(BM25_K1 + 1.0)
-                    / (F.col("tf") + F.lit(BM25_K1)
-                       * (F.lit(1.0 - BM25_B)
-                          + F.lit(BM25_B) * F.col("doclen") / F.lit(meta.avgdl))))
-        .groupBy("doc_id").agg(F.sum("contrib").alias("score"),
-                               F.count("*").alias("_nt"))
-        .filter(F.col("_nt") == len(terms_dedup))
-        .select("doc_id", "score"))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    while True:
+        hits = sess.topk(content_q, fetch, mode)
+        flt = (apply_meta(docmap.join(F.broadcast(hits), "doc_id"))
+               .select(*out_cols))
+        n_got = hits.count()
+        if flt.count() >= k or n_got < fetch:
+            return flt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        fetch *= 4
 
 
 def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:

@@ -33,9 +33,23 @@ from ..query.engine import load_meta
 
 def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                      *, merge_partitions: int | None = None) -> dict:
-    """Append a batch of new documents to an existing index (micro-batch
-    upsert path). New doc_ids start at the next range boundary, so existing
-    postings/norms waves are never rewritten."""
+    """Upsert a batch of documents into an existing index (micro-batch path).
+    New doc_ids start at the next range boundary, so existing postings/norms
+    waves are never rewritten.
+
+    True upsert semantics (reference ``cLuceneIndexWriter.java:115``
+    ``updateDocument`` = delete-by-term + add): a batch row whose (repo, path)
+    already exists in the docmap REPLACES the old version iff its commit is
+    strictly newer — the old doc_id is tombstoned (ops.maintenance delete
+    list, honored by every query path) — and is DROPPED iff its commit is
+    older-or-equal (latest-commit-wins, and equal commit = the same document).
+    The equal-commit drop also makes a retried/crash-replayed micro-batch
+    (watch_corpus foreachBatch is at-least-once) a no-op instead of a
+    duplicate-doc_id append; tombstones are recomputed from the batch on
+    every call, so a crash between the docmap write and the delete-list
+    write repairs itself on retry. The wave build resumes pending ranges
+    regardless, so a crash between docmap write and build also self-heals.
+    """
     meta = load_meta(spark, root)
     paths = IndexPaths(root)
     start_id = meta.n_ranges * meta.range_size
@@ -46,16 +60,48 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                   Window.partitionBy("repo", "path")
                   .orderBy(F.desc("commit"))))
               .filter(F.col("_rn") == 1).drop("_rn"))
-    w = Window.orderBy(*DOC_ORDER)
-    add = (latest.withColumn("doc_id",
+
+    # cross-batch upsert resolution against the existing docmap; the docmap
+    # may hold several generations per key (older ones tombstoned, removed
+    # only at compaction) — compare against the LIVE latest generation
+    old = (spark.read.parquet(paths.docmap)
+           .groupBy("repo", "path")
+           .agg(F.max(F.struct(F.col("commit"), F.col("doc_id")))
+                .alias("_m"))
+           .select("repo", "path",
+                   F.col("_m.commit").alias("_old_commit"),
+                   F.col("_m.doc_id").alias("_old_id")))
+    joined = latest.join(old, ["repo", "path"], "left").persist()
+    add = (joined
+           .filter(F.col("_old_commit").isNull()
+                   | (F.col("commit") > F.col("_old_commit")))
+           .drop("_old_id", "_old_commit"))
+    supersede = [int(r["_old_id"]) for r in
+                 (joined.filter(F.col("_old_commit").isNotNull()
+                                & (F.col("commit") > F.col("_old_commit")))
+                  .select("_old_id").distinct().collect())]
+
+    if add.limit(1).count() > 0:
+        # batch-sized data: a global window is fine here (micro-batches);
+        # the bulk path is corpus.build_docmap's range-partitioned numbering
+        w = Window.orderBy(*DOC_ORDER)
+        add = add.withColumn("doc_id",
                              (F.row_number().over(w) - 1 + start_id)
-                             .cast("long")))
-    add = (add.withColumn("size", F.length("content").cast("long"))
-           .withColumn("content_sha256",
-                       F.sha2(F.col("content").cast("binary"), 256))
-           .select("doc_id", "repo", "path", "commit", "lang", "size",
-                   "content_sha256", "content"))
-    add.write.mode("append").parquet(paths.docmap)
+                             .cast("long"))
+        add = (add.withColumn("size", F.length("content").cast("long"))
+               .withColumn("content_sha256",
+                           F.sha2(F.col("content").cast("binary"), 256))
+               .select("doc_id", "repo", "path", "commit", "lang", "size",
+                       "content_sha256", "content"))
+        add.write.mode("append").parquet(paths.docmap)
+    joined.unpersist()
+    if supersede:
+        from ..ops.maintenance import append_deletes, read_deletes
+        already = {int(r["doc_id"]) for r in
+                   read_deletes(spark, root).collect()}
+        fresh = sorted(set(supersede) - already)
+        if fresh:
+            append_deletes(spark, root, fresh)
 
     # rebuild only the new ranges by rerunning build with the appended docmap:
     # mark all pre-existing ranges complete under the NEW snapshot so only the

@@ -1,0 +1,231 @@
+"""Round-2 query-path features: block-max WAND score pruning (the
+north_rule's named mechanism), delete tombstones honored by every query
+path, exact multi-field conjunction via scorer allowlists, and index wipe."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from luceneindexer_spark.corpus import HOT_TERM, PHRASE, synth_corpus
+from luceneindexer_spark.index.build import DOCLEN_TERM, build_index
+from luceneindexer_spark.ops import maintenance as M
+from luceneindexer_spark.query import engine
+from luceneindexer_spark.query.oracle import bm25_topk_oracle
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND
+# ---------------------------------------------------------------------------
+
+def test_wand_skips_blocks_on_planted_hot_term(spark, tmp_path):
+    """A hot term whose high-impact postings (high tf, short docs) live in
+    one 128-doc stripe: WAND must answer top-10 after decoding only the
+    high-upper-bound blocks, and the answer must equal the full decode."""
+    n = 2048
+    rows = []
+    for i in range(n):
+        if i < 128:
+            content = ("hotterm " * 5) + f"tiny{i}"
+        else:
+            content = "hotterm " + ("bulkword " * 400)
+        rows.append(("r", f"src/f{i:05d}.py", f"c{i:05d}", "python", content))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    root = str(tmp_path / "wand_idx")
+    build_index(spark, corpus, root, n_buckets=2, range_size=4096, waves=1)
+
+    meta = engine.load_meta(spark, root)
+    post = spark.read.parquet(os.path.join(root, "postings"))
+    hot_pdf = post.filter(F.col("term") == "hotterm").toPandas()
+    norms_pdf = post.filter(F.col("term") == DOCLEN_TERM).toPandas()
+    assert len(hot_pdf) == 1 and len(norms_pdf) == 1
+
+    df = int(hot_pdf["df"].iloc[0])
+    idf = engine._idf(meta.n_docs, df)
+    counters: dict = {}
+    scorer = engine._make_range_scorer(
+        ["hotterm"], {"hotterm": idf}, meta.avgdl, k=10, counters=counters)
+    got = scorer(None, hot_pdf, norms_pdf)
+
+    # pruning actually happened: 16 posting blocks, only the seed chunk read
+    assert counters["blocks_total"] == 16
+    assert counters["blocks_decoded"] < counters["blocks_total"]
+    assert counters["blocks_decoded"] <= 8
+
+    # exactness: identical to a full decode + full scoring
+    from luceneindexer_spark.codecs import decode_postings
+    ep = engine._ep_from_row(next(hot_pdf.itertuples()))
+    nep = engine._ep_from_row(next(norms_pdf.itertuples()))
+    docs, tfs = decode_postings(ep)
+    nd, ntf = decode_postings(nep)
+    dl = ntf[np.searchsorted(nd, docs)].astype(np.float64)
+    tf = tfs.astype(np.float64)
+    score = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / meta.avgdl))
+    order = np.lexsort((docs, -score))[:10]
+    assert got["doc_id"].tolist() == docs[order].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(), score[order],
+                               rtol=0, atol=1e-12)
+
+    # and the distributed path agrees with the naive oracle end-to-end
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            bm25_topk_oracle(docmap, "hotterm", k=10).collect()]
+    have = [(r.doc_id, round(r.score, 9)) for r in
+            engine.bm25_topk(spark, root, "hotterm", k=10).collect()]
+    assert have == want
+
+
+# ---------------------------------------------------------------------------
+# deletes + exact multi-field + wipe (shared n300 index)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_qf"))
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1,
+                positions=True)
+    docmap = spark.read.parquet(f"{root}/docmap")
+    return root, docmap
+
+
+def _linked_copy(root: str, dst: str) -> str:
+    """An index root sharing the source's data dirs via symlinks but with its
+    OWN delete list — lets delete tests exercise the real tombstone read
+    path without polluting the shared fixture."""
+    os.makedirs(dst, exist_ok=True)
+    for sub in ("docmap", "postings", "term_stats", "corpus_stats"):
+        os.symlink(os.path.join(root, sub), os.path.join(dst, sub))
+    import shutil
+    shutil.copy(os.path.join(root, "_PUBLISHED"),
+                os.path.join(dst, "_PUBLISHED"))
+    return dst
+
+
+def test_deleted_doc_never_surfaces(built, spark, tmp_path):
+    root, docmap = built
+    droot = _linked_copy(root, str(tmp_path / "del_idx"))
+    base = engine.bm25_topk(spark, droot, HOT_TERM, k=10).collect()
+    victim = int(base[0].doc_id)
+    M.append_deletes(spark, droot, [victim])
+
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           engine.bm25_topk(spark, droot, HOT_TERM, k=10).collect()]
+    assert victim not in [g[0] for g in got]
+    # expected = full oracle list with the tombstone filtered out (stats
+    # unchanged until compaction — reference lazy-delete semantics)
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            bm25_topk_oracle(docmap, HOT_TERM, k=11).collect()
+            if r.doc_id != victim][:10]
+    assert got == want
+
+    # batch path honors the tombstone too
+    qs = engine.QuerySession(spark, droot)
+    batch = qs.topk_batch({"q": HOT_TERM}, k=10).collect()
+    assert victim not in [r.doc_id for r in batch]
+    assert [(r.doc_id, round(r.score, 9)) for r in
+            sorted(batch, key=lambda r: r.rank)] == want
+
+    # phrase path: delete the top phrase hit, it must vanish
+    ph = engine.bm25_topk(spark, droot, PHRASE, k=10, mode="phrase").collect()
+    assert len(ph) > 0
+    pvictim = int(ph[0].doc_id)
+    M.append_deletes(spark, droot, [pvictim])
+    ph2 = engine.bm25_topk(spark, droot, PHRASE, k=10,
+                           mode="phrase").collect()
+    assert pvictim not in [r.doc_id for r in ph2]
+
+    # metadata-only search_fields excludes tombstones
+    row = docmap.filter(F.col("doc_id") == victim).collect()[0]
+    m = engine.search_fields(spark, droot, {"repo": row.repo},
+                             k=1000).collect()
+    assert victim not in [r.doc_id for r in m]
+
+
+def _expected_conjunction(docmap, query, pred, k):
+    """Ground truth for multi-field: full-corpus BM25 scores, candidate set
+    restricted by the metadata predicate, top-k."""
+    full = bm25_topk_oracle(docmap, query, k=100000)
+    keep = {r.doc_id for r in docmap.filter(pred).collect()}
+    out = [(r.doc_id, round(r.score, 9)) for r in full.collect()
+           if r.doc_id in keep]
+    return out[:k]
+
+
+def test_multifield_exact_selective_predicate(built, spark):
+    root, docmap = built
+    # pick the repo of the LOWEST-ranked hot hit: its matches sit below any
+    # fixed over-fetch horizon, so only the exact conjunction finds them all
+    full = bm25_topk_oracle(docmap, HOT_TERM, k=100000).collect()
+    repo_of = {r.doc_id: r.repo for r in
+               docmap.select("doc_id", "repo").collect()}
+    target_repo = repo_of[full[-1].doc_id]
+    pred = F.lower(F.col("repo")).contains(target_repo.lower())
+    want = _expected_conjunction(docmap, HOT_TERM, pred, k=10)
+    assert 0 < len(want) <= 10
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           engine.search_fields(spark, root,
+                                {"content": HOT_TERM, "repo": target_repo},
+                                k=10).collect()]
+    assert got == want
+    assert full[-1].doc_id in [g[0] for g in got] or len(want) == 10
+
+    # k larger than the default fetch floor relative to match density
+    pred2 = F.lower(F.col("lang")).contains("python")
+    want2 = _expected_conjunction(docmap, HOT_TERM, pred2, k=30)
+    got2 = [(r.doc_id, round(r.score, 9)) for r in
+            engine.search_fields(spark, root,
+                                 {"content": HOT_TERM, "lang": "python"},
+                                 k=30).collect()]
+    assert got2 == want2
+    assert len(got2) == min(30, len(want2))
+
+
+def test_multifield_overfetch_fallback_exact(built, spark, monkeypatch):
+    """Force the doubling over-fetch branch (unselective-predicate path) and
+    require the identical exact answer."""
+    root, docmap = built
+    monkeypatch.setattr(engine, "ALLOWLIST_MAX", 0)
+    full = bm25_topk_oracle(docmap, HOT_TERM, k=100000).collect()
+    repo_of = {r.doc_id: r.repo for r in
+               docmap.select("doc_id", "repo").collect()}
+    target_repo = repo_of[full[-1].doc_id]
+    pred = F.lower(F.col("repo")).contains(target_repo.lower())
+    want = _expected_conjunction(docmap, HOT_TERM, pred, k=10)
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           engine.search_fields(spark, root,
+                                {"content": HOT_TERM, "repo": target_repo},
+                                k=10).collect()]
+    assert got == want
+
+
+def test_phrase_with_metadata_conjunction(built, spark):
+    root, docmap = built
+    all_ph = engine.bm25_topk(spark, root, PHRASE, k=1000,
+                              mode="phrase").collect()
+    assert len(all_ph) > 1
+    langs = {r.doc_id: r.lang for r in docmap.select("doc_id", "lang")
+             .collect()}
+    want = [r.doc_id for r in all_ph if langs[r.doc_id] == "python"][:5]
+    got = [r.doc_id for r in
+           engine.search_fields(spark, root,
+                                {"content": PHRASE, "lang": "python"},
+                                k=5, mode="phrase").collect()]
+    assert got == want and len(got) > 0
+
+
+def test_delete_index_wipes_everything(built, spark, tmp_path):
+    src, _ = built
+    root = str(tmp_path / "wipe_idx")
+    corpus = synth_corpus(spark, 40, partitions=2)
+    build_index(spark, corpus, root, n_buckets=2, range_size=64, waves=1)
+    M.append_deletes(spark, root, [1])
+    from luceneindexer_spark.index import manifest as mf
+    assert mf.published(root) is not None
+    M.delete_index(root)
+    assert mf.published(root) is None
+    for sub in M.INDEX_SUBDIRS:
+        assert not os.path.exists(os.path.join(root, sub))

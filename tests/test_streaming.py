@@ -73,6 +73,71 @@ def test_second_append_and_dedup_within_batch(spark, tmp_path):
     assert added.filter(~F.col("content").contains("revisedAgain")).count() == 0
 
 
+def test_cross_batch_upsert_supersedes_old_version(spark, tmp_path):
+    """A newer commit of an existing (repo, path) must REPLACE the old doc:
+    the old doc_id is tombstoned and stops surfacing from index queries
+    (reference updateDocument = delete-by-term + add)."""
+    root = str(tmp_path / "idx_up")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    v1 = _new_docs(spark, 4, "v")
+    append_documents(spark, root, v1)
+    old_hits = engine.bm25_topk(spark, root, "incrementalToken",
+                                k=20).collect()
+    assert len(old_hits) == 4
+    old_ids = {r.doc_id for r in old_hits}
+
+    # same keys, strictly newer commits ('z' sorts after sha hex), new token
+    v2 = (v1.withColumn("commit", F.concat(F.lit("z"),
+                                           F.col("commit").substr(2, 39)))
+          .withColumn("content",
+                      F.concat(F.col("content"), F.lit(" supersededToken"))))
+    append_documents(spark, root, v2)
+
+    new_hits = engine.bm25_topk(spark, root, "supersededToken", k=20).collect()
+    assert len(new_hits) == 4
+    assert {r.doc_id for r in new_hits}.isdisjoint(old_ids)
+    # old versions are gone from every query, not just the new-token one
+    inc = engine.bm25_topk(spark, root, "incrementalToken", k=20).collect()
+    assert {r.doc_id for r in inc} == {r.doc_id for r in new_hits}
+
+    # an OLDER commit arriving later is dropped (latest-commit-wins)
+    v0 = (v1.withColumn("commit", F.concat(F.lit("0"),
+                                           F.col("commit").substr(2, 39)))
+          .withColumn("content", F.lit("staleResurrection")))
+    append_documents(spark, root, v0)
+    assert engine.bm25_topk(spark, root, "staleResurrection",
+                            k=5).count() == 0
+
+    # vacuum view = live docs only
+    from luceneindexer_spark.ops.maintenance import vacuum_docmap
+    live = vacuum_docmap(spark, root)
+    assert live.filter(F.col("repo").startswith("inc/")).count() == 4
+
+
+def test_append_retry_is_idempotent(spark, tmp_path):
+    """Replaying the same micro-batch (at-least-once foreachBatch) must be a
+    no-op: no duplicate doc_ids, identical query results."""
+    root = str(tmp_path / "idx_idem")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    batch = _new_docs(spark, 6, "r1")
+    append_documents(spark, root, batch)
+    docmap1 = spark.read.parquet(os.path.join(root, "docmap"))
+    n1 = docmap1.count()
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            engine.bm25_topk(spark, root, "incrementalToken", k=20).collect()]
+
+    append_documents(spark, root, batch)  # the retry
+    docmap2 = spark.read.parquet(os.path.join(root, "docmap"))
+    assert docmap2.count() == n1
+    assert (docmap2.groupBy("doc_id").count().filter("count > 1").count()
+            == 0)
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           engine.bm25_topk(spark, root, "incrementalToken", k=20).collect()]
+    assert got == want
+
+
 def test_watch_corpus_ingests_backlog(spark, tmp_path):
     root = str(tmp_path / "idx3")
     build_index(spark, synth_corpus(spark, 100, partitions=2), root,
