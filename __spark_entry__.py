@@ -34,17 +34,22 @@ from luceneindexer_spark.ops.hashing import MINHASH_P, h60_sql, perm_coeffs
 from luceneindexer_spark.query import engine
 from luceneindexer_spark.query.oracle import bm25_topk_oracle, query_terms
 from luceneindexer_spark.streaming.incremental import events_stream_agg
-from luceneindexer_spark.tokenizer import duckdb_tokens_cte
+from luceneindexer_spark.tokenizer import (duckdb_tokens_cte,
+                                           duckdb_tokens_pos_cte)
 
 # pinned query set over the driver `documents` table's vocabulary
 BM25_QUERY = "table stream window"
 INTERSECT_TERMS = ("table", "stream")
 MULTIFIELD_TERMS = ("merge", "spark")
 PHRASE = "batch batch batch"
+INDEX_PHRASE = "table hash"          # occurs consecutively in real sf docs
+MULTIFIELD_LANG = "en"
 DELETED_IDS = tuple(range(10))
+ANN_PROBES = 10
 
 K1_1 = BM25_K1 + 1.0  # 2.2
 _INDEX_CACHE: dict[str, str] = {}
+_DELETE_ROOT_CACHE: dict[str, str] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,9 +73,30 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
     (docmap.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
      .write.mode("overwrite").parquet(paths_docmap))
     build_index(spark, None, root, n_buckets=4, range_size=512, waves=1,
-                resume=True)
+                positions=True, resume=True)
     _INDEX_CACHE[sf_dir] = root
     return root
+
+
+def _delete_test_root(spark: SparkSession, sf_dir: str) -> str:
+    """A second index root sharing the base index's data via symlinks but
+    carrying its OWN tombstone list: the BM25_QUERY rank-1 doc is deleted, so
+    `bm25_after_delete` exercises the real delete-list read path without
+    affecting the other contract queries."""
+    root2 = _DELETE_ROOT_CACHE.get(sf_dir)
+    if root2 and os.path.exists(os.path.join(root2, "_PUBLISHED")):
+        return root2
+    root1 = _index_root(spark, sf_dir)
+    root2 = tempfile.mkdtemp(prefix="li_spark_del_")
+    import shutil
+    for sub in ("docmap", "postings", "term_stats", "corpus_stats"):
+        os.symlink(os.path.join(root1, sub), os.path.join(root2, sub))
+    shutil.copy(os.path.join(root1, "_PUBLISHED"),
+                os.path.join(root2, "_PUBLISHED"))
+    top1 = engine.bm25_topk(spark, root1, BM25_QUERY, k=1).collect()[0]
+    M.append_deletes(spark, root2, [int(top1.doc_id)])
+    _DELETE_ROOT_CACHE[sf_dir] = root2
+    return root2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -102,6 +128,57 @@ def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _index_root(spark, sf_dir)
     r = engine.bm25_topk(spark, root, BM25_QUERY, k=10)
     return _round6(r, "score")
+
+
+def _q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 through the index: the query's rank-1 doc is tombstoned; the
+    engine's top-10 must be the oracle's ranks 2..11 (lazy-delete semantics:
+    corpus stats unchanged until compaction)."""
+    root = _delete_test_root(spark, sf_dir)
+    r = engine.bm25_topk(spark, root, BM25_QUERY, k=10)
+    return _round6(r, "score")
+
+
+def _q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search THROUGH the index (consecutive positions in
+    the stopword-filtered token stream), BM25-scored."""
+    root = _index_root(spark, sf_dir)
+    r = engine.bm25_topk(spark, root, INDEX_PHRASE, k=10, mode="phrase")
+    return _round6(r, "score")
+
+
+def _q_multifield_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-field conjunction THROUGH the index: content clause
+    BM25-ranked, lang clause pushed into the scorer as a per-range doc
+    allowlist."""
+    root = _index_root(spark, sf_dir)
+    r = engine.search_fields(
+        spark, root, {"content": " ".join(MULTIFIELD_TERMS),
+                      "lang": MULTIFIELD_LANG}, k=10)
+    return _round6(r.select("doc_id", "score", "lang"), "score")
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN correctness signal: recall@10 of the multi-probe sketch search vs
+    the (separately oracle-checked) exact brute force, over ANN_PROBES probe
+    vectors. The oracle pins recall >= 0.9 (at this sf the adaptive sketch
+    width probes most buckets, so recall is ~1; at corpus scale the width
+    grows and recall degrades gracefully — documented trade)."""
+    emb = _emb(spark, sf_dir)
+    idx = S.build_sketch_index(emb).persist()
+    idx.count()
+    probes = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+              for r in emb.filter(F.col("vec_id") < ANN_PROBES).collect()}
+    hits = 0
+    for _vid, qv in sorted(probes.items()):
+        ann = {r["id"] for r in S.ann_lsh_topk(idx, qv, k=10).collect()}
+        exact = {r["id"] for r in S.cosine_topk(emb, qv, k=10).collect()}
+        hits += len(ann & exact)
+    idx.unpersist()
+    recall = hits / (10.0 * len(probes))
+    return spark.createDataFrame(
+        [(len(probes), bool(recall >= 0.9))],
+        "n_queries long, recall_ge_090 boolean")
 
 
 def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
+        "bm25_after_delete": _q_bm25_after_delete,
+        "phrase_search_index": _q_phrase_index,
+        "multifield_search_index": _q_multifield_index,
+        "ann_recall_check": _q_ann_recall,
         "term_df_top20": _q_term_df,
         "corpus_stats": _q_corpus_stats,
         "sha256_invariant": _q_sha256,
@@ -345,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = duckdb_tokens_cte("documents", "doc_id", "text")
+_TOKP = duckdb_tokens_pos_cte("documents", "doc_id", "text")
 
 _SIMPLE_TOK = """
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
@@ -361,9 +443,36 @@ _SHINGLES = """
 """
 
 
-def _bm25_sql(query: str, k: int) -> str:
+def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
+              phrase: str | None = None, lang: str | None = None,
+              with_lang_col: bool = False) -> str:
+    """Conjunctive BM25 top-k oracle, optionally restricted to docs
+    containing ``phrase`` consecutively (stopword-filtered position space),
+    to a lang, and/or with the global rank-1 doc excluded (the delete
+    contract: tombstoned rank-1 must yield ranks 2..k+1, stats unchanged)."""
     terms = query_terms(query)
     in_list = ", ".join("'" + t + "'" for t in terms)
+    restrict = ""
+    phrase_cte = ""
+    if phrase is not None:
+        pterms = query_terms(phrase)  # oracle limited to 2-term phrases here
+        assert len(pterms) == 2
+        phrase_cte = f""",
+tokp AS ({_TOKP}),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id FROM tokp a JOIN tokp b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{pterms[0]}' AND b.term = '{pterms[1]}')"""
+        restrict += " AND doc_id IN (SELECT doc_id FROM phrase_docs)"
+    if lang is not None:
+        restrict += (" AND doc_id IN (SELECT doc_id FROM documents"
+                     f" WHERE lang = '{lang}')")
+    top1 = ""
+    if exclude_rank1:
+        top1 = f""",
+top1 AS (SELECT doc_id FROM scored WHERE nt = {len(terms)}
+         ORDER BY score DESC, doc_id ASC LIMIT 1)"""
+        restrict += " AND doc_id NOT IN (SELECT doc_id FROM top1)"
     return f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
@@ -380,9 +489,11 @@ scored AS (
                + {BM25_B} * dl.doclen / s.avgdl))) AS score,
          count(*) AS nt
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id)
-SELECT doc_id, round(score, 6)::DOUBLE AS score
-FROM scored WHERE nt = {len(terms)}
+  GROUP BY tf.doc_id){phrase_cte}{top1}
+SELECT doc_id, round(score, 6)::DOUBLE AS score{
+    ", lang" if with_lang_col else ""}
+FROM scored{" JOIN documents USING (doc_id)" if with_lang_col else ""}
+WHERE nt = {len(terms)}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -635,7 +746,20 @@ FROM x GROUP BY doc_id
         "minhash_dedup_pairs": _minhash_pairs_sql(0.5),
         "simhash_dedup_pairs": _simhash_pairs_sql(3),
         "embedding_cosine_topk": _COSINE_SQL,
-        # ann_lsh_topk: no SQL oracle (probabilistic probe set) → rows-only
+        # ann_lsh_topk: at this sf the adaptive sketch width + radius-2
+        # multiprobe covers enough buckets that the approximate search
+        # provably returns the exact top-10 — checkable against the same
+        # brute-force SQL; ann_recall_check additionally pins recall >= 0.9
+        # as an explicit regression gate
+        "ann_lsh_topk": _COSINE_SQL,
+        "ann_recall_check":
+            f"SELECT {ANN_PROBES}::BIGINT AS n_queries, true AS recall_ge_090",
+        "bm25_after_delete": _bm25_sql(BM25_QUERY, 10, exclude_rank1=True),
+        "phrase_search_index": _bm25_sql(INDEX_PHRASE, 10,
+                                         phrase=INDEX_PHRASE),
+        "multifield_search_index": _bm25_sql(
+            " ".join(MULTIFIELD_TERMS), 10, lang=MULTIFIELD_LANG,
+            with_lang_col=True),
         "lang_id": _lang_id_sql(),
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

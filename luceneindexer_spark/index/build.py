@@ -412,69 +412,89 @@ def build_index(
     def _mark(name: str, t: float) -> None:
         timings[name] = timings.get(name, 0.0) + (time.time() - t)
 
-    for w in sorted(pending_by_wave):
-        wave_ranges = pending_by_wave[w]
-        tw = time.time()
-        lo = min(wave_ranges) * range_size
-        hi = (max(wave_ranges) + 1) * range_size
-        sub = (docmap
-               .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-               .filter(rng_col.isin(wave_ranges)))
+    # The tokenize stage reads the docmap parquet DIRECTLY: the docmap was
+    # written doc_id-sorted with ~one file per writer partition, so sizing
+    # the file splits (maxPartitionBytes below any single file, openCost 0)
+    # yields >= merge_partitions contiguous-doc-interval tasks WITHOUT the
+    # repartitionByRange this stage previously paid — that was a full
+    # shuffle of every content byte plus a boundary-sampling pass over the
+    # table, eliminated entirely. Falls back to repartitionByRange when the
+    # docmap has too few files (e.g. a foreign docmap on resume); the merge
+    # handles interleaved runs either way.
+    import glob as _glob
+    n_files = len(_glob.glob(os.path.join(paths.docmap, "*.parquet")))
+    scan_split = n_files >= max(2, merge_partitions // 2)
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in ("spark.sql.files.maxPartitionBytes",
+                                      "spark.sql.files.openCostInBytes")}
+    if scan_split:
+        db_bytes = mf.dir_bytes(paths.docmap)
+        conf.set("spark.sql.files.maxPartitionBytes",
+                 str(max(1 << 20, db_bytes // (2 * merge_partitions))))
+        conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        for w in sorted(pending_by_wave):
+            wave_ranges = pending_by_wave[w]
+            tw = time.time()
+            lo = min(wave_ranges) * range_size
+            hi = (max(wave_ranges) + 1) * range_size
+            sub = (docmap
+                   .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                   .filter(rng_col.isin(wave_ranges)))
 
-        # Explicitly set the tokenize-stage parallelism: parquet file
-        # bin-packing (maxPartitionBytes + openCost) would otherwise collapse
-        # a compact docmap into 1-2 input splits and serialize the most
-        # expensive stage. Range partitioning by doc_id keeps each task a
-        # contiguous doc interval, so each (term, range) still yields ~1 run.
-        runs = (sub.select("doc_id", "content")
-                .repartitionByRange(merge_partitions, "doc_id")
-                .mapInPandas(_runs_generator(range_size, positions),
-                             RUNS_SCHEMA))
-        merged = (runs
-                  .repartition(merge_partitions, "term", "range_id")
-                  .sortWithinPartitions("term", "range_id", "first_docid")
-                  .mapInPandas(_merge_generator(), POSTINGS_SCHEMA)
-                  .withColumn("bucket",
-                              F.pmod(F.xxhash64("term"),
-                                     F.lit(n_buckets)).cast("int")))
-        wave_post_dir = paths.wave_dir(paths.postings, w)
-        (merged.write.mode("overwrite").partitionBy("bucket")
-               .parquet(wave_post_dir))
-        _mark("postings_write", tw)
+            tok_in = sub.select("doc_id", "content")
+            if not scan_split:
+                tok_in = tok_in.repartitionByRange(merge_partitions, "doc_id")
+            runs = tok_in.mapInPandas(_runs_generator(range_size, positions),
+                                      RUNS_SCHEMA)
+            merged = (runs
+                      .repartition(merge_partitions, "term", "range_id")
+                      .sortWithinPartitions("term", "range_id", "first_docid")
+                      .mapInPandas(_merge_generator(), POSTINGS_SCHEMA)
+                      .withColumn("bucket",
+                                  F.pmod(F.xxhash64("term"),
+                                         F.lit(n_buckets)).cast("int")))
+            wave_post_dir = paths.wave_dir(paths.postings, w)
+            (merged.write.mode("overwrite").partitionBy("bucket")
+                   .parquet(wave_post_dir))
+            _mark("postings_write", tw)
 
-        # per-range manifest stats: postings counts from ONE pass over the
-        # (tiny) written wave; doc counts from the docmap slice (counts EVERY
-        # doc in the range, including empty/all-stopword docs — the A7
-        # progress-counter semantics; DOCLEN_TERM df would count only
-        # tokenized docs)
-        tm = time.time()
-        written = spark.read.parquet(wave_post_dir)
-        stats_rows = (written.filter(F.col("term") != DOCLEN_TERM)
-                      .groupBy("range_id").agg(F.sum("df").alias("np"))
-                      .collect())
-        post_stats = {int(r["range_id"]): int(r["np"]) for r in stats_rows}
-        doc_stats = {int(r["rid"]): int(r["nd"]) for r in
-                     (sub.groupBy(rng_col.alias("rid"))
-                      .agg(F.count("*").alias("nd")).collect())}
-        wave_bytes = mf.dir_bytes(wave_post_dir)
-        wall = time.time() - tw
-        mf.append_rows(spark, out_dir, [{
-            "stage": "postings", "partition_id": r, "wave": w,
-            "input_snapshot": snapshot,
-            "n_docs": doc_stats.get(r, 0),
-            "n_postings": post_stats.get(r, 0),
-            "bytes": wave_bytes // max(1, len(wave_ranges)),
-            "wall_time_s": wall / max(1, len(wave_ranges)),
-            "status": mf.STATUS_COMPLETE, "attempt": attempt,
-            "finished_at": mf.now_iso(),
-        } for r in wave_ranges])
-        _mark("manifest", tm)
-        waves_done += 1
-        report["waves_built"] = waves_done
-        report["ranges_built"] += len(wave_ranges)
-        if _stop_after_waves is not None and waves_done >= _stop_after_waves:
-            raise BuildInterrupted(
-                f"test hook: stopped after {waves_done} wave(s)")
+            # per-range manifest stats: postings counts from ONE pass over the
+            # (tiny) written wave; doc counts from the docmap slice (counts EVERY
+            # doc in the range, including empty/all-stopword docs — the A7
+            # progress-counter semantics; DOCLEN_TERM df would count only
+            # tokenized docs)
+            tm = time.time()
+            written = spark.read.parquet(wave_post_dir)
+            stats_rows = (written.filter(F.col("term") != DOCLEN_TERM)
+                          .groupBy("range_id").agg(F.sum("df").alias("np"))
+                          .collect())
+            post_stats = {int(r["range_id"]): int(r["np"]) for r in stats_rows}
+            doc_stats = {int(r["rid"]): int(r["nd"]) for r in
+                         (sub.groupBy(rng_col.alias("rid"))
+                          .agg(F.count("*").alias("nd")).collect())}
+            wave_bytes = mf.dir_bytes(wave_post_dir)
+            wall = time.time() - tw
+            mf.append_rows(spark, out_dir, [{
+                "stage": "postings", "partition_id": r, "wave": w,
+                "input_snapshot": snapshot,
+                "n_docs": doc_stats.get(r, 0),
+                "n_postings": post_stats.get(r, 0),
+                "bytes": wave_bytes // max(1, len(wave_ranges)),
+                "wall_time_s": wall / max(1, len(wave_ranges)),
+                "status": mf.STATUS_COMPLETE, "attempt": attempt,
+                "finished_at": mf.now_iso(),
+            } for r in wave_ranges])
+            _mark("manifest", tm)
+            waves_done += 1
+            report["waves_built"] = waves_done
+            report["ranges_built"] += len(wave_ranges)
+            if _stop_after_waves is not None and waves_done >= _stop_after_waves:
+                raise BuildInterrupted(
+                    f"test hook: stopped after {waves_done} wave(s)")
+    finally:
+        for key, v in saved.items():
+            conf.set(key, v)
 
     # ---- global stats + publish ----
     t1 = time.time()

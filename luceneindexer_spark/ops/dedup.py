@@ -99,9 +99,52 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sh.groupBy("id").agg(*aggs)
 
 
+#: quadratic-blowup guard: buckets above this size switch from all-pairs to
+#: star pairing (see capped_bucket_pairs). Far above anything the oracle-sf
+#: data produces, so small-scale outputs are unchanged.
+MAX_BUCKET = 256
+
+
+def capped_bucket_pairs(buckets: DataFrame, key_cols: list[str],
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Within-bucket candidate pairs with a bucket-size guard.
+
+    Buckets with <= max_bucket members emit ALL (id_a < id_b) pairs; a
+    degenerate bucket (empty docs, license boilerplate, identical shards)
+    instead emits STAR pairs — every member against the bucket's min id —
+    turning the single-reducer O(N²) worst case into O(N) while preserving
+    duplicate GROUPS: every member still connects to the representative, so
+    the transitive group (dedup_drop_list keep-smallest) is identical. The
+    recall trade (an x~y pair inside an oversized bucket where neither
+    resembles the representative goes unverified) is the documented cost of
+    boundedness; verification (exact Jaccard / cosine) is unchanged.
+    The bucket-count window shuffles on the same keys as the join itself —
+    no extra shuffle stage.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(*key_cols)
+    b = (buckets.withColumn("_cnt", F.count("*").over(w))
+                .withColumn("_rep", F.min("id").over(w)))
+    small = b.filter(F.col("_cnt") <= max_bucket)
+    left = small.alias("l")
+    right = small.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for kcol in key_cols:
+        cond = (F.col(f"l.{kcol}") == F.col(f"r.{kcol}")) & cond
+    all_pairs = (left.join(right, cond)
+                 .select(F.col("l.id").alias("id_a"),
+                         F.col("r.id").alias("id_b")))
+    star = (b.filter((F.col("_cnt") > max_bucket)
+                     & (F.col("id") > F.col("_rep")))
+            .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b")))
+    return all_pairs.unionByName(star).distinct()
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS,
-                        rows: int = LSH_ROWS) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+                        rows: int = LSH_ROWS,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket,
+    bucket-size-capped (capped_bucket_pairs)."""
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -112,13 +155,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS,
     buckets = band_rows[0]
     for br in band_rows[1:]:
         buckets = buckets.unionByName(br)
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (left.join(right, (F.col("l.band") == F.col("r.band"))
-                      & (F.col("l.bkey") == F.col("r.bkey"))
-                      & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct())
+    return capped_bucket_pairs(buckets, ["band", "bkey"], max_bucket)
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str,
@@ -205,23 +242,18 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     chunks = None
     for c in range(4):
         part = sh.select(
-            F.col("id"), F.col("simhash"), F.lit(c).alias("chunk"),
+            F.col("id"), F.lit(c).alias("chunk"),
             F.shiftright(F.col("simhash"), c * 15).bitwiseAND(0x7FFF)
             .alias("ckey"))
         chunks = part if chunks is None else chunks.unionByName(part)
-    l = chunks.alias("l")
-    r = chunks.alias("r")
-    cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
-                   & (F.col("l.ckey") == F.col("r.ckey"))
-                   & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l.simhash").alias("sh_a"),
-                    F.col("r.simhash").alias("sh_b"))
-            .distinct())
-    return (cand.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming"))
+    cand = capped_bucket_pairs(chunks, ["chunk", "ckey"])
+    sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -263,13 +295,11 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str, vec_col: str,
                                  ).otherwise(F.lit(0).cast("long"))
     sk = emb.select(F.col(id_col).alias("id"), v.alias("_v"),
                     sketch.alias("sketch"))
-    l = sk.alias("l")
-    r = sk.alias("r")
-    cand = (l.join(r, (F.col("l.sketch") == F.col("r.sketch"))
-                   & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l._v").alias("va"), F.col("r._v").alias("vb")))
+    cand = capped_bucket_pairs(sk.select("id", "sketch"), ["sketch"])
+    va = sk.select(F.col("id").alias("id_a"), F.col("_v").alias("va"))
+    vb = sk.select(F.col("id").alias("id_b"), F.col("_v").alias("vb"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
-    return (cand.withColumn("cosine", cos)
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

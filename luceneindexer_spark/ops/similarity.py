@@ -106,29 +106,42 @@ def build_sketch_index(emb: DataFrame, id_col: str = "vec_id",
 
 
 def _hamming_ball(center: int, radius: int, n_bits: int) -> list[int]:
-    """All sketches within Hamming distance ``radius`` of center (small:
-    radius<=2, n_bits=16 → 137 values)."""
+    """All sketches within Hamming distance ``radius`` of center."""
+    from itertools import combinations
+    if radius >= n_bits:
+        return list(range(1 << n_bits))
     out = [center]
-    if radius >= 1:
-        for i in range(n_bits):
-            out.append(center ^ (1 << i))
-    if radius >= 2:
-        for i in range(n_bits):
-            for j in range(i + 1, n_bits):
-                out.append(center ^ (1 << i) ^ (1 << j))
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_bits), r):
+            v = center
+            for i in bits:
+                v ^= 1 << i
+            out.append(v)
     return out
+
+
+def pick_probe_radius(n_planes: int) -> int:
+    """nprobe scaling: with few buckets (narrow sketch = small corpus) probe
+    them ALL — pruning 16 buckets cannot pay for recall loss; from 7 planes
+    (128 buckets) up, radius-2 multi-probe gives the classic recall/cost
+    trade and the probed fraction shrinks as the corpus (and sketch width)
+    grows."""
+    return n_planes if n_planes <= 6 else 2
 
 
 def ann_lsh_topk(index: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int | None = None,
-                 probe_radius: int = 2) -> DataFrame:
-    """Approximate top-k: probe only buckets within ``probe_radius`` of the
-    query's sketch, exact cosine within them. (id, cosine) ordered like
-    cosine_topk. With the sketch index partitioned by sketch, the isin()
-    filter prunes partitions before any vector is read."""
+                 probe_radius: int | None = None) -> DataFrame:
+    """Approximate top-k: probe only buckets within ``probe_radius``
+    (default: pick_probe_radius) of the query's sketch, exact cosine within
+    them. (id, cosine) ordered like cosine_topk. With the sketch index
+    partitioned by sketch, the isin() filter prunes partitions before any
+    vector is read."""
     import numpy as np
     if n_planes is None:
         n_planes = int(index.select("n_planes").first()[0])
+    if probe_radius is None:
+        probe_radius = pick_probe_radius(n_planes)
     q = np.asarray(query_vec, dtype=np.float64)
     dim = q.size
     qsk = 0
@@ -145,17 +158,35 @@ def ann_lsh_topk(index: DataFrame, query_vec: list[float], k: int = 10,
 
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8) -> DataFrame:
+             n_planes: int | None = None,
+             probe_radius: int | None = None) -> DataFrame:
     """For each left row, its k nearest right rows by cosine — sketch-blocked
-    (coarse 8-bit sketch → equi-join) then windowed top-k per left id.
-    Returns (id_l, id_r, cosine, rank<=k). Approximate: only pairs agreeing
-    on the coarse sketch compete (recall/cost trade documented at call
-    sites; exact variant = crossJoin for small rights)."""
+    with ADAPTIVE width (pick_n_planes on the right-side count, so buckets
+    stay ~50 vectors regardless of corpus size — a fixed narrow sketch goes
+    quadratic on clustered embeddings) and Hamming-ball multi-probe
+    (pick_probe_radius: exhaustive below 64 buckets, radius-2 beyond).
+    Left rows are exploded into their probe buckets — each (l, r) pair can
+    match through exactly ONE probe (the xor of their sketches), so no
+    dedup pass is needed — then equi-joined and windowed top-k per left id.
+    Returns (id_l, id_r, cosine, rank<=k). Approximate beyond 64 buckets:
+    only pairs within the probe radius compete (recall measured vs the
+    brute-force baseline in tests)."""
     from pyspark.sql import Window
     diml = len(left.select(vec_col).first()[0])
+    if n_planes is None:
+        n_planes = pick_n_planes(right.count())
+    if probe_radius is None:
+        probe_radius = pick_probe_radius(n_planes)
+    masks = sorted(set(_hamming_ball(0, probe_radius, n_planes)))
     ls = left.select(F.col(id_col).alias("id_l"),
                      F.col(vec_col).alias("vl"),
-                     sketch_expr(F.col(vec_col), diml, n_planes).alias("sk"))
+                     sketch_expr(F.col(vec_col), diml, n_planes).alias("sk0"))
+    ls = (ls.select(
+        "id_l", "vl", "sk0",
+        F.explode(F.array(*[F.lit(int(m)).cast("long")
+                            for m in masks])).alias("_m"))
+        .select("id_l", "vl",
+                F.col("sk0").bitwiseXOR(F.col("_m")).alias("sk")))
     rs = right.select(F.col(id_col).alias("id_r"),
                       F.col(vec_col).alias("vr"),
                       sketch_expr(F.col(vec_col), diml, n_planes).alias("sk"))

@@ -139,20 +139,39 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str,
     short = (base.filter((F.col("_n") < k) & (F.col("_n") > 0))
              .select("id", h60_col(F.col("_t")).alias("fp")))
     hashed = grams.select("id", "pos", h60_col(F.col("gram")).alias("h"))
-    win = Window.partitionBy("id").orderBy("pos") \
-                .rowsBetween(Window.currentRow, w - 1)
-    cnt = Window.partitionBy("id")
-    full = (hashed
-            .withColumn("_cnt", F.count("*").over(cnt))
-            .withColumn("fp", F.min("h").over(win))
-            # full windows only: 0-based start pos <= cnt - w
-            .filter(F.col("pos") <= F.col("_cnt") - w)
-            .select("id", "fp"))
-    # docs with 1..w-1 grams have no full window → their global min
-    small = (hashed.withColumn("_cnt", F.count("*").over(cnt))
-             .filter(F.col("_cnt") < w)
-             .groupBy("id").agg(F.min("h").alias("fp")))
-    return full.union(small).union(short).distinct()
+    # gram hashing stays JVM-side (pinned md5/h60); the winnow itself is a
+    # per-doc numpy sliding-min over the position-sorted hash array — ONE
+    # hash aggregate instead of two corpus-wide window sorts (a 10 MB doc no
+    # longer pushes ~10M rows through a window sort twice; per-doc work is
+    # bounded and embarrassingly parallel)
+    per_doc = (hashed.groupBy("id")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "h")))
+                    .alias("_ph"))
+               .select("id", F.expr("transform(_ph, x -> x.h)").alias("_hs")))
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    # NOTE: no inline type hints — `from __future__ import annotations`
+    # stringifies them and pandas_udf's eval-type inference rejects strings
+    def _winnow(hs):
+        import numpy as _np
+        import pandas as _pd
+
+        def one(lst):
+            a = _np.asarray(lst, dtype=_np.int64)
+            if a.size < w:
+                return [int(a.min())]
+            mins = _np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
+            return _np.unique(mins).tolist()
+
+        return _pd.Series([one(x) for x in hs])
+
+    winnow_udf = pandas_udf(_winnow, ArrayType(LongType()))
+    full = per_doc.select("id", F.explode(winnow_udf(F.col("_hs")))
+                          .alias("fp"))
+    return full.union(short).distinct()
 
 
 def fingerprint_summary(df: DataFrame, id_col: str, text_col: str,

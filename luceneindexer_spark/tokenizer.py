@@ -306,6 +306,28 @@ def _sql_quote(t: str) -> str:
     return "'" + t.replace("'", "''") + "'"
 
 
+def duckdb_tokens_pos_cte(table: str, doc_id_col: str, text_col: str) -> str:
+    """Like duckdb_tokens_cte but emitting (doc_id, term, pos) where pos is
+    the 0-based index in the STOPWORD-FILTERED token stream — the same
+    position space the positional index stores (index.build._runs_generator
+    numbers tokens after tokenize_flat's stopword drop). Stopwords are
+    filtered from the LIST before subscripting so positions stay dense."""
+    stop = ", ".join(_sql_quote(t) for t in STOPWORDS)
+    return f"""
+    SELECT {doc_id_col} AS doc_id, unnest(toks) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM (
+      SELECT {doc_id_col},
+             list_filter(regexp_extract_all(
+               lower(regexp_replace(regexp_replace({text_col},
+                     '{ACRONYM_RE}', '\\1 \\2', 'g'),
+                     '{CAMEL_RE}', '\\1 \\2', 'g')),
+               '{TERM_RE}'), t -> t <> '' AND t NOT IN ({stop})) AS toks
+      FROM {table}
+    )
+    """
+
+
 def duckdb_tokens_cte(table: str, doc_id_col: str, text_col: str) -> str:
     """A DuckDB SQL fragment producing (doc_id, term) rows under the SAME
     pinned tokenizer spec — used by __spark_entry__.oracle_sql so the driver's

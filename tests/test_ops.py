@@ -109,6 +109,70 @@ def test_embedding_dedup_identical_vectors(spark, emb_df):
     assert (900001, 900002) in found
 
 
+def test_pathological_bucket_is_linear_not_quadratic(spark):
+    """1k identical short docs — a single degenerate LSH bucket. The
+    bucket-size cap must switch to star pairing (O(N) candidates, one
+    representative) and still recover the full duplicate group."""
+    n = 1000
+    df = spark.range(n + 20).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n, F.lit("license boilerplate header text"))
+        .otherwise(F.format_string(
+            "unique doc %d with its own words alpha%d beta%d",
+            F.col("id"), F.col("id"), F.col("id") * 7)).alias("content"))
+    sigs = D.minhash_signatures(df, "doc_id", "content")
+    cand = D.lsh_candidate_pairs(sigs, max_bucket=50)
+    n_cand = cand.count()
+    # star topology: n-1 pairs for the degenerate bucket, not ~n^2/2
+    assert n_cand < 2 * n
+    verified = D.jaccard_verify(df, cand, "doc_id", "content", threshold=0.9)
+    drop = D.dedup_drop_list(verified)
+    assert drop.count() == n - 1  # every clone but the representative
+
+    # simhash path: default cap (256) also trips on the same pathology
+    sh_pairs = D.simhash_dedup_pairs(df, "doc_id", "content", max_hamming=3)
+    n_sh = sh_pairs.count()
+    assert n_sh < 2 * n
+    assert D.dedup_drop_list(
+        sh_pairs.select("id_a", "id_b")).count() == n - 1
+
+
+def test_embedding_dedup_pathological_bucket(spark, emb_df):
+    """1k copies of one vector: the sketch-bucket cap keeps candidate
+    generation linear while the duplicate group survives intact."""
+    base = emb_df.limit(1).select("embedding")
+    clones = (spark.range(1000).crossJoin(F.broadcast(base))
+              .select((F.col("id") + 500000).alias("vec_id"), "embedding"))
+    aug = emb_df.select("vec_id", "embedding").unionByName(clones)
+    pairs = D.embedding_dedup_pairs(aug, "vec_id", "embedding",
+                                    threshold=0.999)
+    got = pairs.count()
+    assert got < 4000  # not ~500k all-pairs
+    drop = D.dedup_drop_list(pairs.select("id_a", "id_b"))
+    dropped = {r.id for r in drop.collect()}
+    assert {500000 + i for i in range(1000)} <= dropped
+
+
+def test_knn_join_recall_vs_bruteforce(spark, emb_df):
+    """Adaptive sketch width at this corpus size probes every bucket, so the
+    knn join must reproduce the brute-force top-k exactly."""
+    rows = emb_df.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    left = emb_df.filter(F.col("vec_id") < 10)
+    got = {}
+    for r in S.knn_join(left, emb_df, k=3).collect():
+        got.setdefault(r.id_l, []).append((r.rank, r.id_r))
+    assert len(got) == 10
+    for lid, pairs in got.items():
+        q = mat[np.flatnonzero(ids == lid)[0]]
+        sims = mat @ q / (norms * np.linalg.norm(q))
+        order = np.lexsort((ids, -sims))[:3]
+        want = [(i + 1, int(ids[j])) for i, j in enumerate(order)]
+        assert sorted(pairs) == want, lid
+
+
 def test_multimodal_features_deterministic(spark, corpus_df):
     docs = corpus_df.limit(50).select("doc_id", F.col("content").alias("text"))
     media = MM.synth_media(docs, "doc_id", "text")
