@@ -47,6 +47,7 @@ N_DOCS = int(os.environ.get("BENCH_N_DOCS", "100000"))
 REPS_MIN = int(os.environ.get("BENCH_REPS", "2"))
 REPS_MAX = int(os.environ.get("BENCH_REPS_MAX", "4"))
 EFF_TARGET = float(os.environ.get("BENCH_EFF_TARGET", "0.8"))
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET", "700"))
 
 QUERY_SET = {
     "q_rare": "xyzzyplugh",
@@ -71,6 +72,7 @@ def _mk_spark(cpus: int):
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "16g")
          .config("spark.ui.enabled", "false")
+         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
          .config("spark.sql.session.timeZone", "UTC"))
     if BENCH_TMP:
         # tmpfs for shuffle + index: the sandbox's virtio disk shows
@@ -102,6 +104,11 @@ def main() -> None:
     # seconds; set BEFORE the JVM starts so forked python workers inherit it
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    # pyarrow's default jemalloc pool returns pages to the OS aggressively,
+    # re-faulting every Arrow batch through this VM's serialized fault
+    # handler (measured 2x on the 32-way tokenize stage) — route Arrow
+    # allocations through glibc so the settings above retain them
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from luceneindexer_spark.corpus import synth_corpus
     from luceneindexer_spark.index.build import build_index
@@ -172,7 +179,8 @@ def main() -> None:
                 else:
                     shutil.rmtree(rroot, ignore_errors=True)
             rep += 1
-            if rep >= REPS_MIN and core_eff(small, CPUS) >= EFF_TARGET:
+            if rep >= REPS_MIN and (core_eff(small, CPUS) >= EFF_TARGET
+                                    or time.time() - t_all > TIME_BUDGET_S):
                 break
 
         levels = (tiny, small, CPUS)

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..codecs import (encode_postings, positions_decode, positions_encode,
                       run_decode, varint_encode_grouped)
 from ..corpus import build_docmap
-from ..tokenizer import tokenize_flat
+from ..tokenizer import tokenize_flat, tokenize_flat_arrow
 from . import manifest as mf
 
 RUNS_SCHEMA = (
@@ -98,6 +98,105 @@ class BuildInterrupted(RuntimeError):
 DOCLEN_TERM = ""
 
 
+def _build_run_columns(doc_ids: np.ndarray, uniq: np.ndarray,
+                       codes: np.ndarray, lens: np.ndarray,
+                       range_size: int, positions: bool) -> dict | None:
+    """Shared core of the run builders: tokenized batch → RUNS_SCHEMA
+    columns (main term runs + DOCLEN_TERM norms runs appended), as plain
+    python/numpy values. Returns None for an empty batch."""
+    if codes.size == 0:
+        return None
+    doc_rep = np.repeat(doc_ids, lens)
+
+    order = np.lexsort((doc_rep, codes))
+    c = codes[order]
+    d = doc_rep[order]
+    newg = np.empty(c.size, dtype=bool)
+    newg[0] = True
+    newg[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    g_start = np.flatnonzero(newg)
+    tfs = np.diff(np.append(g_start, c.size)).astype(np.int64)
+    g_code = c[g_start]
+    g_doc = d[g_start]
+
+    rg = g_doc // range_size
+    runb = np.empty(g_code.size, dtype=bool)
+    runb[0] = True
+    runb[1:] = (g_code[1:] != g_code[:-1]) | (rg[1:] != rg[:-1])
+    run_start = np.flatnonzero(runb)
+
+    gaps = np.empty_like(g_doc)
+    gaps[0] = g_doc[0]
+    gaps[1:] = np.diff(g_doc)
+    gaps[run_start] = g_doc[run_start]
+
+    d_buf, d_off = varint_encode_grouped(gaps, run_start)
+    t_buf, t_off = varint_encode_grouped(tfs - 1, run_start)
+    run_n = np.diff(np.append(run_start, g_code.size)).astype(np.int32)
+    run_cf = np.add.reduceat(tfs, run_start)
+    run_maxtf = np.maximum.reduceat(tfs, run_start).astype(np.int32)
+
+    d_mv = memoryview(d_buf)
+    t_mv = memoryview(t_buf)
+    n_runs = run_start.size
+
+    if positions:
+        # token position within its doc, in the sorted domain: the lexsort
+        # is stable, so tokens of one (term, doc) group keep their original
+        # in-doc order → per-group positions ascending
+        doc_tok_start = np.cumsum(lens) - lens
+        pos_in_doc = (np.arange(codes.size, dtype=np.int64)
+                      - np.repeat(doc_tok_start, lens))
+        pos_sorted = pos_in_doc[order]
+        # delta-reset at every (term, doc) GROUP start; run r's bytes are
+        # its groups' contiguous slice of the shared buffer
+        p_buf, p_off = positions_encode(pos_sorted, g_start)
+        p_mv = memoryview(p_buf)
+        run_bounds = np.append(p_off[run_start], p_off[-1])
+        pos_col = [bytes(p_mv[run_bounds[i]:run_bounds[i + 1]])
+                   for i in range(n_runs)]
+    else:
+        pos_col = [None] * n_runs
+
+    # DOCLEN_TERM runs: docs with >=1 token, tf = doclen
+    nz = np.flatnonzero(lens > 0)
+    order2 = np.argsort(doc_ids[nz], kind="stable")
+    sd = doc_ids[nz][order2]
+    sl = lens[nz][order2]
+    srg = sd // range_size
+    sstart = np.flatnonzero(
+        np.concatenate(([True], srg[1:] != srg[:-1])))
+    sgaps = np.empty_like(sd)
+    sgaps[0] = sd[0]
+    sgaps[1:] = np.diff(sd)
+    sgaps[sstart] = sd[sstart]
+    sd_buf, sd_off = varint_encode_grouped(sgaps, sstart)
+    sl_buf, sl_off = varint_encode_grouped(sl - 1, sstart)
+    sd_mv = memoryview(sd_buf)
+    sl_mv = memoryview(sl_buf)
+    sn = np.diff(np.append(sstart, sd.size)).astype(np.int32)
+
+    return {
+        "term": (list(uniq[g_code[run_start]])
+                 + [DOCLEN_TERM] * sstart.size),
+        "range_id": np.concatenate([rg[run_start], srg[sstart]]),
+        "first_docid": np.concatenate([g_doc[run_start], sd[sstart]]),
+        "n": np.concatenate([run_n, sn]),
+        "cf": np.concatenate([run_cf, np.add.reduceat(sl, sstart)]),
+        "max_tf": np.concatenate(
+            [run_maxtf, np.maximum.reduceat(sl, sstart).astype(np.int32)]),
+        "docs_enc": ([bytes(d_mv[d_off[i]:d_off[i + 1]])
+                      for i in range(n_runs)]
+                     + [bytes(sd_mv[sd_off[i]:sd_off[i + 1]])
+                        for i in range(sstart.size)]),
+        "tfs_enc": ([bytes(t_mv[t_off[i]:t_off[i + 1]])
+                     for i in range(n_runs)]
+                    + [bytes(sl_mv[sl_off[i]:sl_off[i + 1]])
+                       for i in range(sstart.size)]),
+        "pos_enc": pos_col + [None] * sstart.size,
+    }
+
+
 def _runs_generator(range_size: int, positions: bool = False):
     """mapInPandas fn: (doc_id, content) batches → per-(term, range) run rows
     (+ DOCLEN_TERM rows carrying doclens). With ``positions=True`` each run
@@ -110,106 +209,48 @@ def _runs_generator(range_size: int, positions: bool = False):
             if len(pdf) == 0:
                 continue
             uniq, codes, lens = tokenize_flat(pdf["content"].to_numpy())
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            if codes.size == 0:
+            cols = _build_run_columns(pdf["doc_id"].to_numpy(np.int64),
+                                      uniq, codes, lens, range_size,
+                                      positions)
+            if cols is not None:
+                yield pd.DataFrame(cols)
+
+    return gen
+
+
+def _runs_generator_arrow(range_size: int, positions: bool = False):
+    """mapInArrow twin of _runs_generator: consumes pyarrow RecordBatches and
+    tokenizes STRAIGHT from the Arrow string buffers (tokenize_flat_arrow) —
+    no pandas conversion, no per-doc Python strings, no big-string join.
+    This is the memory-traffic-minimal build path (the dominant stage's
+    working set is what a bandwidth-bound 32-way node pays for)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            doc_rep = np.repeat(doc_ids, lens)
-
-            order = np.lexsort((doc_rep, codes))
-            c = codes[order]
-            d = doc_rep[order]
-            newg = np.empty(c.size, dtype=bool)
-            newg[0] = True
-            newg[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
-            g_start = np.flatnonzero(newg)
-            tfs = np.diff(np.append(g_start, c.size)).astype(np.int64)
-            g_code = c[g_start]
-            g_doc = d[g_start]
-
-            rg = g_doc // range_size
-            runb = np.empty(g_code.size, dtype=bool)
-            runb[0] = True
-            runb[1:] = (g_code[1:] != g_code[:-1]) | (rg[1:] != rg[:-1])
-            run_start = np.flatnonzero(runb)
-
-            gaps = np.empty_like(g_doc)
-            gaps[0] = g_doc[0]
-            gaps[1:] = np.diff(g_doc)
-            gaps[run_start] = g_doc[run_start]
-
-            d_buf, d_off = varint_encode_grouped(gaps, run_start)
-            t_buf, t_off = varint_encode_grouped(tfs - 1, run_start)
-            run_n = np.diff(np.append(run_start, g_code.size)).astype(np.int32)
-            run_cf = np.add.reduceat(tfs, run_start)
-            run_maxtf = np.maximum.reduceat(tfs, run_start).astype(np.int32)
-
-            d_mv = memoryview(d_buf)
-            t_mv = memoryview(t_buf)
-            n_runs = run_start.size
-
-            if positions:
-                # token position within its doc, in the sorted domain: the
-                # lexsort is stable, so tokens of one (term, doc) group keep
-                # their original in-doc order → per-group positions ascending
-                doc_tok_start = np.cumsum(lens) - lens
-                pos_in_doc = (np.arange(codes.size, dtype=np.int64)
-                              - np.repeat(doc_tok_start, lens))
-                pos_sorted = pos_in_doc[order]
-                # delta-reset at every (term, doc) GROUP start; run r's bytes
-                # are its groups' contiguous slice of the shared buffer
-                p_buf, p_off = positions_encode(pos_sorted, g_start)
-                p_mv = memoryview(p_buf)
-                run_bounds = np.append(p_off[run_start], p_off[-1])
-                pos_col = [bytes(p_mv[run_bounds[i]:run_bounds[i + 1]])
-                           for i in range(n_runs)]
-            else:
-                pos_col = [None] * n_runs
-
-            main = pd.DataFrame({
-                "term": uniq[g_code[run_start]],
-                "range_id": rg[run_start],
-                "first_docid": g_doc[run_start],
-                "n": run_n,
-                "cf": run_cf,
-                "max_tf": run_maxtf,
-                "docs_enc": [bytes(d_mv[d_off[i]:d_off[i + 1]])
-                             for i in range(n_runs)],
-                "tfs_enc": [bytes(t_mv[t_off[i]:t_off[i + 1]])
-                            for i in range(n_runs)],
-                "pos_enc": pos_col,
-            })
-
-            # DOCLEN_TERM runs: docs with >=1 token, tf = doclen
-            nz = np.flatnonzero(lens > 0)
-            order2 = np.argsort(doc_ids[nz], kind="stable")
-            sd = doc_ids[nz][order2]
-            sl = lens[nz][order2]
-            srg = sd // range_size
-            sstart = np.flatnonzero(
-                np.concatenate(([True], srg[1:] != srg[:-1])))
-            sgaps = np.empty_like(sd)
-            sgaps[0] = sd[0]
-            sgaps[1:] = np.diff(sd)
-            sgaps[sstart] = sd[sstart]
-            sd_buf, sd_off = varint_encode_grouped(sgaps, sstart)
-            sl_buf, sl_off = varint_encode_grouped(sl - 1, sstart)
-            sd_mv = memoryview(sd_buf)
-            sl_mv = memoryview(sl_buf)
-            sn = np.diff(np.append(sstart, sd.size)).astype(np.int32)
-            doclen_rows = pd.DataFrame({
-                "term": np.full(sstart.size, DOCLEN_TERM, dtype=object),
-                "range_id": srg[sstart],
-                "first_docid": sd[sstart],
-                "n": sn,
-                "cf": np.add.reduceat(sl, sstart),
-                "max_tf": np.maximum.reduceat(sl, sstart).astype(np.int32),
-                "docs_enc": [bytes(sd_mv[sd_off[i]:sd_off[i + 1]])
-                             for i in range(sstart.size)],
-                "tfs_enc": [bytes(sl_mv[sl_off[i]:sl_off[i + 1]])
-                            for i in range(sstart.size)],
-                "pos_enc": [None] * sstart.size,
-            })
-            yield pd.concat([main, doclen_rows], ignore_index=True)
+            doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            doc_ids = np.asarray(doc_ids, dtype=np.int64)
+            uniq, codes, lens = tokenize_flat_arrow(rb.column(1))
+            cols = _build_run_columns(doc_ids, uniq, codes, lens,
+                                      range_size, positions)
+            if cols is None:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["term"], type=pa.string()),
+                    pa.array(cols["range_id"], type=pa.int64()),
+                    pa.array(cols["first_docid"], type=pa.int64()),
+                    pa.array(cols["n"], type=pa.int32()),
+                    pa.array(cols["cf"], type=pa.int64()),
+                    pa.array(cols["max_tf"], type=pa.int32()),
+                    pa.array(cols["docs_enc"], type=pa.binary()),
+                    pa.array(cols["tfs_enc"], type=pa.binary()),
+                    pa.array(cols["pos_enc"], type=pa.binary()),
+                ],
+                names=["term", "range_id", "first_docid", "n", "cf",
+                       "max_tf", "docs_enc", "tfs_enc", "pos_enc"])
 
     return gen
 
@@ -445,8 +486,11 @@ def build_index(
             tok_in = sub.select("doc_id", "content")
             if not scan_split:
                 tok_in = tok_in.repartitionByRange(merge_partitions, "doc_id")
-            runs = tok_in.mapInPandas(_runs_generator(range_size, positions),
-                                      RUNS_SCHEMA)
+            # Arrow-native tokenize stage: record batches flow JVM -> Python
+            # and back WITHOUT a pandas materialization, and the tokenizer
+            # reads the Arrow string buffers directly (tokenize_flat_arrow)
+            runs = tok_in.mapInArrow(
+                _runs_generator_arrow(range_size, positions), RUNS_SCHEMA)
             merged = (runs
                       .repartition(merge_partitions, "term", "range_id")
                       .sortWithinPartitions("term", "range_id", "first_docid")

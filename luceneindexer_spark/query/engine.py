@@ -480,6 +480,7 @@ class QuerySession:
         self.norms = self.post.filter(F.col("term") == DOCLEN_TERM)
         self.stats = spark.read.parquet(self.paths.term_stats)
         self._cached = cache
+        self._stats_local: dict[str, int] | None = None
         self.refresh_deletes()
         if cache:
             # cache the metadata-heavy small tables fully; postings cached
@@ -490,7 +491,22 @@ class QuerySession:
             self.stats = self.stats.persist()
             self.post.count()
             self.norms.count()
-            self.stats.count()
+            n_terms = self.stats.count()
+            if n_terms <= 200_000:
+                # dictionary-sized vocab: pin (term → df) on the driver and
+                # save one Spark job per query; huge vocabularies keep the
+                # pushdown-filtered distributed lookup
+                self._stats_local = {r["term"]: int(r["df"])
+                                     for r in self.stats.collect()}
+
+    def _df_lookup(self, terms: list[str]) -> dict[str, int]:
+        """(term → df) for the query terms: driver dict when pinned, else a
+        pushdown-filtered scan of the (tiny) term_stats table."""
+        if self._stats_local is not None:
+            return {t: self._stats_local[t] for t in terms
+                    if t in self._stats_local}
+        rows = self.stats.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
 
     def refresh_deletes(self) -> None:
         from ..ops.maintenance import read_deletes
@@ -515,8 +531,7 @@ class QuerySession:
         terms = query_terms(query)
         if not terms:
             return empty
-        stats = self.stats.filter(F.col("term").isin(terms)).collect()
-        df_by_term = {r["term"]: int(r["df"]) for r in stats}
+        df_by_term = self._df_lookup(terms)
         if any(t not in df_by_term for t in terms):
             return empty  # a MUST term absent from the corpus
         idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
@@ -611,8 +626,7 @@ class QuerySession:
         out_schema = "query_id string, doc_id long, score double"
         if not all_terms:
             return spark.createDataFrame([], out_schema + ", rank int")
-        stats = self.stats.filter(F.col("term").isin(all_terms)).collect()
-        df_by_term = {r["term"]: int(r["df"]) for r in stats}
+        df_by_term = self._df_lookup(all_terms)
         plans = []  # (qid, terms_by_rarity, idf_by_term)
         for qid, q in queries.items():
             terms = query_terms(q)

@@ -37,6 +37,15 @@ ACRONYM_RE = r"([A-Z]+)([A-Z][a-z])"
 CAMEL_RE = r"([a-z0-9])([A-Z])"
 TERM_RE = r"[a-z0-9]+"
 
+# Zero-width equivalents of the two pinned boundary rules. `re.sub` with a
+# backreference TEMPLATE ("\1 \2") expands the template in Python PER MATCH
+# (re._parser.expand_template — measured as the single largest cost of the
+# whole indexing pipeline on camelCase-dense code); a lookaround pattern with
+# a constant " " replacement stays entirely in the C matcher. Equivalence
+# with the template form is property-tested (test_tokenizer).
+ACRONYM_ZW = r"(?<=[A-Z])(?=[A-Z][a-z])"
+CAMEL_ZW = r"(?<=[a-z0-9])(?=[A-Z])"
+
 # Pinned minimal English stopword list. The reference uses an empty set; the
 # north_star mandates "stopword filter", so we pin a small, documented one.
 STOPWORDS: tuple[str, ...] = (
@@ -48,6 +57,8 @@ _STOP_ARR = np.array(STOPWORDS, dtype=object)
 
 _ACRONYM_C = re.compile(ACRONYM_RE)
 _CAMEL_C = re.compile(CAMEL_RE)
+_ACRONYM_ZW_C = re.compile(ACRONYM_ZW)
+_CAMEL_ZW_C = re.compile(CAMEL_ZW)
 _TERM_C = re.compile(TERM_RE)
 
 
@@ -56,8 +67,8 @@ def tokenize_text(s: str | None) -> list[str]:
     the vectorized batch path; NOT used in the Spark hot path)."""
     if not s:
         return []
-    s = _ACRONYM_C.sub(r"\1 \2", s)
-    s = _CAMEL_C.sub(r"\1 \2", s)
+    s = _ACRONYM_ZW_C.sub(" ", s)
+    s = _CAMEL_ZW_C.sub(" ", s)
     toks = _TERM_C.findall(s.lower())
     return [t for t in toks if t not in _STOP_SET]
 
@@ -89,8 +100,8 @@ def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int64))
     big = _SEP.join(docs)
-    big = _ACRONYM_C.sub(r"\1 \2", big)
-    big = _CAMEL_C.sub(r"\1 \2", big)
+    big = _ACRONYM_ZW_C.sub(" ", big)
+    big = _CAMEL_ZW_C.sub(" ", big)
     big = big.lower()
     parts = big.split(_SEP)
     tok_lists = [_TERM_C.findall(p) for p in parts]
@@ -175,13 +186,49 @@ def tokenize_flat_np(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """
     docs = ["" if t is None else str(t).replace(_SEP, " ") for t in texts]
     n = len(docs)
-    empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
-             np.zeros(n, dtype=np.int64))
     if n == 0:
         return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int64))
     big = _SEP.join(docs).encode("utf-8")
-    b = np.frombuffer(big, dtype=np.uint8)
+    return _tokenize_sep_bytes(np.frombuffer(big, dtype=np.uint8), n)
+
+
+def tokenize_flat_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch tokenizer over a pyarrow String/LargeString array, ZERO-COPY on
+    the document bytes: the Arrow value buffer is scattered once into a
+    separator-delimited uint8 stream (0x01 between docs; in-content 0x01
+    mapped to space — tokenization-invariant) and handed to the byte-domain
+    core. No per-doc Python strings, no pandas conversion — the memory-
+    traffic-minimal path for mapInArrow build stages."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None
+            else np.empty(0, dtype=np.uint8))
+    lens = np.diff(offsets)  # null entries have len 0 (offsets repeat)
+    total = int(lens.sum())
+    src = data[offsets[0]:offsets[0] + total]
+    out = np.ones(total + n, dtype=np.uint8)  # 0x01 prefilled separators
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    dst = np.arange(total, dtype=np.int64) + doc_idx
+    np.put(out, dst, np.where(src == 1, np.uint8(32), src))
+    return _tokenize_sep_bytes(out, n)
+
+
+def _tokenize_sep_bytes(b: np.ndarray, n: int
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Byte-domain tokenizer core over a \\x01-separated utf-8 stream of
+    ``n`` documents (n-1 or n separators — trailing separator harmless)."""
+    empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+             np.zeros(n, dtype=np.int64))
     if b.size == 0:
         return empty
 
@@ -228,17 +275,21 @@ def tokenize_flat_np(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     h1 = _seg_hash(c, cs, ce, _B1, _B1_INV)
     h2 = _seg_hash(c, cs, ce, _B2, _B2_INV)
     lens = (ce - cs).astype(np.uint64)
-    key = np.empty(cs.size, dtype=[("a", "u8"), ("b", "u8"), ("l", "u8")])
-    key["a"] = h1
-    key["b"] = h2
-    key["l"] = lens
-
-    uniq_keys, first_idx, codes = np.unique(
-        key, return_index=True, return_inverse=True)
-    codes = codes.astype(np.int64)
+    # group identical (h1, h2, len) keys via a TYPE-SPECIALIZED lexsort —
+    # np.unique on a structured dtype falls back to a generic-comparator
+    # argsort that is ~10x slower on multi-million-token batches
+    order = np.lexsort((lens, h2, h1))
+    k1, k2, k3 = h1[order], h2[order], lens[order]
+    newg = np.empty(order.size, dtype=bool)
+    newg[0] = True
+    newg[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]) | (k3[1:] != k3[:-1])
+    gid_sorted = np.cumsum(newg) - 1
+    codes = np.empty(order.size, dtype=np.int64)
+    codes[order] = gid_sorted
+    first_idx = order[np.flatnonzero(newg)]
 
     # materialize ONLY the unique terms (vocab-sized Python work)
-    uniq = np.empty(uniq_keys.size, dtype=object)
+    uniq = np.empty(first_idx.size, dtype=object)
     for j, i in enumerate(first_idx):
         s0, e0 = int(starts_pos[i]), int(ends_pos[i])
         uniq[j] = c_low[s0:e0].tobytes().decode("ascii")

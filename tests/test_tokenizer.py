@@ -45,6 +45,20 @@ def test_batch_matches_scalar_property(texts):
     assert got == [tokenize_text(t) for t in texts]
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=120))
+def test_zero_width_subs_match_pinned_template_form(s):
+    """The hot path implements the pinned spec's two template substitutions
+    (\"\\1 \\2\") as zero-width lookaround inserts (constant replacement, no
+    per-match Python template expansion) — must be byte-identical."""
+    import re
+    from luceneindexer_spark.tokenizer import (ACRONYM_RE, ACRONYM_ZW,
+                                               CAMEL_RE, CAMEL_ZW)
+    tmpl = re.sub(CAMEL_RE, r"\1 \2", re.sub(ACRONYM_RE, r"\1 \2", s))
+    zw = re.sub(CAMEL_ZW, " ", re.sub(ACRONYM_ZW, " ", s))
+    assert tmpl == zw
+
+
 def test_idempotent_on_normalized():
     toks = tokenize_text("SomeCamelCase snake_case plainword")
     again = tokenize_text(" ".join(toks))
