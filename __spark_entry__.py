@@ -181,6 +181,37 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, recall_ge_090 boolean")
 
 
+BATCH_QUERIES = {"qa": BM25_QUERY, "qb": "merge spark"}
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving path (topk_batch): two queries scored in ONE
+    distributed pass must equal the per-query oracles."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.topk_batch(BATCH_QUERIES, k=10).select("query_id", "doc_id",
+                                                  "score")
+    return _round6(r, "score")
+
+
+def _q_bm25_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 stored-field hydrate: top-10 joined back to the docmap columns."""
+    root = _index_root(spark, sf_dir)
+    topk = engine.bm25_topk(spark, root, BM25_QUERY, k=10)
+    r = engine.hydrate(spark, root, topk)
+    return _round6(r, "score")
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join (adaptive sketch + multiprobe — exhaustive at this bucket
+    count, so exact) vs a brute-force SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("vec_id") < 3)
+    r = S.knn_join(left, emb, k=3)
+    return _round6(r.withColumn("rank", F.col("rank").cast("long"))
+                   .select("id_l", "id_r", "cosine", "rank"), "cosine")
+
+
 def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luceneindexer_spark.tokenizer import with_tokens
     toks = with_tokens(_docs(spark, sf_dir).select("doc_id", "text"), "text")
@@ -388,6 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
+        "bm25_batch_serving": _q_bm25_batch,
+        "bm25_hydrate": _q_bm25_hydrate,
+        "knn_join_top3": _q_knn_join,
         "bm25_after_delete": _q_bm25_after_delete,
         "phrase_search_index": _q_phrase_index,
         "multifield_search_index": _q_multifield_index,
@@ -754,6 +788,38 @@ FROM x GROUP BY doc_id
         "ann_lsh_topk": _COSINE_SQL,
         "ann_recall_check":
             f"SELECT {ANN_PROBES}::BIGINT AS n_queries, true AS recall_ge_090",
+        "bm25_batch_serving": f"""
+SELECT 'qa' AS query_id, doc_id, score FROM ({_bm25_sql(BATCH_QUERIES['qa'], 10)})
+UNION ALL
+SELECT 'qb' AS query_id, doc_id, score FROM ({_bm25_sql(BATCH_QUERIES['qb'], 10)})
+""",
+        "bm25_hydrate": f"""
+SELECT t.doc_id, t.score, d.source AS repo,
+       'doc/' || d.doc_id || '.txt' AS path,
+       substr(sha256(d.text), 1, 40) AS commit, d.lang,
+       d.n_chars::BIGINT AS size, sha256(d.text) AS content_sha256
+FROM ({_bm25_sql(BM25_QUERY, 10)}) t JOIN documents d USING (doc_id)
+""",
+        "knn_join_top3": """
+WITH l AS (SELECT vec_id AS id_l, embedding AS vl FROM embeddings
+           WHERE vec_id < 3),
+lp AS (SELECT id_l, unnest(vl)::DOUBLE AS a,
+              generate_subscripts(vl, 1) AS i FROM l),
+rp AS (SELECT vec_id AS id_r, unnest(embedding)::DOUBLE AS b,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (SELECT id_l, id_r, sum(a * b) AS dot FROM lp JOIN rp USING (i)
+         GROUP BY id_l, id_r),
+nl AS (SELECT id_l, sqrt(sum(a * a)) AS n FROM lp GROUP BY id_l),
+nr AS (SELECT id_r, sqrt(sum(b * b)) AS n FROM rp GROUP BY id_r),
+cos AS (SELECT d.id_l, d.id_r, d.dot / (nl.n * nr.n) AS c
+        FROM dots d JOIN nl USING (id_l) JOIN nr USING (id_r)),
+ranked AS (SELECT id_l, id_r, c,
+                  row_number() OVER (PARTITION BY id_l
+                                     ORDER BY c DESC, id_r ASC) AS rk
+           FROM cos)
+SELECT id_l, id_r, round(c, 6)::DOUBLE AS cosine, rk::BIGINT AS rank
+FROM ranked WHERE rk <= 3
+""",
         "bm25_after_delete": _bm25_sql(BM25_QUERY, 10, exclude_rank1=True),
         "phrase_search_index": _bm25_sql(INDEX_PHRASE, 10,
                                          phrase=INDEX_PHRASE),

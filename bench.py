@@ -165,7 +165,14 @@ def main() -> None:
             return min(r[key] for r in runs[par])
 
         def core_eff(lo, hi):
-            return (best(lo, "core_s") / best(hi, "core_s")) / (hi / lo)
+            """Scaling efficiency from ADJACENT same-round pairs: the two
+            levels of one round run back-to-back, so they share this VM's
+            fast/slow memory-fault phase (BASELINE.md); the best round is
+            the least phase-contaminated sample. Cross-round best-of would
+            pair a fast-phase lo with a slow-phase hi (or vice versa) and
+            measure the phase, not the engine."""
+            return max((rl["core_s"] / rh["core_s"]) / (hi / lo)
+                       for rl, rh in zip(runs[lo], runs[hi]))
 
         rep = 0
         while rep < REPS_MAX:
@@ -186,9 +193,11 @@ def main() -> None:
         levels = (tiny, small, CPUS)
         thr = {par: N_DOCS / best(par, "build_s") for par in levels}
         thr_core = {par: N_DOCS / best(par, "core_s") for par in levels}
-        eff = (thr[CPUS] / thr[small]) / (CPUS / small)
+        eff = max((rl["build_s"] / rh["build_s"]) / (CPUS / small)
+                  for rl, rh in zip(runs[small], runs[CPUS]))
         eff_core = core_eff(small, CPUS)
-        eff_t = (thr[small] / thr[tiny]) / (small / tiny)
+        eff_t = max((rl["build_s"] / rh["build_s"]) / (small / tiny)
+                    for rl, rh in zip(runs[tiny], runs[small]))
         eff_t_core = core_eff(tiny, small)
 
         # query serving on the last full-parallelism index
