@@ -396,6 +396,7 @@ def build_index(
     positions: bool = False,
     merge_partitions: int | None = None,
     docmap_partitions: int | None = None,
+    arrow_batch_rows: int | None = 2048,
     resume: bool = True,
     _stop_after_waves: int | None = None,
 ) -> dict:
@@ -466,13 +467,24 @@ def build_index(
     n_files = len(_glob.glob(os.path.join(paths.docmap, "*.parquet")))
     scan_split = n_files >= max(2, merge_partitions // 2)
     conf = spark.conf
-    saved = {k: conf.get(k) for k in ("spark.sql.files.maxPartitionBytes",
-                                      "spark.sql.files.openCostInBytes")}
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes",
+        "spark.sql.execution.arrow.maxRecordsPerBatch")}
     if scan_split:
         db_bytes = mf.dir_bytes(paths.docmap)
         conf.set("spark.sql.files.maxPartitionBytes",
                  str(max(1 << 20, db_bytes // (2 * merge_partitions))))
         conf.set("spark.sql.files.openCostInBytes", "0")
+    if arrow_batch_rows:
+        # bound each worker's PEAK tokenize allocation: the batch working
+        # set (~12x the batch's text bytes in mask/hash intermediates) must
+        # stay small enough that later batches REUSE the retained arena
+        # instead of faulting fresh pages — measured 7x on the 32-way stage
+        # of this host in fault-constrained conditions; at 10^12-file scale
+        # it is also what keeps executor memory flat regardless of doc size
+        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 str(arrow_batch_rows))
     try:
         for w in sorted(pending_by_wave):
             wave_ranges = pending_by_wave[w]

@@ -217,6 +217,25 @@ def test_phrase_with_metadata_conjunction(built, spark):
     assert got == want and len(got) > 0
 
 
+def test_tiny_arrow_batches_rank_identical(spark, tmp_path):
+    """arrow_batch_rows bounds per-worker peak allocation by splitting the
+    tokenize stage into many small record batches — runs then arrive
+    per-batch and the merge must stitch them; results must stay
+    rank-identical to the oracle."""
+    root = str(tmp_path / "idx_smallbatch")
+    corpus = synth_corpus(spark, 300, partitions=2)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1,
+                positions=True, arrow_batch_rows=32)
+    docmap = spark.read.parquet(f"{root}/docmap")
+    for q, mode in ((HOT_TERM, "and"), ("getUserName queryParser", "and"),
+                    (PHRASE, "phrase")):
+        want = [(r.doc_id, round(r.score, 9)) for r in
+                bm25_topk_oracle(docmap, q, k=10, mode=mode).collect()]
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               engine.bm25_topk(spark, root, q, k=10, mode=mode).collect()]
+        assert got == want, q
+
+
 def test_delete_index_wipes_everything(built, spark, tmp_path):
     src, _ = built
     root = str(tmp_path / "wipe_idx")
