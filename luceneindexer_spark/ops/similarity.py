@@ -122,11 +122,15 @@ def _hamming_ball(center: int, radius: int, n_bits: int) -> list[int]:
 
 def pick_probe_radius(n_planes: int) -> int:
     """nprobe scaling: with few buckets (narrow sketch = small corpus) probe
-    them ALL — pruning 16 buckets cannot pay for recall loss; from 7 planes
-    (128 buckets) up, radius-2 multi-probe gives the classic recall/cost
-    trade and the probed fraction shrinks as the corpus (and sketch width)
-    grows."""
-    return n_planes if n_planes <= 6 else 2
+    them ALL — pruning 16 buckets cannot pay for recall loss; mid widths use
+    radius-2 multi-probe; wide sketches (large corpora) drop to radius 1 —
+    the probe count grows ~n_planes² at radius 2 (301 probes at 24 planes),
+    which would dominate the knn-join explode, while radius 1 keeps the
+    classic IVF-style ~n_planes+1 probes with per-bucket cost shrinking as
+    the corpus grows."""
+    if n_planes <= 6:
+        return n_planes
+    return 2 if n_planes <= 16 else 1
 
 
 def ann_lsh_topk(index: DataFrame, query_vec: list[float], k: int = 10,
