@@ -1,0 +1,129 @@
+"""spark-submit entry points (BASELINE.json north_star: "Packaged for
+``spark-submit --py-files``").
+
+Usage on a cluster (the package zip ships with the job, no install step):
+
+    zip -r li_spark.zip luceneindexer_spark
+    spark-submit --py-files li_spark.zip -m luceneindexer_spark.cli ...
+
+or locally:
+
+    python -m luceneindexer_spark.cli build  --input corpus.parquet \
+        --out /idx --range-size 65536 --buckets 64 --positions
+    python -m luceneindexer_spark.cli query  --index /idx "parseJson fast"
+    python -m luceneindexer_spark.cli search --index /idx \
+        --content "tokenizer" --lang python -k 10
+    python -m luceneindexer_spark.cli delete --index /idx --doc-ids 3,17
+    python -m luceneindexer_spark.cli wipe   --index /idx
+
+The input corpus is any DataFrame-readable parquet with the BASELINE.json
+input_hint columns (repo, path, commit, lang, content). ``build`` resumes
+from the checkpoint manifest automatically (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str, master: str | None):
+    from pyspark.sql import SparkSession
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="luceneindexer_spark")
+    p.add_argument("--master", default=None,
+                   help="Spark master (omit under spark-submit)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build or resume an index")
+    b.add_argument("--input", required=True, help="corpus parquet path")
+    b.add_argument("--out", required=True, help="index root")
+    b.add_argument("--range-size", type=int, default=1 << 16)
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--waves", type=int, default=1)
+    b.add_argument("--positions", action="store_true")
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("query")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=("and", "phrase"), default="and")
+    q.add_argument("--hydrate", action="store_true")
+
+    s = sub.add_parser("search", help="multi-field conjunctive search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--content", default="")
+    s.add_argument("--repo", default="")
+    s.add_argument("--path", default="")
+    s.add_argument("--commit", default="")
+    s.add_argument("--lang", default="")
+    s.add_argument("-k", type=int, default=10)
+
+    d = sub.add_parser("delete", help="tombstone doc ids")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", required=True,
+                   help="comma-separated doc ids")
+
+    a = sub.add_parser("append", help="upsert a corpus batch into an index")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+
+    w = sub.add_parser("wipe", help="delete the entire index")
+    w.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "wipe":
+        from .ops.maintenance import delete_index
+        delete_index(args.index)
+        print(json.dumps({"wiped": args.index}))
+        return 0
+
+    spark = _spark(f"li-{args.cmd}", args.master)
+    try:
+        if args.cmd == "build":
+            from .index.build import build_index
+            corpus = spark.read.parquet(args.input)
+            report = build_index(
+                spark, corpus, args.out, n_buckets=args.buckets,
+                range_size=args.range_size, waves=args.waves,
+                positions=args.positions)
+            print(json.dumps(report, default=str))
+        elif args.cmd == "query":
+            from .query.engine import QuerySession, hydrate
+            qs = QuerySession(spark, args.index)
+            topk = qs.topk(args.query, k=args.k, mode=args.mode)
+            out = hydrate(spark, args.index, topk) if args.hydrate else topk
+            for r in out.collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "search":
+            from .query.engine import search_fields
+            fields = {f: getattr(args, f) for f in
+                      ("content", "repo", "path", "commit", "lang")}
+            for r in search_fields(spark, args.index, fields,
+                                   k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "delete":
+            from .ops.maintenance import append_deletes
+            ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+            append_deletes(spark, args.index, ids)
+            print(json.dumps({"tombstoned": ids}))
+        elif args.cmd == "append":
+            from .streaming.incremental import append_documents
+            batch = spark.read.parquet(args.input)
+            report = append_documents(spark, args.index, batch)
+            print(json.dumps(report, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

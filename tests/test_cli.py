@@ -1,0 +1,46 @@
+"""spark-submit CLI surface: build → query → delete → wipe end-to-end via
+the argparse entry point (north_star: packaged for spark-submit --py-files)."""
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from luceneindexer_spark.corpus import HOT_TERM, synth_corpus
+
+
+def test_cli_build_query_delete_wipe(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    synth_corpus(spark, 120, partitions=2).write.parquet(corpus_dir)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "luceneindexer_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(line) for line in r.stdout.splitlines()
+                if line.startswith("{")]
+
+    rep = run("build", "--input", corpus_dir, "--out", idx,
+              "--range-size", "64", "--buckets", "4")
+    assert rep[-1]["n_docs"] == 120
+
+    hits = run("query", "--index", idx, HOT_TERM, "-k", "5")
+    assert 0 < len(hits) <= 5 and "doc_id" in hits[0]
+    top1 = hits[0]["doc_id"]
+
+    run("delete", "--index", idx, "--doc-ids", str(top1))
+    hits2 = run("query", "--index", idx, HOT_TERM, "-k", "5")
+    assert top1 not in [h["doc_id"] for h in hits2]
+
+    srch = run("search", "--index", idx, "--content", HOT_TERM,
+               "--lang", "python", "-k", "3")
+    assert all(h["lang"] == "python" for h in srch)
+
+    run("wipe", "--index", idx)
+    assert not os.path.exists(os.path.join(idx, "postings"))
