@@ -397,6 +397,7 @@ def build_index(
     merge_partitions: int | None = None,
     docmap_partitions: int | None = None,
     arrow_batch_rows: int | None = 2048,
+    wave_tag: str = "",
     resume: bool = True,
     _stop_after_waves: int | None = None,
 ) -> dict:
@@ -510,7 +511,8 @@ def build_index(
                       .withColumn("bucket",
                                   F.pmod(F.xxhash64("term"),
                                          F.lit(n_buckets)).cast("int")))
-            wave_post_dir = paths.wave_dir(paths.postings, w)
+            wave_post_dir = paths.wave_dir(paths.postings,
+                                           f"{wave_tag}{w}")
             (merged.write.mode("overwrite").partitionBy("bucket")
                    .parquet(wave_post_dir))
             _mark("postings_write", tw)

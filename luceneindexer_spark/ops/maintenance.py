@@ -66,8 +66,115 @@ def delete_index(root: str) -> None:
 
 
 def vacuum_docmap(spark: SparkSession, root: str) -> DataFrame:
-    """Compaction view: docmap minus tombstones (physical rewrite would
-    overwrite the docmap + affected postings partitions; returned lazily so
-    callers control materialization)."""
+    """Compaction view: docmap minus tombstones (physical rewrite =
+    compact_index; returned lazily so callers control materialization)."""
     docmap = spark.read.parquet(os.path.join(root, "docmap"))
     return apply_deletes(docmap, read_deletes(spark, root))
+
+
+def _swap_dir(tmp: str, live: str) -> None:
+    """Replace directory ``live`` with ``tmp`` via two renames (atomic on one
+    filesystem each; a crash between them leaves ``<live>.old`` + ``tmp`` to
+    recover from — never a half-written live dir)."""
+    import shutil
+    old = live + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_index(spark: SparkSession, root: str,
+                  merge_partitions: int | None = None) -> dict:
+    """Physically remove tombstoned documents — the LSM minor compaction the
+    lazy delete path defers to (reference analog: Lucene expunges deletes on
+    segment merge). Doc-range granular:
+
+    1. rewrite the docmap without tombstoned rows (doc_ids keep their values
+       — gaps are fine, exactly like incremental appends leave gaps),
+    2. rewrite ONLY the postings waves containing affected ranges, dropping
+       those ranges' rows (manifest lineage says which waves — no scan of
+       unaffected waves, whose files stay byte-identical),
+    3. rebuild the affected ranges from the compacted docmap through the
+       normal resumable wave build (new snapshot; unaffected ranges are
+       marked complete, so only the compacted ranges re-tokenize),
+    4. clear the delete list.
+
+    After compaction the index is semantically identical to one built from
+    scratch on the vacuumed corpus: corpus stats (n_docs, avgdl) update, so
+    BM25 scores shift from the lazy-delete regime exactly as a fresh build
+    would (test_compaction_matches_fresh_oracle pins this).
+    """
+    from pyspark.sql import functions as F
+
+    from ..index import manifest as mf
+    from ..index.build import IndexPaths, build_index, compute_snapshot
+    from ..query.engine import load_meta
+
+    paths = IndexPaths(root)
+    dele = read_deletes(spark, root)
+    del_ids = [int(r["doc_id"]) for r in dele.collect()]
+    if not del_ids:
+        return {"compacted_ranges": 0, "removed_docs": 0}
+    meta = load_meta(spark, root)
+    affected = sorted({d // meta.range_size for d in del_ids})
+
+    # 1. docmap rewrite (keep the doc_id-sorted file layout the scan-split
+    # tokenize path relies on)
+    sc = spark.sparkContext
+    parts = merge_partitions or sc.defaultParallelism
+    docmap = spark.read.parquet(paths.docmap)
+    tmp_docmap = paths.docmap + ".compact"
+    (apply_deletes(docmap, dele)
+     .repartitionByRange(parts, "doc_id").sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(tmp_docmap))
+    _swap_dir(tmp_docmap, paths.docmap)
+
+    # 2. drop affected ranges' rows from the wave dirs that hold them (the
+    # wave partition column IS the dir name, so one column-pruned scan of
+    # range_id/wave maps range -> dir across all generations; untouched
+    # waves' files stay byte-identical)
+    post_all = spark.read.option("basePath", paths.postings).parquet(
+        paths.postings)
+    wave_rows = (post_all.filter(F.col("range_id").isin(affected))
+                 .select(F.col("wave").cast("string").alias("w"))
+                 .distinct().collect())
+    for wname in sorted(r["w"] for r in wave_rows):
+        wdir = paths.wave_dir(paths.postings, wname)
+        if not os.path.isdir(wdir):
+            continue
+        kept = (spark.read.parquet(wdir)
+                .filter(~F.col("range_id").isin(affected)))
+        tmp = wdir + ".compact"
+        (kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+        _swap_dir(tmp, wdir)
+
+    # 3. mark every UNaffected range complete under the compacted snapshot,
+    # then resume-build (range-granular waves, like incremental appends)
+    new_docmap = spark.read.parquet(paths.docmap)
+    snapshot = compute_snapshot(new_docmap)
+    done = mf.completed_partitions(spark, root, "postings", snapshot)
+    todo_mark = [r for r in range(meta.n_ranges)
+                 if r not in affected and r not in done]
+    if todo_mark:
+        mf.append_rows(spark, root, [{
+            "stage": "postings", "partition_id": r, "wave": -1,
+            "input_snapshot": snapshot, "n_docs": 0, "n_postings": 0,
+            "bytes": 0, "wall_time_s": 0.0, "status": mf.STATUS_COMPLETE,
+            "attempt": 0, "finished_at": mf.now_iso(),
+        } for r in todo_mark])
+    # generation-scoped wave dirs (wave=c<snapshot8>-<range>): deterministic
+    # across crash/resume of THIS compaction, never colliding with original
+    # builds (wave=<int>) or later appends/compactions
+    report = build_index(
+        spark, None, root, n_buckets=meta.n_buckets,
+        range_size=meta.range_size, waves=1_000_000_000,
+        positions=meta.positions,
+        merge_partitions=merge_partitions, resume=True,
+        wave_tag=f"c{snapshot.split('-')[-1][:8]}-")
+
+    # 4. tombstones are now physical
+    import shutil
+    shutil.rmtree(delete_list_path(root), ignore_errors=True)
+    return {"compacted_ranges": len(affected), "removed_docs": len(del_ids),
+            "build": report}

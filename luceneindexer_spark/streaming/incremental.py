@@ -124,6 +124,7 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     report = build_index(
         spark, None, root, n_buckets=meta.n_buckets,
         range_size=meta.range_size, waves=1_000_000_000,
+        positions=meta.positions,
         merge_partitions=merge_partitions, resume=True)
     return report
 

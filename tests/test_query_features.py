@@ -236,6 +236,64 @@ def test_tiny_arrow_batches_rank_identical(spark, tmp_path):
         assert got == want, q
 
 
+def test_compaction_matches_fresh_oracle(spark, tmp_path):
+    """compact_index physically removes tombstoned docs: docmap vacuumed,
+    only affected waves rewritten (untouched wave files byte-identical),
+    affected ranges rebuilt, delete list cleared — and the compacted index
+    answers rank-identically to the oracle over the vacuumed corpus (i.e.
+    exactly like a from-scratch build, stats updated)."""
+    import glob as g
+    root = str(tmp_path / "idx_compact")
+    corpus = synth_corpus(spark, 300, partitions=2)
+    # 5 ranges over 3 waves: wave0={r0,r1} wave1={r2,r3} wave2={r4}
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=3,
+                positions=True)
+    victims = [3, 5, 130, 140, 150]          # ranges 0 and 2
+    M.append_deletes(spark, root, victims)
+
+    untouched = {p: os.path.getmtime(p) for p in
+                 g.glob(f"{root}/postings/wave=2/**/*.parquet",
+                        recursive=True)}
+    assert untouched
+
+    rep = M.compact_index(spark, root)
+    assert rep["compacted_ranges"] == 2 and rep["removed_docs"] == 5
+
+    docmap = spark.read.parquet(f"{root}/docmap")
+    ids = {r.doc_id for r in docmap.select("doc_id").collect()}
+    assert ids.isdisjoint(victims) and len(ids) == 300 - 5
+    assert M.read_deletes(spark, root).count() == 0
+    for p, t in untouched.items():
+        assert os.path.getmtime(p) == t, p
+
+    # affected ranges' tombstoned postings are physically gone
+    post = spark.read.option("basePath", f"{root}/postings").parquet(
+        f"{root}/postings")
+    assert post.filter(F.col("range_id").isin([0, 2])).count() > 0
+
+    for q, mode in ((HOT_TERM, "and"), ("getUserName queryParser", "and"),
+                    (PHRASE, "phrase")):
+        want = [(r.doc_id, round(r.score, 9)) for r in
+                bm25_topk_oracle(docmap, q, k=10, mode=mode).collect()]
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               engine.bm25_topk(spark, root, q, k=10, mode=mode).collect()]
+        assert got == want, q
+        assert not {g_[0] for g_ in got} & set(victims)
+
+    # idempotent: nothing left to compact
+    assert M.compact_index(spark, root)["compacted_ranges"] == 0
+
+    # the index remains appendable after compaction
+    from luceneindexer_spark.streaming.incremental import append_documents
+    add = spark.createDataFrame(
+        [("inc/r", "src/new1.py", "c" * 40, "python",
+          "freshlyAppendedToken sharedlogger")],
+        "repo string, path string, commit string, lang string, content string")
+    append_documents(spark, root, add)
+    hits = engine.bm25_topk(spark, root, "freshlyAppendedToken", k=5)
+    assert hits.count() == 1
+
+
 def test_delete_index_wipes_everything(built, spark, tmp_path):
     src, _ = built
     root = str(tmp_path / "wipe_idx")
