@@ -130,6 +130,31 @@ def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r, "score")
 
 
+_COMPACT_ROOT_CACHE: dict[str, str] = {}
+
+
+def _q_bm25_after_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical compaction (D3): tombstone the query's rank-1 doc, then
+    compact — docmap vacuumed, affected ranges rebuilt, corpus stats
+    RECOMPUTED (unlike the lazy-delete regime). The oracle recomputes BM25
+    over the corpus minus that doc with fresh n_docs/avgdl/df."""
+    root = _COMPACT_ROOT_CACHE.get(sf_dir)
+    if not root or not os.path.exists(os.path.join(root, "_PUBLISHED")):
+        root = tempfile.mkdtemp(prefix="li_spark_cmp_")
+        docmap = docmap_from_documents(spark, sf_dir)
+        (docmap.repartitionByRange(8, "doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(os.path.join(root, "docmap")))
+        build_index(spark, None, root, n_buckets=4, range_size=512, waves=1,
+                    positions=True, resume=True)
+        top1 = engine.bm25_topk(spark, root, BM25_QUERY, k=1).collect()[0]
+        M.append_deletes(spark, root, [int(top1.doc_id)])
+        M.compact_index(spark, root)
+        _COMPACT_ROOT_CACHE[sf_dir] = root
+    r = engine.bm25_topk(spark, root, BM25_QUERY, k=10)
+    return _round6(r, "score")
+
+
 def _q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 through the index: the query's rank-1 doc is tombstoned; the
     engine's top-10 must be the oracle's ranks 2..11 (lazy-delete semantics:
@@ -423,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hydrate": _q_bm25_hydrate,
         "knn_join_top3": _q_knn_join,
         "bm25_after_delete": _q_bm25_after_delete,
+        "bm25_after_compact": _q_bm25_after_compact,
         "phrase_search_index": _q_phrase_index,
         "multifield_search_index": _q_multifield_index,
         "ann_recall_check": _q_ann_recall,
@@ -528,6 +554,54 @@ SELECT doc_id, round(score, 6)::DOUBLE AS score{
     ", lang" if with_lang_col else ""}
 FROM scored{" JOIN documents USING (doc_id)" if with_lang_col else ""}
 WHERE nt = {len(terms)}{restrict}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_after_compact_sql(query: str, k: int) -> str:
+    """BM25 after PHYSICAL compaction of the original rank-1 doc: the
+    exclusion is decided under the ORIGINAL stats, the final scores are
+    recomputed over the vacuumed corpus (fresh n_docs/avgdl/df) — exactly a
+    from-scratch build on the remaining docs."""
+    terms = query_terms(query)
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+WITH tok0 AS ({_TOK}),
+dl0 AS (SELECT doc_id, count(*) AS doclen FROM tok0 GROUP BY doc_id),
+st0 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+               (SELECT coalesce(sum(doclen), 0) FROM dl0)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl),
+tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok0
+        WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf0 GROUP BY term),
+sc0 AS (SELECT tf0.doc_id,
+               sum(ln(1 + (s.n_docs - df0.df + 0.5) / (df0.df + 0.5))
+                   * tf0.tf * {K1_1} / (tf0.tf + {BM25_K1} * (1 - {BM25_B}
+                     + {BM25_B} * dl0.doclen / s.avgdl))) AS score,
+               count(*) AS nt
+        FROM tf0 JOIN df0 USING (term) JOIN dl0 USING (doc_id)
+        CROSS JOIN st0 s GROUP BY tf0.doc_id),
+top1 AS (SELECT doc_id FROM sc0 WHERE nt = {len(terms)}
+         ORDER BY score DESC, doc_id ASC LIMIT 1),
+tok AS (SELECT * FROM tok0
+        WHERE doc_id NOT IN (SELECT doc_id FROM top1)),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+st AS (SELECT ((SELECT count(*) FROM documents) - 1)::DOUBLE AS n_docs,
+              (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+              / ((SELECT count(*) FROM documents) - 1) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score,
+         count(*) AS nt
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM scored WHERE nt = {len(terms)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -821,6 +895,7 @@ SELECT id_l, id_r, round(c, 6)::DOUBLE AS cosine, rk::BIGINT AS rank
 FROM ranked WHERE rk <= 3
 """,
         "bm25_after_delete": _bm25_sql(BM25_QUERY, 10, exclude_rank1=True),
+        "bm25_after_compact": _bm25_after_compact_sql(BM25_QUERY, 10),
         "phrase_search_index": _bm25_sql(INDEX_PHRASE, 10,
                                          phrase=INDEX_PHRASE),
         "multifield_search_index": _bm25_sql(
