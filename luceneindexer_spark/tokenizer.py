@@ -85,12 +85,12 @@ def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     the next ``doc_counts[d]`` tokens. Stopwords are dropped via a mask over
     the (tiny) unique-term vocabulary — never over the token stream.
 
-    An alternative fully-numpy byte-domain implementation
-    (``tokenize_flat_np``, property-tested identical) avoids per-token
-    Python string objects entirely; on conventional hardware it reduces
-    memory traffic further, but in this sandbox VM (lazy page faulting makes
-    large fresh allocations disproportionately expensive) the regex+arena
-    path measures faster, so it is the default.
+    Used by the pandas-facing surfaces (tokenize_batch / oracle paths).
+    The index BUILD instead flows through ``tokenize_flat_arrow`` (byte-
+    domain core straight off the Arrow string buffers — no pandas
+    conversion, no per-doc Python strings); ``tokenize_flat_np`` is the
+    same core fed from Python strings, property-tested identical to this
+    regex path.
     """
     # replacing the separator with a space is tokenization-invariant: both
     # are non-alnum, match neither regex class, and delimit [a-z0-9]+ runs
@@ -134,15 +134,14 @@ def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 # numpy byte-domain tokenizer (alternative implementation)
 # ---------------------------------------------------------------------------
-# The regex path allocates one Python str per token — on conventional
-# hardware the allocator/memory traffic can become the bottleneck at corpus
-# scale. This path stays entirely in numpy uint8/uint64 arrays: boundary
-# masks replace the two regex substitutions, token identity comes from a
-# 2x64-bit segment rolling hash (wraparound-mod-2^64 polynomial, invertible
-# odd base), and Python strings are materialized only for the UNIQUE
-# vocabulary (one slice per distinct term). Not the default here: this
-# sandbox VM's lazy page faulting makes the large fresh intermediates cost
-# more than they save (measured both ways; see tokenize_flat docstring).
+# The regex path allocates one Python str per token — allocator/memory
+# traffic becomes the bottleneck at corpus scale. This path stays entirely
+# in numpy uint8/uint64 arrays: boundary masks replace the two regex
+# substitutions, token identity comes from a 2x64-bit segment rolling hash
+# (wraparound-mod-2^64 polynomial, invertible odd base) grouped by a typed
+# lexsort, and Python strings are materialized only for the UNIQUE
+# vocabulary (one slice per distinct term). ``tokenize_flat_arrow`` feeds
+# this core zero-copy from Arrow buffers — the index build's default path.
 
 _B1 = np.uint64(0x9E3779B97F4A7C15)   # odd → invertible mod 2^64
 _B2 = np.uint64(0xC2B2AE3D27D4EB4F)
