@@ -45,10 +45,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import (encode_postings, positions_decode, positions_encode,
-                      run_decode, varint_encode_grouped)
+from ..codecs import (BLOCK_SIZE, positions_decode, positions_encode,
+                      varint_decode, varint_encode_grouped)
 from ..corpus import build_docmap
-from ..tokenizer import tokenize_flat, tokenize_flat_arrow
+from ..tokenizer import tokenize_flat_arrow
 from . import manifest as mf
 
 RUNS_SCHEMA = (
@@ -197,33 +197,15 @@ def _build_run_columns(doc_ids: np.ndarray, uniq: np.ndarray,
     }
 
 
-def _runs_generator(range_size: int, positions: bool = False):
-    """mapInPandas fn: (doc_id, content) batches → per-(term, range) run rows
-    (+ DOCLEN_TERM rows carrying doclens). With ``positions=True`` each run
-    row additionally carries the per-(doc, term) token positions
-    (delta+varint, codecs.positions_encode) emitted from the SAME tokenize
-    pass — the corpus is tokenized exactly once either way."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            uniq, codes, lens = tokenize_flat(pdf["content"].to_numpy())
-            cols = _build_run_columns(pdf["doc_id"].to_numpy(np.int64),
-                                      uniq, codes, lens, range_size,
-                                      positions)
-            if cols is not None:
-                yield pd.DataFrame(cols)
-
-    return gen
-
-
 def _runs_generator_arrow(range_size: int, positions: bool = False):
-    """mapInArrow twin of _runs_generator: consumes pyarrow RecordBatches and
+    """mapInArrow tokenize→runs stage: consumes pyarrow RecordBatches and
     tokenizes STRAIGHT from the Arrow string buffers (tokenize_flat_arrow) —
     no pandas conversion, no per-doc Python strings, no big-string join.
     This is the memory-traffic-minimal build path (the dominant stage's
-    working set is what a bandwidth-bound 32-way node pays for)."""
+    working set is what a bandwidth-bound 32-way node pays for). With
+    ``positions=True`` each run row additionally carries the per-(doc, term)
+    token positions (delta+varint, codecs.positions_encode) emitted from the
+    SAME tokenize pass — the corpus is tokenized exactly once either way."""
     import pyarrow as pa
 
     def gen(batches):
@@ -255,70 +237,165 @@ def _runs_generator_arrow(range_size: int, positions: bool = False):
     return gen
 
 
-def _merge_one_group(rows: pd.DataFrame) -> dict:
-    """Merge the sorted runs of one (term, range_id) into one block-encoded
-    postings row (dict of POSTINGS_SCHEMA values). Positions buffers (when
-    present) merge WITHOUT decoding while the concatenated run docIDs are
-    already ascending (the common case: runs arrive sorted by first_docid and
-    input partitions cover doc intervals); interleaved runs fall back to a
-    vectorized decode → per-doc slice permute → re-encode."""
-    docs_parts = []
-    tfs_parts = []
-    for de, te, n in zip(rows["docs_enc"], rows["tfs_enc"], rows["n"]):
-        d, t = run_decode(de, te, int(n))
-        docs_parts.append(d)
-        tfs_parts.append(t)
-    docs = np.concatenate(docs_parts)
-    tfs = np.concatenate(tfs_parts)
-    has_pos = rows["pos_enc"].iloc[0] is not None
-    pos_enc: bytes | None = None
-    already_sorted = docs.size <= 1 or bool((np.diff(docs) > 0).all())
-    if len(docs_parts) > 1 and not already_sorted:
-        order = np.argsort(docs, kind="stable")
-        if has_pos:
-            # decode every run's flat positions, permute per-doc slices into
-            # the merged doc order, re-encode (all index arithmetic, no loop
-            # over postings)
-            flat = np.concatenate([
-                positions_decode(pe, t)
-                for pe, t in zip(rows["pos_enc"], tfs_parts)])
-            offs = np.cumsum(tfs) - tfs
-            new_lens = tfs[order]
-            starts_new = np.cumsum(new_lens) - new_lens
-            idx = (np.arange(flat.size, dtype=np.int64)
-                   - np.repeat(starts_new, new_lens)
-                   + np.repeat(offs[order], new_lens))
-            pos_enc = positions_encode(flat[idx], starts_new)[0]
-        docs = docs[order]
-        tfs = tfs[order]
-    elif has_pos:
-        pos_enc = b"".join(bytes(p) for p in rows["pos_enc"])
-    if docs.size > 1 and not (np.diff(docs) > 0).all():
-        raise ValueError("duplicate doc_id across runs for one term+range")
-    ep = encode_postings(docs, tfs)
-    return {
-        "term": rows["term"].iloc[0],
-        "range_id": int(rows["range_id"].iloc[0]),
-        "df": int(ep.n),
-        "cf": int(tfs.sum()),
-        "max_tf": int(ep.max_tf),
-        "block_first": ep.block_first.tolist(),
-        "block_last": ep.block_last.tolist(),
-        "block_maxtf": ep.block_maxtf.tolist(),
-        "block_mintf": ep.block_mintf.tolist(),
-        "block_n": ep.block_n.tolist(),
-        "block_off_d": ep.block_off_d.tolist(),
-        "block_off_t": ep.block_off_t.tolist(),
-        "docs_enc": ep.docs_enc,
-        "tfs_enc": ep.tfs_enc,
-        "pos_enc": pos_enc,
-    }
+BLOCK = BLOCK_SIZE  # output postings block size (shared with codecs)
+
+
+def _merge_rows_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge a batch of COMPLETE (term, range_id) run groups into one
+    block-encoded postings row per group — fully vectorized across groups.
+
+    This is the memory-traffic-minimal merge the 4N-core scaling target
+    needs: ONE varint decode over the concatenation of every run buffer in
+    the batch (varints are self-delimiting), one global cumsum-with-reset to
+    rebuild absolute docIDs, one reduceat family for all per-block metadata,
+    and ONE grouped varint encode for all output blocks. No per-group pandas
+    slicing, no per-group decode/encode round-trips — per-group Python is
+    reduced to output-row assembly (memoryview slices of shared buffers).
+
+    Runs arrive sorted by (term, range_id, first_docid); concatenated docIDs
+    of one group are therefore ascending in the common case (tokenize tasks
+    cover contiguous doc intervals). The rare interleaved group is fixed up
+    in place with an argsort (positions decoded/permuted only for that
+    group); duplicate docIDs raise.
+    """
+    terms = pdf["term"].to_numpy()
+    rids = pdf["range_id"].to_numpy(np.int64)
+    ns = pdf["n"].to_numpy(np.int64)
+    denc = pdf["docs_enc"].to_numpy()
+    tenc = pdf["tfs_enc"].to_numpy()
+    penc = pdf["pos_enc"].to_numpy()
+    nrows = terms.size
+    total = int(ns.sum())
+
+    # ---- decode every run in one pass ----
+    gaps = varint_decode(b"".join(denc), total).astype(np.int64)
+    tfs = varint_decode(b"".join(tenc), total).astype(np.int64) + 1
+    run_starts = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(ns[:-1], out=run_starts[1:])
+    c = np.cumsum(gaps)
+    base = c[run_starts] - gaps[run_starts]
+    docs = c - np.repeat(base, ns)
+
+    # ---- group boundaries (term, range_id) over runs ----
+    newg = np.empty(nrows, dtype=bool)
+    newg[0] = True
+    newg[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+    g_first_run = np.flatnonzero(newg)
+    ngroups = g_first_run.size
+    g_nruns = np.diff(np.append(g_first_run, nrows))
+    gp_starts = run_starts[g_first_run]               # posting-span starts
+    gp_ends = np.append(gp_starts[1:], total)
+    gn = gp_ends - gp_starts                          # postings per group
+
+    # ---- fix the rare interleaved group in place ----
+    pos_override: dict[int, bytes] = {}
+    if total > 1:
+        viol = np.flatnonzero(np.diff(docs) <= 0) + 1
+        at_gstart = gp_starts[
+            np.searchsorted(gp_starts, viol, side="right") - 1] == viol
+        viol = viol[~at_gstart]
+    else:
+        viol = np.empty(0, dtype=np.int64)
+    if viol.size:
+        for g in np.unique(np.searchsorted(gp_starts, viol, "right") - 1):
+            s, e = int(gp_starts[g]), int(gp_ends[g])
+            dg, tg = docs[s:e], tfs[s:e]
+            order = np.argsort(dg, kind="stable")
+            if dg.size > 1 and not (np.diff(dg[order]) > 0).all():
+                raise ValueError(
+                    "duplicate doc_id across runs for one term+range")
+            r0, r1 = int(g_first_run[g]), int(g_first_run[g] + g_nruns[g])
+            if penc[r0] is not None:
+                # decode the group's flat positions, permute per-doc slices
+                # into merged doc order, re-encode (index arithmetic only)
+                flat = np.concatenate([
+                    positions_decode(bytes(penc[r]),
+                                     tfs[run_starts[r]:run_starts[r] + ns[r]])
+                    for r in range(r0, r1)])
+                offs = np.cumsum(tg) - tg
+                new_lens = tg[order]
+                starts_new = np.cumsum(new_lens) - new_lens
+                idx = (np.arange(flat.size, dtype=np.int64)
+                       - np.repeat(starts_new, new_lens)
+                       + np.repeat(offs[order], new_lens))
+                pos_override[int(g)] = positions_encode(
+                    flat[idx], starts_new)[0]
+            docs[s:e] = dg[order]
+            tfs[s:e] = tg[order]
+
+    # ---- block layout across ALL groups at once ----
+    nb_g = (gn + BLOCK - 1) // BLOCK
+    tot_blocks = int(nb_g.sum())
+    blk_g0 = np.cumsum(nb_g) - nb_g                   # first block of group
+    within = (np.arange(tot_blocks, dtype=np.int64)
+              - np.repeat(blk_g0, nb_g))
+    bstarts = np.repeat(gp_starts, nb_g) + within * BLOCK
+    bends = np.minimum(bstarts + BLOCK, np.repeat(gp_ends, nb_g))
+    block_first = docs[bstarts]
+    block_last = docs[bends - 1]
+    # group spans are contiguous, so consecutive bstarts delimit each block:
+    # reduceat over bstarts covers exactly [bstarts[i], bstarts[i+1])
+    block_maxtf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    block_mintf = np.minimum.reduceat(tfs, bstarts).astype(np.int32)
+    block_n = (bends - bstarts).astype(np.int32)
+
+    # ---- one grouped varint encode for every output block ----
+    out_gaps = np.empty(total, dtype=np.int64)
+    out_gaps[0] = 0
+    np.subtract(docs[1:], docs[:-1], out=out_gaps[1:])
+    out_gaps[bstarts] = 0                             # block leaders omitted
+    keep = np.ones(total, dtype=bool)
+    keep[bstarts] = False
+    kept_before = np.cumsum(keep) - keep
+    d_buf, d_offs = varint_encode_grouped(out_gaps[keep], kept_before[bstarts])
+    t_buf, t_offs = varint_encode_grouped(tfs - 1, bstarts)
+    d_mv, t_mv = memoryview(d_buf), memoryview(t_buf)
+
+    # ---- per-group aggregates ----
+    g_cf = np.add.reduceat(tfs, gp_starts)
+    g_maxtf = np.maximum.reduceat(tfs, gp_starts).astype(np.int32)
+
+    # ---- assemble output rows (slicing only) ----
+    bf_l, bl_l, bmax_l, bmin_l, bn_l = [], [], [], [], []
+    offd_l, offt_l, de_l, te_l, pe_l = [], [], [], [], []
+    for g in range(ngroups):
+        b0 = int(blk_g0[g])
+        b1 = b0 + int(nb_g[g])
+        bf_l.append(block_first[b0:b1].tolist())
+        bl_l.append(block_last[b0:b1].tolist())
+        bmax_l.append(block_maxtf[b0:b1].tolist())
+        bmin_l.append(block_mintf[b0:b1].tolist())
+        bn_l.append(block_n[b0:b1].tolist())
+        offd_l.append((d_offs[b0:b1] - d_offs[b0]).tolist())
+        offt_l.append((t_offs[b0:b1] - t_offs[b0]).tolist())
+        de_l.append(bytes(d_mv[d_offs[b0]:d_offs[b1]]))
+        te_l.append(bytes(t_mv[t_offs[b0]:t_offs[b1]]))
+        ov = pos_override.get(g)
+        if ov is not None:
+            pe_l.append(ov)
+        else:
+            r0 = int(g_first_run[g])
+            if penc[r0] is None:
+                pe_l.append(None)
+            else:
+                r1 = r0 + int(g_nruns[g])
+                pe_l.append(bytes(penc[r0]) if r1 == r0 + 1
+                            else b"".join(bytes(p) for p in penc[r0:r1]))
+    return pd.DataFrame({
+        "term": terms[g_first_run], "range_id": rids[g_first_run],
+        "df": gn, "cf": g_cf, "max_tf": g_maxtf,
+        "block_first": bf_l, "block_last": bl_l, "block_maxtf": bmax_l,
+        "block_mintf": bmin_l, "block_n": bn_l,
+        "block_off_d": offd_l, "block_off_t": offt_l,
+        "docs_enc": de_l, "tfs_enc": te_l, "pos_enc": pe_l,
+    })
 
 
 def _merge_generator():
     """mapInPandas fn over run rows sorted by (term, range_id, first_docid)
     within each shuffle partition; carries the trailing (possibly incomplete)
-    group across Arrow batch boundaries."""
+    group across Arrow batch boundaries and hands complete-group batches to
+    the vectorized merger (_merge_rows_vec)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
@@ -328,30 +405,20 @@ def _merge_generator():
                 pending = None
             if len(pdf) == 0:
                 continue
-            key = pdf["term"].astype(str) + "\x00" + pdf["range_id"].astype(str)
-            boundaries = np.flatnonzero(
-                np.concatenate(([True], key.to_numpy()[1:] != key.to_numpy()[:-1])))
+            terms = pdf["term"].to_numpy()
+            rids = pdf["range_id"].to_numpy(np.int64)
+            newg = np.empty(terms.size, dtype=bool)
+            newg[0] = True
+            newg[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+            boundaries = np.flatnonzero(newg)
             if boundaries.size == 1:
                 pending = pdf  # single (possibly incomplete) group
                 continue
             last_start = int(boundaries[-1])
             pending = pdf.iloc[last_start:].reset_index(drop=True)
-            body = pdf.iloc[:last_start]
-            bnds = boundaries[:-1]
-            out = [
-                _merge_one_group(body.iloc[int(s):int(e)])
-                for s, e in zip(bnds, np.append(bnds[1:], last_start))
-            ]
-            yield pd.DataFrame(out)
+            yield _merge_rows_vec(pdf.iloc[:last_start])
         if pending is not None and len(pending):
-            key = (pending["term"].astype(str) + "\x00"
-                   + pending["range_id"].astype(str)).to_numpy()
-            bnds = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-            out = [
-                _merge_one_group(pending.iloc[int(s):int(e)])
-                for s, e in zip(bnds, np.append(bnds[1:], len(pending)))
-            ]
-            yield pd.DataFrame(out)
+            yield _merge_rows_vec(pending)
 
     return gen
 
