@@ -63,6 +63,9 @@ def delete_index(root: str) -> None:
         os.remove(marker)
     for sub in INDEX_SUBDIRS:
         shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+        for suffix in (".old", ".compact"):  # crashed-compaction leftovers
+            shutil.rmtree(os.path.join(root, sub + suffix),
+                          ignore_errors=True)
 
 
 def vacuum_docmap(spark: SparkSession, root: str) -> DataFrame:
@@ -75,13 +78,34 @@ def vacuum_docmap(spark: SparkSession, root: str) -> DataFrame:
 def _swap_dir(tmp: str, live: str) -> None:
     """Replace directory ``live`` with ``tmp`` via two renames (atomic on one
     filesystem each; a crash between them leaves ``<live>.old`` + ``tmp`` to
-    recover from — never a half-written live dir)."""
+    recover from — never a half-written live dir). Single-writer,
+    no-concurrent-reader assumption: between the two renames the live path
+    does not exist; ``_sweep_swap_leftovers`` repairs that window on the next
+    maintenance entry."""
     import shutil
     old = live + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(live, old)
     os.rename(tmp, live)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _sweep_swap_leftovers(root: str) -> None:
+    """Repair/clean stranded ``*.old`` / ``*.compact`` dirs from a crash
+    mid-``_swap_dir`` (called on compact_index entry and by delete_index):
+    a ``<live>.old`` with NO live dir is the mid-swap crash window — restore
+    it; everything else stranded is a dead intermediate — remove it."""
+    import glob
+    import shutil
+    for old in glob.glob(os.path.join(root, "**", "*.old"), recursive=True):
+        live = old[:-len(".old")]
+        if not os.path.exists(live):
+            os.rename(old, live)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    for tmp in glob.glob(os.path.join(root, "**", "*.compact"),
+                         recursive=True):
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compact_index(spark: SparkSession, root: str,
@@ -112,12 +136,17 @@ def compact_index(spark: SparkSession, root: str,
     from ..query.engine import load_meta
 
     paths = IndexPaths(root)
+    _sweep_swap_leftovers(root)
     dele = read_deletes(spark, root)
-    del_ids = [int(r["doc_id"]) for r in dele.collect()]
-    if not del_ids:
+    n_del = dele.count()
+    if not n_del:
         return {"compacted_ranges": 0, "removed_docs": 0}
     meta = load_meta(spark, root)
-    affected = sorted({d // meta.range_size for d in del_ids})
+    # only the DISTINCT range ids reach the driver (range-count sized, like
+    # the manifest itself) — the doc_id list stays distributed
+    affected = sorted(int(r["rid"]) for r in dele.select(
+        (F.col("doc_id") / F.lit(meta.range_size)).cast("long").alias("rid"))
+        .distinct().collect())
 
     # 1. docmap rewrite (keep the doc_id-sorted file layout the scan-split
     # tokenize path relies on)
@@ -176,5 +205,5 @@ def compact_index(spark: SparkSession, root: str,
     # 4. tombstones are now physical
     import shutil
     shutil.rmtree(delete_list_path(root), ignore_errors=True)
-    return {"compacted_ranges": len(affected), "removed_docs": len(del_ids),
+    return {"compacted_ranges": len(affected), "removed_docs": n_del,
             "build": report}

@@ -20,13 +20,14 @@ intersection with skip lists → BM25 → TopDocs). Spark shape (SURVEY.md §3.2
     → optional hydrate: broadcast-join the k rows back to the docmap
       (stored-fields analog of ``searcher.doc(id)``, R:352-359).
 
-Delete semantics: tombstones (ops.maintenance delete list) are loaded once
-per QuerySession and filtered out INSIDE the scorer, before top-k selection —
-a deleted doc can never surface and never displaces a live doc from the k
-results (reference: ``cLuceneIndexReader.java:371-383`` deletes lazily at
-query time). The delete list is control-plane sized (it is compacted away by
-vacuum); at 10^12-doc scale it would be pre-partitioned by range alongside
-the index.
+Delete semantics: tombstones (ops.maintenance delete list) are encoded as
+range-partitioned DEL_TERM pseudo-postings and cogrouped into the scorer,
+which filters them out before top-k selection — a deleted doc can never
+surface and never displaces a live doc from the k results (reference:
+``cLuceneIndexReader.java:371-383`` deletes lazily at query time). The
+delete list never reaches the driver and never rides a task closure: each
+range's scorer sees only ITS tombstones, so a large delete backlog costs
+one extra range-partitioned shuffle leg, not a per-task pickle payload.
 
 Scale: postings are doc-range-partitioned, so query fan-out is one small
 shuffle of only the query terms' rows, each range scored independently —
@@ -52,6 +53,13 @@ from .oracle import query_terms
 #: conjunction): the tokenizer emits only [a-z0-9]+ and the norms sentinel is
 #: "", so "\x01" can never collide with a real term.
 ALLOW_TERM = "\x01"
+
+#: pseudo-term carrying a per-range tombstone list: the delete list is
+#: encoded as range-partitioned pseudo-postings and COGROUPED into the
+#: scorers exactly like ALLOW_TERM rows — never collected to the driver,
+#: never shipped inside a task closure, so a 10^8-row delete backlog costs
+#: one extra range-partitioned shuffle leg instead of a per-task pickle.
+DEL_TERM = "\x02"
 
 #: the exact column set the range scorers consume (= POSTINGS_SCHEMA order);
 #: projecting the cogroup inputs to it drops the bucket/wave partition
@@ -159,20 +167,41 @@ class _BlockCache:
                 np.concatenate([p[1] for p in parts]))
 
 
+def _interval_reduce(values: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                     default: float, ufunc) -> np.ndarray:
+    """``ufunc.reduce(values[lo[i]:hi[i]])`` for each i, empty → default —
+    in ONE vectorized pass: interleave [lo0, hi0, lo1, hi1, ...] and reduceat
+    (odd segments are garbage and dropped; a sentinel element keeps hi == n
+    a valid index; numpy defines reduceat on idx[j] >= idx[j+1] as x[idx[j]],
+    masked out by the emptiness test)."""
+    n = lo.size
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    v = np.append(values.astype(np.float64), default)
+    idx = np.empty(2 * n, dtype=np.int64)
+    idx[0::2] = lo
+    idx[1::2] = hi
+    out = ufunc.reduceat(v, idx)[0::2]
+    return np.where(hi > lo, out, default)
+
+
+def _interval_min(values, lo, hi, default: float) -> np.ndarray:
+    return _interval_reduce(values, lo, hi, default, np.minimum)
+
+
+def _interval_max(values, lo, hi, default: float) -> np.ndarray:
+    return _interval_reduce(values, lo, hi, default, np.maximum)
+
+
 def _block_dlmin(ep: EncodedPostings, nep: EncodedPostings) -> np.ndarray:
     """Per-posting-block doclen lower bound from norms METADATA only: min of
     ``block_mintf`` over the norms blocks overlapping each posting block's
     [first, last] docID window (a superset window → a valid lower bound).
-    O(blocks) — metadata-sized, never decodes a norms posting."""
-    nb = ep.block_first.size
+    One vectorized reduceat pass — metadata-sized, never decodes a norms
+    posting."""
     lo = np.searchsorted(nep.block_last, ep.block_first, side="left")
     hi = np.searchsorted(nep.block_first, ep.block_last, side="right")
-    mint = nep.block_mintf
-    out = np.empty(nb, dtype=np.float64)
-    for i in range(nb):
-        l, h = int(lo[i]), int(hi[i])
-        out[i] = float(mint[l:h].min()) if h > l else 1.0
-    return out
+    return _interval_min(nep.block_mintf, lo, hi, 1.0)
 
 
 def _score_ub(idf: float, maxtf, dlmin, avgdl: float,
@@ -186,17 +215,30 @@ def _score_ub(idf: float, maxtf, dlmin, avgdl: float,
 _WAND_CHUNK = 4  # rare-term blocks decoded per threshold update
 
 
+def _pop_pseudo_docs(post_pdf: pd.DataFrame, term: str
+                     ) -> tuple[pd.DataFrame, np.ndarray | None]:
+    """Extract a pseudo-postings row (ALLOW_TERM / DEL_TERM) from a range's
+    cogroup rows → (remaining rows, ascending docID array or None)."""
+    mask = post_pdf["term"] == term
+    if not mask.any():
+        return post_pdf, None
+    docs = decode_postings(
+        _ep_from_row(next(post_pdf[mask].itertuples())))[0]
+    return post_pdf[~mask], docs
+
+
 def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float],
                        avgdl: float, k: int, k1: float = BM25_K1,
-                       b: float = BM25_B, deletes: np.ndarray | None = None,
+                       b: float = BM25_B,
                        allow: bool = False, counters: dict | None = None):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
     the range's DOCLEN_TERM postings row (norms) → local top-k
     (doc_id, score), with block-max WAND pruning.
 
-    ``deletes``: ascending doc_id array filtered out before selection.
-    ``allow``: require an ALLOW_TERM row per range (exact multi-field
-    conjunction) and restrict candidates to its docIDs.
+    Tombstones arrive as DEL_TERM pseudo-postings rows in the same cogroup
+    (range-partitioned; see QuerySession.refresh_deletes) and are filtered
+    out before selection. ``allow``: require an ALLOW_TERM row per range
+    (exact multi-field conjunction) and restrict candidates to its docIDs.
     """
     score_order = sorted(terms_by_rarity)  # deterministic accumulation order
 
@@ -206,14 +248,12 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                               "score": pd.Series(dtype=np.float64)})
         if len(norms_pdf) == 0 or len(post_pdf) == 0:
             return empty
+        post_pdf, deletes = _pop_pseudo_docs(post_pdf, DEL_TERM)
         allow_docs: np.ndarray | None = None
         if allow:
-            amask = post_pdf["term"] == ALLOW_TERM
-            if not amask.any():
+            post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
+            if allow_docs is None:
                 return empty  # no allowed docs in this range
-            allow_docs = decode_postings(
-                _ep_from_row(next(post_pdf[amask].itertuples())))[0]
-            post_pdf = post_pdf[~amask]
         by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
         if any(t not in by_term for t in terms_by_rarity):
             return empty  # conjunctive MUST: every term must exist in range
@@ -227,16 +267,31 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
         ncache = _BlockCache(nep)
 
         # ---- block-max upper bounds (metadata only) ----
+        dlmin_blocks = _block_dlmin(rep, nep)
         ub = _score_ub(idf_by_term[rare], rep.block_maxtf,
-                       _block_dlmin(rep, nep), avgdl, k1, b)
+                       dlmin_blocks, avgdl, k1, b)
         if others:
-            dlmin_range = float(nep.block_mintf.min())
-            ub += sum(
-                float(_score_ub(idf_by_term[t], by_term[t].max_tf,
-                                dlmin_range, avgdl, k1, b))
-                for t in others)
+            # per-rare-block other-term bounds from the OVERLAPPING blocks'
+            # block_maxtf (not the range-wide max): tighter for hot
+            # conjunctions, and a rare block overlapped by NO block of some
+            # MUST term provably holds no conjunctive match at all → pruned
+            # outright (ub = -inf)
+            alive = np.ones(ub.size, dtype=bool)
+            for t in others:
+                oep = by_term[t]
+                lo = np.searchsorted(oep.block_last, rep.block_first, "left")
+                hi = np.searchsorted(oep.block_first, rep.block_last, "right")
+                omax = _interval_max(oep.block_maxtf, lo, hi, 0.0)
+                has = omax > 0
+                alive &= has
+                contrib = np.zeros(ub.size, dtype=np.float64)
+                contrib[has] = _score_ub(idf_by_term[t], omax[has],
+                                         dlmin_blocks[has], avgdl, k1, b)
+                ub += contrib
+            ub[~alive] = -np.inf
 
         border = np.argsort(-ub, kind="stable")
+        border = border[ub[border] > -np.inf]
         ub_sorted = ub[border]
 
         res_docs: list[np.ndarray] = []
@@ -337,7 +392,6 @@ _POS_SHIFT = np.int64(1) << np.int64(32)  # doc-ordinal • position packing
 def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
                         idf_by_term: dict[str, float], avgdl: float, k: int,
                         k1: float = BM25_K1, b: float = BM25_B,
-                        deletes: np.ndarray | None = None,
                         allow: bool = False):
     """cogroup fn for phrase ("whole words") mode: per range, intersect the
     phrase terms' doc lists, then verify the consecutive-position chain
@@ -354,14 +408,12 @@ def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
                               "score": pd.Series(dtype=np.float64)})
         if len(norms_pdf) == 0 or len(post_pdf) == 0:
             return empty
+        post_pdf, deletes = _pop_pseudo_docs(post_pdf, DEL_TERM)
         allow_docs: np.ndarray | None = None
         if allow:
-            amask = post_pdf["term"] == ALLOW_TERM
-            if not amask.any():
+            post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
+            if allow_docs is None:
                 return empty
-            allow_docs = decode_postings(
-                _ep_from_row(next(post_pdf[amask].itertuples())))[0]
-            post_pdf = post_pdf[~amask]
         rows = {r.term: r for r in post_pdf.itertuples()}
         if any(t not in rows for t in terms_dedup):
             return empty
@@ -435,16 +487,18 @@ def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
     return score_range
 
 
-def _allow_rows_df(allow: DataFrame, range_size: int) -> DataFrame:
-    """Encode a (doc_id) allowlist DataFrame into per-range POSTINGS_SCHEMA
-    rows under ALLOW_TERM, ready to union into the scorer cogroup. The
-    shuffle is O(matched docs), range-partitioned like the index itself."""
+def _pseudo_rows_df(ids: DataFrame, range_size: int,
+                    term: str) -> DataFrame:
+    """Encode a (doc_id) DataFrame into per-range POSTINGS_SCHEMA rows under
+    a pseudo-term (ALLOW_TERM allowlist / DEL_TERM tombstones), ready to
+    union into the scorer cogroup. The shuffle is O(listed docs),
+    range-partitioned like the index itself — nothing reaches the driver."""
 
     def gen(key, pdf):
         d = np.unique(pdf["doc_id"].to_numpy(np.int64))
         ep = encode_postings(d, np.ones(d.size, dtype=np.int64))
         return pd.DataFrame([{
-            "term": ALLOW_TERM, "range_id": int(key[0]), "df": int(ep.n),
+            "term": term, "range_id": int(key[0]), "df": int(ep.n),
             "cf": int(ep.n), "max_tf": 1,
             "block_first": ep.block_first.tolist(),
             "block_last": ep.block_last.tolist(),
@@ -456,10 +510,14 @@ def _allow_rows_df(allow: DataFrame, range_size: int) -> DataFrame:
             "docs_enc": ep.docs_enc, "tfs_enc": ep.tfs_enc, "pos_enc": None,
         }])
 
-    return (allow
+    return (ids
             .withColumn("range_id",
                         (F.col("doc_id") / F.lit(range_size)).cast("long"))
             .groupBy("range_id").applyInPandas(gen, POSTINGS_SCHEMA))
+
+
+def _allow_rows_df(allow: DataFrame, range_size: int) -> DataFrame:
+    return _pseudo_rows_df(allow, range_size, ALLOW_TERM)
 
 
 class QuerySession:
@@ -467,8 +525,9 @@ class QuerySession:
     and optionally cached in memory. The reference reopens its IndexReader on
     every query (``cIndex.java:134-137``) — we instead serve from a cached
     DataFrame (SURVEY.md §3.2 Spark shape) for p50 latency. Delete tombstones
-    are loaded once (refresh with ``refresh_deletes``) and honored by every
-    query path."""
+    are encoded once as range-partitioned DEL_TERM pseudo-postings (refresh
+    with ``refresh_deletes``) and cogrouped into every query path's scorer —
+    never collected to the driver, never serialized into task closures."""
 
     def __init__(self, spark: SparkSession, root: str, cache: bool = False):
         self.spark = spark
@@ -509,15 +568,32 @@ class QuerySession:
         return {r["term"]: int(r["df"]) for r in rows}
 
     def refresh_deletes(self) -> None:
-        from ..ops.maintenance import read_deletes
-        rows = read_deletes(self.spark, self.root).collect()
-        self.deletes = np.sort(np.array([r["doc_id"] for r in rows],
-                                        dtype=np.int64))
+        """(Re)load the tombstone list as DEL_TERM pseudo-postings, ready to
+        union into scorer cogroups. ``None`` when the index has no delete
+        list on disk (the common case — zero overhead then)."""
+        from ..ops.maintenance import delete_list_path, read_deletes
+        import os as _os
+        if not _os.path.exists(delete_list_path(self.root)):
+            self.del_rows: DataFrame | None = None
+            return
+        self.del_rows = _pseudo_rows_df(
+            read_deletes(self.spark, self.root),
+            self.meta.range_size, DEL_TERM)
+        if self._cached:
+            self.del_rows = self.del_rows.persist()
+            self.del_rows.count()
+
+    def _with_deletes(self, post: DataFrame) -> DataFrame:
+        """Union the DEL_TERM pseudo-rows (if any) into a scorer input."""
+        if self.del_rows is None:
+            return post
+        return post.unionByName(self.del_rows)
 
     def close(self) -> None:
         if self._cached:
-            for df in (self.post, self.norms, self.stats):
-                df.unpersist()
+            for df in (self.post, self.norms, self.stats, self.del_rows):
+                if df is not None:
+                    df.unpersist()
 
     def topk(self, query: str, k: int = 10, mode: str = "and",
              allow: DataFrame | None = None) -> DataFrame:
@@ -561,7 +637,7 @@ class QuerySession:
                 (F.col("bucket") == bmap[DOCLEN_TERM])
                 & F.col("range_id").isin(ranges))
 
-        post = post.select(*SCORER_COLS)
+        post = self._with_deletes(post.select(*SCORER_COLS))
         if allow is not None:
             post = post.unionByName(
                 _allow_rows_df(allow, meta.range_size))
@@ -570,7 +646,6 @@ class QuerySession:
                   .applyInPandas(
                       _make_range_scorer(terms_by_rarity, idf_by_term,
                                          meta.avgdl, k,
-                                         deletes=self.deletes,
                                          allow=allow is not None),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -600,7 +675,7 @@ class QuerySession:
             norms = self.norms.filter(F.col("bucket") == bmap[DOCLEN_TERM])
         else:
             norms = self.norms
-        post = post.select(*SCORER_COLS)
+        post = self._with_deletes(post.select(*SCORER_COLS))
         if allow is not None:
             post = post.unionByName(_allow_rows_df(allow, meta.range_size))
         scored = (post.groupby("range_id")
@@ -608,7 +683,6 @@ class QuerySession:
                   .applyInPandas(
                       _make_phrase_scorer(seq, terms_dedup, idf_by_term,
                                           meta.avgdl, k,
-                                          deletes=self.deletes,
                                           allow=allow is not None),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -640,17 +714,25 @@ class QuerySession:
         live_terms = sorted({t for _, ts, _ in plans for t in ts})
         post = self.post.filter(F.col("term").isin(live_terms))
         norms = self.norms
+        if not self._cached:
+            # disk path: bucket pruning = parquet partition pruning (the
+            # same pushdown the single-query path gets)
+            bmap = _buckets_of(live_terms + [DOCLEN_TERM], meta.n_buckets,
+                               spark)
+            buckets = sorted({bmap[t] for t in live_terms})
+            post = post.filter(F.col("bucket").isin(buckets))
+            norms = norms.filter(F.col("bucket") == bmap[DOCLEN_TERM])
         avgdl, kk = meta.avgdl, k
-        dels = self.deletes
 
         def score_ranges(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                          ) -> pd.DataFrame:
             out = []
             scorers = {
-                qid: _make_range_scorer(ts, idf, avgdl, kk, deletes=dels)
+                qid: _make_range_scorer(ts, idf, avgdl, kk)
                 for qid, ts, idf in plans}
+            is_del = post_pdf["term"] == DEL_TERM
             for qid, ts, idf in plans:
-                sub = post_pdf[post_pdf["term"].isin(ts)]
+                sub = post_pdf[post_pdf["term"].isin(ts) | is_del]
                 r = scorers[qid](_key, sub, norms_pdf)
                 if len(r):
                     r = r.copy()
@@ -662,7 +744,8 @@ class QuerySession:
                                      "score": pd.Series(dtype=np.float64)})
             return pd.concat(out, ignore_index=True)
 
-        scored = (post.select(*SCORER_COLS).groupby("range_id")
+        scored = (self._with_deletes(post.select(*SCORER_COLS))
+                  .groupby("range_id")
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(score_ranges, out_schema))
         from pyspark.sql import Window
@@ -720,11 +803,11 @@ def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
         return df
 
     def with_deletes(df: DataFrame) -> DataFrame:
-        if sess.deletes.size == 0:
+        if sess.del_rows is None:
             return df
-        dele = spark.createDataFrame(
-            [(int(d),) for d in sess.deletes], "doc_id long")
-        return df.join(F.broadcast(dele), "doc_id", "left_anti")
+        from ..ops.maintenance import read_deletes
+        return df.join(F.broadcast(read_deletes(spark, root)),
+                       "doc_id", "left_anti")
 
     out_cols = ("doc_id", "score", "repo", "path", "commit", "lang")
 

@@ -294,6 +294,96 @@ def test_compaction_matches_fresh_oracle(spark, tmp_path):
     assert hits.count() == 1
 
 
+def test_wand_two_term_prunes_both_terms(spark, tmp_path):
+    """TWO-term conjunction: per-rare-block upper bounds now come from the
+    OTHER term's overlapping blocks' block_maxtf, so a rare-term block with
+    no overlapping other-term block is provably dead (ub = -inf) and never
+    decoded. Planted layout: 'aaa' sparse across all 16 blocks (the rarest),
+    'bbb' concentrated in the low-doc stripe — both terms must skip blocks,
+    and the answer must equal the naive full-decode conjunction."""
+    n = 2048
+    rows = []
+    for i in range(n):
+        toks = ["filler"] * 10
+        if i < 1024 and i % 2 == 0:
+            toks.append("aaa")           # df 512: blocks span docs 0..1022
+        if 512 <= i < 1112:
+            toks.extend(["bbb"] * 3)     # df 600: blocks span docs 512..1111
+        rows.append(("r", f"src/f{i:05d}.py", f"c{i:05d}", "python",
+                     " ".join(toks)))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    root = str(tmp_path / "wand2_idx")
+    build_index(spark, corpus, root, n_buckets=2, range_size=4096, waves=1)
+
+    meta = engine.load_meta(spark, root)
+    post = spark.read.parquet(os.path.join(root, "postings"))
+    pdf = post.filter(F.col("term").isin(["aaa", "bbb"])).toPandas()
+    norms_pdf = post.filter(F.col("term") == DOCLEN_TERM).toPandas()
+    dfs = {r.term: int(r.df) for r in pdf.itertuples()}
+    assert dfs == {"aaa": 512, "bbb": 600}
+    idf = {t: engine._idf(meta.n_docs, d) for t, d in dfs.items()}
+
+    counters: dict = {}
+    scorer = engine._make_range_scorer(
+        ["aaa", "bbb"], idf, meta.avgdl, k=10, counters=counters)
+    got = scorer(None, pdf, norms_pdf)
+
+    # 'aaa' (rare) has 4 blocks, 'bbb' 5: 9 total. Overlap exists only in
+    # docs [512, 1022]: aaa's first two blocks ([0,254],[256,510]) touch no
+    # bbb block → ub = -inf, never decoded; bbb's last block ([1024,1111])
+    # overlaps no decoded aaa window → never selected. Both terms skip:
+    # decoded = 2 aaa + 4 bbb = 6 of 9.
+    assert counters["blocks_total"] == 9
+    assert counters["blocks_decoded"] < counters["blocks_total"]
+    assert counters["blocks_decoded"] <= 6
+
+    # exactness vs naive full-decode conjunction
+    from luceneindexer_spark.codecs import decode_postings
+    eps = {r.term: engine._ep_from_row(r) for r in pdf.itertuples()}
+    nep = engine._ep_from_row(next(norms_pdf.itertuples()))
+    da, ta = decode_postings(eps["aaa"])
+    db, tb = decode_postings(eps["bbb"])
+    nd, ntf = decode_postings(nep)
+    cand, ia, ib = np.intersect1d(da, db, assume_unique=True,
+                                  return_indices=True)
+    dl = ntf[np.searchsorted(nd, cand)].astype(np.float64)
+    norm = 1.2 * (0.25 + 0.75 * dl / meta.avgdl)
+    score = (idf["aaa"] * ta[ia] * 2.2 / (ta[ia] + norm)
+             + idf["bbb"] * tb[ib] * 2.2 / (tb[ib] + norm))
+    order = np.lexsort((cand, -score))[:10]
+    assert got["doc_id"].tolist() == cand[order].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(), score[order],
+                               rtol=0, atol=1e-12)
+
+
+def test_mass_tombstones_stay_distributed(spark, tmp_path):
+    """10^5 tombstones: the delete list is cogrouped into the scorers as
+    range-partitioned DEL_TERM pseudo-postings — the QuerySession holds NO
+    driver-side doc_id array (the round-2 design collect()ed every tombstone
+    into each scorer closure), and results equal the oracle over the
+    surviving docs."""
+    root = str(tmp_path / "mass_del_idx")
+    corpus = synth_corpus(spark, 3000, partitions=4)
+    build_index(spark, corpus, root, n_buckets=4, range_size=512, waves=1)
+    # tombstone docs 0..2499 plus 97.5k ids beyond the corpus (inert)
+    M.append_deletes(spark, root, list(range(2500)) + list(
+        range(1_000_000, 1_097_500)))
+
+    qs = engine.QuerySession(spark, root)
+    assert not hasattr(qs, "deletes")        # no driver-side tombstone array
+    assert qs.del_rows is not None
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.topk(HOT_TERM, k=10).collect()]
+    assert got and all(d >= 2500 for d, _ in got)
+    docmap = spark.read.parquet(f"{root}/docmap")
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            bm25_topk_oracle(docmap, HOT_TERM, k=100000).collect()
+            if r.doc_id >= 2500][:10]
+    assert got == want
+
+
 def test_delete_index_wipes_everything(built, spark, tmp_path):
     src, _ = built
     root = str(tmp_path / "wipe_idx")
