@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from luceneindexer_spark import BM25_B, BM25_K1
-from luceneindexer_spark.corpus import docmap_from_documents
+from luceneindexer_spark.corpus import DOC_PATH_SQL, docmap_from_documents
 from luceneindexer_spark.index.build import build_index
 from luceneindexer_spark.ops import dedup as D
 from luceneindexer_spark.ops import maintenance as M
@@ -73,7 +73,8 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
     (docmap.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
      .write.mode("overwrite").parquet(paths_docmap))
     build_index(spark, None, root, n_buckets=4, range_size=512, waves=1,
-                positions=True, resume=True)
+                positions=True, resume=True,
+                field_cols=("repo", "path", "commit", "lang"))
     _INDEX_CACHE[sf_dir] = root
     return root
 
@@ -181,6 +182,23 @@ def _q_multifield_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, {"content": " ".join(MULTIFIELD_TERMS),
                       "lang": MULTIFIELD_LANG}, k=10)
     return _round6(r.select("doc_id", "score", "lang"), "score")
+
+
+PARSED_CONTENT_TERM = "merge"
+PARSED_PATH_TERM = "file"    # exists ONLY via camelCase split of "theFile"
+
+
+def _q_multifield_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed (analyzed) multi-field search THROUGH the index: metadata
+    fields are fulltext fields (namespaced terms + per-field norms), so the
+    path clause 'file' matches the camelCase component of theFile.txt by
+    TOKEN — the substring fallback could never produce it — and both clauses
+    contribute to one conjunctive BM25 score."""
+    root = _index_root(spark, sf_dir)
+    r = engine.search_fields_parsed(
+        spark, root, {"content": PARSED_CONTENT_TERM,
+                      "path": PARSED_PATH_TERM}, k=10)
+    return _round6(r.select("doc_id", "score", "path"), "score")
 
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_compact": _q_bm25_after_compact,
         "phrase_search_index": _q_phrase_index,
         "multifield_search_index": _q_multifield_index,
+        "multifield_parsed_index": _q_multifield_parsed,
         "ann_recall_check": _q_ann_recall,
         "term_df_top20": _q_term_df,
         "corpus_stats": _q_corpus_stats,
@@ -789,8 +808,54 @@ fps AS (SELECT DISTINCT doc_id, fp FROM (
           SELECT * FROM fullw UNION ALL SELECT * FROM small
           UNION ALL SELECT * FROM shorts))
 SELECT doc_id, count(*)::BIGINT AS n_fp,
-       min(fp) AS min_fp, max(fp) AS max_fp
+       min(fp) AS min_fp, max(fp) AS max_fp, bit_xor(fp) AS xor_fp
 FROM fps GROUP BY doc_id
+"""
+
+
+def _multifield_parsed_sql() -> str:
+    """Oracle for the parsed multi-field search: two conjunctive BM25
+    clauses over two term spaces — content tokens (pinned code-aware CTE)
+    and PATH tokens (same tokenizer spec over the DOC_PATH_SQL expression,
+    which is what makes 'file' a real token of 'theFile.txt'). Per-field
+    norms: content avgdl = total_tokens/n_docs (corpus_stats convention);
+    path avgdl = Σ path doclen / docs-with-path (the field sentinel's
+    cf/df). idf uses global n_docs for both clauses (documented engine
+    choice, Lucene-style per-field docCount deliberately not used)."""
+    c, p = PARSED_CONTENT_TERM, PARSED_PATH_TERM
+    ptok_cte = duckdb_tokens_cte("documents", "doc_id", DOC_PATH_SQL)
+    return f"""
+WITH ctok AS ({_TOK}),
+cdl AS (SELECT doc_id, count(*) AS dl FROM ctok GROUP BY doc_id),
+cst AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+               (SELECT coalesce(sum(dl), 0) FROM cdl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl),
+ptok AS ({ptok_cte}),
+pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pst AS (SELECT (SELECT count(*) FROM ptok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ptok) AS avgdl),
+ctf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ctok
+        WHERE term = '{c}' GROUP BY doc_id),
+cdf AS (SELECT count(*)::DOUBLE AS df FROM ctf),
+ptf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ptok
+        WHERE term = '{p}' GROUP BY doc_id),
+pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf),
+scored AS (
+  SELECT ct.doc_id,
+         ln(1 + (s.n_docs - cd.df + 0.5) / (cd.df + 0.5)) * ct.tf * {K1_1}
+           / (ct.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * cdl.dl / s.avgdl))
+       + ln(1 + (s.n_docs - pd2.df + 0.5) / (pd2.df + 0.5)) * pt.tf * {K1_1}
+           / (pt.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * pdl.dl / ps.avgdl)) AS score
+  FROM ctf ct JOIN ptf pt USING (doc_id)
+  JOIN cdl ON cdl.doc_id = ct.doc_id
+  JOIN pdl ON pdl.doc_id = ct.doc_id
+  CROSS JOIN cst s CROSS JOIN pst ps
+  CROSS JOIN cdf cd CROSS JOIN pdf pd2)
+SELECT doc_id, round(score, 6)::DOUBLE AS score, {DOC_PATH_SQL} AS path
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -869,11 +934,12 @@ SELECT 'qb' AS query_id, doc_id, score FROM ({_bm25_sql(BATCH_QUERIES['qb'], 10)
 """,
         "bm25_hydrate": f"""
 SELECT t.doc_id, t.score, d.source AS repo,
-       'doc/' || d.doc_id || '.txt' AS path,
+       {DOC_PATH_SQL.replace("doc_id", "d.doc_id")} AS path,
        substr(sha256(d.text), 1, 40) AS commit, d.lang,
        d.n_chars::BIGINT AS size, sha256(d.text) AS content_sha256
 FROM ({_bm25_sql(BM25_QUERY, 10)}) t JOIN documents d USING (doc_id)
 """,
+        "multifield_parsed_index": _multifield_parsed_sql(),
         "knn_join_top3": """
 WITH l AS (SELECT vec_id AS id_l, embedding AS vl FROM embeddings
            WHERE vec_id < 3),

@@ -119,13 +119,33 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
                               "lang string, content string"))
 
 
+def doc_path_col() -> "F.Column":
+    """Deterministic per-doc path for documents-derived docmaps. One third of
+    the paths carry camelCase components (readMe<N>/theFile.txt) so the
+    parsed multi-field contract can prove ANALYZED metadata matching: the
+    token "file" exists only because the code-aware tokenizer splits
+    "theFile" at the camel boundary (substring search on the raw path cannot
+    produce it as a token). Mirrored exactly in __spark_entry__'s DuckDB
+    oracle SQL (DOC_PATH_SQL)."""
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.format_string("doc/readMe%d/theFile.txt", F.col("doc_id"))
+    ).otherwise(F.format_string("doc/plain%d/notes.txt", F.col("doc_id")))
+
+
+#: the same path expression for DuckDB oracles (keep in sync with doc_path_col)
+DOC_PATH_SQL = ("CASE WHEN doc_id % 3 = 0 "
+                "THEN 'doc/readMe' || doc_id || '/theFile.txt' "
+                "ELSE 'doc/plain' || doc_id || '/notes.txt' END")
+
+
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's `documents` table (doc_id, text, lang, source,
     n_chars) to the corpus shape — source plays repo, doc_id plays path."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         F.col("source").alias("repo"),
-        F.format_string("doc/%d.txt", F.col("doc_id")).alias("path"),
+        doc_path_col().alias("path"),
         F.sha2(F.col("text").cast("binary"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
@@ -138,6 +158,42 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_KEY = ("repo", "path")
 DOC_ORDER = ("repo", "path", "commit")
+
+
+def assign_dense_ids(df: DataFrame, partitions: int, start_id: int = 0
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic dense ``doc_id`` = ``start_id`` + rank in the global
+    (repo, path, commit) order: range-repartition by the sort key, then
+    ``row_number`` within each partition plus a broadcast per-partition
+    offset — never a single-partition window, so the numbering scales to
+    any input size. Returns (numbered_df, persisted_intermediate); the
+    caller unpersists the intermediate after materializing (it is persisted
+    so the boundary-sampling pass and the count pass see the same rows)."""
+    sorted_df = (
+        df.repartitionByRange(partitions, *DOC_ORDER)
+        .sortWithinPartitions(*DOC_ORDER)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in
+              sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = start_id
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+
+    w = Window.partitionBy("_pid").orderBy(*DOC_ORDER)
+    numbered = (
+        sorted_df
+        .withColumn("_local", F.row_number().over(w) - 1)
+        .withColumn("doc_id", (offset_map[F.col("_pid")] + F.col("_local"))
+                    .cast("long"))
+        .drop("_pid", "_local")
+    )
+    return numbered, sorted_df
 
 
 def build_docmap(corpus: DataFrame, partitions: int | None = None,
@@ -164,30 +220,7 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
         .persist()
     )
 
-    sorted_df = (
-        latest.repartitionByRange(partitions, *DOC_ORDER)
-        .sortWithinPartitions(*DOC_ORDER)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r["_pid"]: r["cnt"] for r in
-              sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv])
-
-    w = Window.partitionBy("_pid").orderBy(*DOC_ORDER)
-    docmap = (
-        sorted_df
-        .withColumn("_local", F.row_number().over(w) - 1)
-        .withColumn("doc_id", (offset_map[F.col("_pid")] + F.col("_local"))
-                    .cast("long"))
-        .drop("_pid", "_local")
-    )
+    docmap, sorted_df = assign_dense_ids(latest, partitions)
     docmap = (
         docmap
         .withColumn("size", F.length("content").cast("long"))
@@ -217,7 +250,7 @@ def docmap_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("source").alias("repo"),
-        F.format_string("doc/%d.txt", F.col("doc_id")).alias("path"),
+        doc_path_col().alias("path"),
         F.sha2(F.col("text").cast("binary"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
         F.col("n_chars").cast("long").alias("size"),

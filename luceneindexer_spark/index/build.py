@@ -97,13 +97,29 @@ class BuildInterrupted(RuntimeError):
 #: through the identical pipeline, so the corpus is tokenized exactly ONCE.
 DOCLEN_TERM = ""
 
+#: Metadata fields are fulltext fields too (reference parity: the wrapper
+#: tokenizes and indexes ALL document fields — ``cLuceneIndexWriter.java:
+#: 102-113`` ``new Field(tag, value, TextField.TYPE_STORED)`` — and its
+#: parsed mode runs analyzed per-field clauses, ``cLuceneIndexReader.java:
+#: 320-338``). A field column's tokens are namespaced ``<field>:<token>``
+#: and its per-doc token counts ride under the ``<field>:`` sentinel (the
+#: field's norms), all through the SAME runs→merge→blocks pipeline. ":"
+#: never occurs in a tokenizer term, so the namespace is collision-free.
+
+
+def field_sentinel(field: str) -> str:
+    """Norms sentinel of a metadata field ("" = the content field)."""
+    return "" if field in ("", "content") else f"{field}:"
+
 
 def _build_run_columns(doc_ids: np.ndarray, uniq: np.ndarray,
                        codes: np.ndarray, lens: np.ndarray,
-                       range_size: int, positions: bool) -> dict | None:
+                       range_size: int, positions: bool,
+                       sentinel: str = DOCLEN_TERM) -> dict | None:
     """Shared core of the run builders: tokenized batch → RUNS_SCHEMA
-    columns (main term runs + DOCLEN_TERM norms runs appended), as plain
-    python/numpy values. Returns None for an empty batch."""
+    columns (main term runs + ``sentinel`` norms runs appended — DOCLEN_TERM
+    for content, ``<field>:`` for a metadata field), as plain python/numpy
+    values. Returns None for an empty batch."""
     if codes.size == 0:
         return None
     doc_rep = np.repeat(doc_ids, lens)
@@ -178,7 +194,7 @@ def _build_run_columns(doc_ids: np.ndarray, uniq: np.ndarray,
 
     return {
         "term": (list(uniq[g_code[run_start]])
-                 + [DOCLEN_TERM] * sstart.size),
+                 + [sentinel] * sstart.size),
         "range_id": np.concatenate([rg[run_start], srg[sstart]]),
         "first_docid": np.concatenate([g_doc[run_start], sd[sstart]]),
         "n": np.concatenate([run_n, sn]),
@@ -197,7 +213,8 @@ def _build_run_columns(doc_ids: np.ndarray, uniq: np.ndarray,
     }
 
 
-def _runs_generator_arrow(range_size: int, positions: bool = False):
+def _runs_generator_arrow(range_size: int, positions: bool = False,
+                          field_cols: tuple[str, ...] = ()):
     """mapInArrow tokenize→runs stage: consumes pyarrow RecordBatches and
     tokenizes STRAIGHT from the Arrow string buffers (tokenize_flat_arrow) —
     no pandas conversion, no per-doc Python strings, no big-string join.
@@ -205,7 +222,13 @@ def _runs_generator_arrow(range_size: int, positions: bool = False):
     working set is what a bandwidth-bound 32-way node pays for). With
     ``positions=True`` each run row additionally carries the per-(doc, term)
     token positions (delta+varint, codecs.positions_encode) emitted from the
-    SAME tokenize pass — the corpus is tokenized exactly once either way."""
+    SAME tokenize pass — the corpus is tokenized exactly once either way.
+
+    ``field_cols``: metadata columns (batch columns 2..) indexed as
+    namespaced fulltext fields — tokens ``<field>:<tok>``, per-field doclen
+    sentinel ``<field>:``, per-field position space (phrase-capable). Each
+    field's tokens flow through the same run builder, so one batch yields
+    one concatenated run frame for all fields."""
     import pyarrow as pa
 
     def gen(batches):
@@ -214,22 +237,41 @@ def _runs_generator_arrow(range_size: int, positions: bool = False):
                 continue
             doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
             doc_ids = np.asarray(doc_ids, dtype=np.int64)
-            uniq, codes, lens = tokenize_flat_arrow(rb.column(1))
-            cols = _build_run_columns(doc_ids, uniq, codes, lens,
-                                      range_size, positions)
-            if cols is None:
+            frames = []
+            for ci, field in enumerate(("content",) + tuple(field_cols)):
+                uniq, codes, lens = tokenize_flat_arrow(rb.column(ci + 1))
+                if field != "content" and uniq.size:
+                    # namespace the (vocab-sized) unique terms only
+                    pref = field + ":"
+                    uniq = np.array([pref + t for t in uniq], dtype=object)
+                cols = _build_run_columns(
+                    doc_ids, uniq, codes, lens, range_size, positions,
+                    sentinel=field_sentinel(field))
+                if cols is not None:
+                    frames.append(cols)
+            if not frames:
                 continue
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(cols["term"], type=pa.string()),
-                    pa.array(cols["range_id"], type=pa.int64()),
-                    pa.array(cols["first_docid"], type=pa.int64()),
-                    pa.array(cols["n"], type=pa.int32()),
-                    pa.array(cols["cf"], type=pa.int64()),
-                    pa.array(cols["max_tf"], type=pa.int32()),
-                    pa.array(cols["docs_enc"], type=pa.binary()),
-                    pa.array(cols["tfs_enc"], type=pa.binary()),
-                    pa.array(cols["pos_enc"], type=pa.binary()),
+                    pa.array(sum((list(c["term"]) for c in frames), []),
+                             type=pa.string()),
+                    pa.array(np.concatenate(
+                        [c["range_id"] for c in frames]), type=pa.int64()),
+                    pa.array(np.concatenate(
+                        [c["first_docid"] for c in frames]),
+                        type=pa.int64()),
+                    pa.array(np.concatenate(
+                        [c["n"] for c in frames]), type=pa.int32()),
+                    pa.array(np.concatenate(
+                        [c["cf"] for c in frames]), type=pa.int64()),
+                    pa.array(np.concatenate(
+                        [c["max_tf"] for c in frames]), type=pa.int32()),
+                    pa.array(sum((list(c["docs_enc"]) for c in frames), []),
+                             type=pa.binary()),
+                    pa.array(sum((list(c["tfs_enc"]) for c in frames), []),
+                             type=pa.binary()),
+                    pa.array(sum((list(c["pos_enc"]) for c in frames), []),
+                             type=pa.binary()),
                 ],
                 names=["term", "range_id", "first_docid", "n", "cf",
                        "max_tf", "docs_enc", "tfs_enc", "pos_enc"])
@@ -461,6 +503,7 @@ def build_index(
     range_size: int = 1 << 16,
     waves: int = 1,
     positions: bool = False,
+    field_cols: tuple[str, ...] = (),
     merge_partitions: int | None = None,
     docmap_partitions: int | None = None,
     arrow_batch_rows: int | None = 2048,
@@ -563,14 +606,15 @@ def build_index(
                    .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
                    .filter(rng_col.isin(wave_ranges)))
 
-            tok_in = sub.select("doc_id", "content")
+            tok_in = sub.select("doc_id", "content", *field_cols)
             if not scan_split:
                 tok_in = tok_in.repartitionByRange(merge_partitions, "doc_id")
             # Arrow-native tokenize stage: record batches flow JVM -> Python
             # and back WITHOUT a pandas materialization, and the tokenizer
             # reads the Arrow string buffers directly (tokenize_flat_arrow)
             runs = tok_in.mapInArrow(
-                _runs_generator_arrow(range_size, positions), RUNS_SCHEMA)
+                _runs_generator_arrow(range_size, positions, field_cols),
+                RUNS_SCHEMA)
             merged = (runs
                       .repartition(merge_partitions, "term", "range_id")
                       .sortWithinPartitions("term", "range_id", "first_docid")
@@ -643,10 +687,11 @@ def build_index(
         "n_docs": [n_docs], "avgdl": [avgdl],
         "range_size": [range_size], "n_buckets": [n_buckets],
         "n_ranges": [n_ranges], "snapshot": [snapshot],
-        "positions": [positions], "n_waves": [n_waves]},
+        "positions": [positions], "n_waves": [n_waves],
+        "fields": [",".join(field_cols)]},
         schema="n_docs long, avgdl double, range_size long, n_buckets int, "
                "n_ranges int, snapshot string, positions boolean, "
-               "n_waves int")
+               "n_waves int, fields string")
     report["stats_s"] = time.time() - t1
 
     mf.publish(out_dir, {

@@ -262,39 +262,28 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_dedup_pairs(emb: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
-                          n_planes: int = 16) -> DataFrame:
+                          n_planes: int | None = None) -> DataFrame:
     """Near-dup pairs by cosine >= threshold over an array<float> column.
 
-    Candidates via random-hyperplane LSH (sign sketch): plane p's normal is a
-    deterministic pseudo-random vector derived from h60(p, dim-index); docs
-    sharing a 16-bit sketch land in one bucket. Verification computes exact
-    fp64 cosine on candidates only. Recall is probabilistic for mid
-    similarities but ~1 for the >=0.95 regime this targets (and exact 1.0 for
-    identical vectors); the brute-force variant in similarity.py is the
-    audit path.
+    Candidates via random-hyperplane LSH (sign sketch, similarity.sketch_expr
+    — the same deterministic md5-derived ±1 planes as the ANN index); docs
+    sharing a sketch land in one bucket. ``n_planes`` defaults to the
+    corpus-size-adaptive width (similarity.pick_n_planes) so clustered
+    embeddings at scale spread over more buckets instead of tripping the
+    bucket cap (which would DROP verification pairs via star topology).
+    Verification computes exact fp64 cosine on candidates only. Recall is
+    probabilistic for mid similarities but ~1 for the >=0.95 regime this
+    targets (and exact 1.0 for identical vectors); the brute-force variant
+    in similarity.py is the audit path.
     """
-    from .similarity import cosine_expr, norm_expr
+    from .similarity import cosine_expr, pick_n_planes, sketch_expr
     dim = len(emb.select(vec_col).first()[0])
-    import hashlib as _hl
-
-    def plane(p: int) -> list[float]:
-        # deterministic pseudo-random +-1 normal per (plane, dim)
-        return [1.0 if int(_hl.md5(f"plane:{p}:{j}".encode())
-                           .hexdigest()[:15], 16) % 2 == 1 else -1.0
-                for j in range(dim)]
+    if n_planes is None:
+        n_planes = pick_n_planes(emb.count())
 
     v = F.col(vec_col)
-    sketch = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in plane(p)]),
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        sketch = sketch + F.when(dot > 0,
-                                 F.shiftleft(F.lit(1).cast("long"), p)
-                                 ).otherwise(F.lit(0).cast("long"))
     sk = emb.select(F.col(id_col).alias("id"), v.alias("_v"),
-                    sketch.alias("sketch"))
+                    sketch_expr(v, dim, n_planes).alias("sketch"))
     cand = capped_bucket_pairs(sk.select("id", "sketch"), ["sketch"])
     va = sk.select(F.col("id").alias("id_a"), F.col("_v").alias("va"))
     vb = sk.select(F.col("id").alias("id_b"), F.col("_v").alias("vb"))

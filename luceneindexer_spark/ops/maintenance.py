@@ -36,6 +36,23 @@ def read_deletes(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(p).select("doc_id").distinct()
 
 
+def remove_deletes(spark: SparkSession, root: str,
+                   doc_ids: list[int]) -> None:
+    """Un-tombstone documents (upsert resurrection: re-adding a previously
+    deleted doc at the same commit restores it, like the reference's
+    ``updateDocument`` = delete+add would, ``cLuceneIndexWriter.java:115``).
+    Rewrites the delete list without the given ids via the same two-rename
+    swap compaction uses, so a crash never leaves a half-written list."""
+    p = delete_list_path(root)
+    if not os.path.exists(p) or not doc_ids:
+        return
+    keep = (spark.read.parquet(p).select("doc_id").distinct()
+            .filter(~F.col("doc_id").isin([int(d) for d in doc_ids])))
+    tmp = p + ".compact"
+    keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir(tmp, p)
+
+
 def apply_deletes(results: DataFrame, deletes: DataFrame) -> DataFrame:
     """Anti-join tombstones out of a (doc_id, ...) result set — the query-time
     half of D2/D3. Broadcast the (small) delete list."""
@@ -198,7 +215,7 @@ def compact_index(spark: SparkSession, root: str,
     report = build_index(
         spark, None, root, n_buckets=meta.n_buckets,
         range_size=meta.range_size, waves=1_000_000_000,
-        positions=meta.positions,
+        positions=meta.positions, field_cols=meta.fields,
         merge_partitions=merge_partitions, resume=True,
         wave_tag=f"c{snapshot.split('-')[-1][:8]}-")
 

@@ -14,7 +14,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import simple_tokens_col
-from .hashing import h60_col
 
 # ---------------------------------------------------------------------------
 # language ID (marker-word heuristic)
@@ -128,50 +127,64 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str,
     substring of length >= w+k-1 yields a shared fingerprint — the basis for
     overlap detection between corpus shards.
     """
-    t = F.lower(F.col(text_col))
-    n = F.length(t)
-    base = df.select(F.col(id_col).alias("id"), t.alias("_t"), n.alias("_n"))
-    # 0-based k-gram positions: gram p = substring(_t, p+1, k)
-    grams = (base.filter(F.col("_n") >= k)
-             .select("id", F.posexplode(
-                 F.expr(f"transform(sequence(1, _n - {k - 1}), "
-                        f"i -> substring(_t, i, {k}))")).alias("pos", "gram")))
-    short = (base.filter((F.col("_n") < k) & (F.col("_n") > 0))
-             .select("id", h60_col(F.col("_t")).alias("fp")))
-    hashed = grams.select("id", "pos", h60_col(F.col("gram")).alias("h"))
-    # gram hashing stays JVM-side (pinned md5/h60); the winnow itself is a
-    # per-doc numpy sliding-min over the position-sorted hash array — ONE
-    # hash aggregate instead of two corpus-wide window sorts (a 10 MB doc no
-    # longer pushes ~10M rows through a window sort twice; per-doc work is
-    # bounded and embarrassingly parallel)
-    per_doc = (hashed.groupBy("id")
-               .agg(F.array_sort(F.collect_list(F.struct("pos", "h")))
-                    .alias("_ph"))
-               .select("id", F.expr("transform(_ph, x -> x.h)").alias("_hs")))
+    # One mapInPandas pass over (id, lower(text)): grams, hashes, and the
+    # sliding-min winnow all happen inside the UDF, per doc — NO corpus-wide
+    # gram explode, no shuffle of gram hashes, and no row ever materializes
+    # all of a document's (pos, hash) structs (a 10 MB doc's grams exist
+    # only as a transient numpy array in its own task). md5 runs over the
+    # UNIQUE grams of each doc (alphabet-bounded, ≪ gram count for natural
+    # text), the same vocabulary-only discipline as hashing.h60_np; output
+    # is flushed in bounded chunks so wide docs can't balloon one Arrow
+    # batch. lower() stays in the JVM projection so unicode case folding
+    # can never diverge from the F.lower-based oracle SQL.
+    base = df.select(F.col(id_col).alias("id"),
+                     F.lower(F.col(text_col)).alias("_t"))
 
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
+    def gen(batches):
+        import hashlib as _hl
 
-    # NOTE: no inline type hints — `from __future__ import annotations`
-    # stringifies them and pandas_udf's eval-type inference rejects strings
-    def _winnow(hs):
         import numpy as _np
         import pandas as _pd
 
-        def one(lst):
-            a = _np.asarray(lst, dtype=_np.int64)
-            if a.size < w:
-                return [int(a.min())]
-            mins = _np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
-            return _np.unique(mins).tolist()
+        FLUSH = 1 << 18
+        ids: list[int] = []
+        fps: list[int] = []
+        for pdf in batches:
+            for i, s in zip(pdf["id"].to_numpy(), pdf["_t"].to_numpy()):
+                if s is None or len(s) == 0:
+                    continue
+                if len(s) < k:
+                    u = [int(_hl.md5(s.encode("utf-8"))
+                             .hexdigest()[:15], 16)]
+                else:
+                    grams = [s[j:j + k] for j in range(len(s) - k + 1)]
+                    uniq, inv = _np.unique(
+                        _np.asarray(grams, dtype=object),
+                        return_inverse=True)
+                    hu = _np.empty(uniq.size, dtype=_np.int64)
+                    for t, g in enumerate(uniq):
+                        hu[t] = int(_hl.md5(g.encode("utf-8"))
+                                    .hexdigest()[:15], 16)
+                    a = hu[inv]
+                    if a.size < w:
+                        u = [int(a.min())]
+                    else:
+                        mins = _np.lib.stride_tricks.sliding_window_view(
+                            a, w).min(axis=1)
+                        u = _np.unique(mins).tolist()
+                ids.extend([int(i)] * len(u))
+                fps.extend(u)
+                if len(ids) >= FLUSH:
+                    yield _pd.DataFrame({"id": _pd.Series(ids, dtype="int64"),
+                                         "fp": _pd.Series(fps, dtype="int64")})
+                    ids, fps = [], []
+        if ids:
+            yield _pd.DataFrame({"id": _pd.Series(ids, dtype="int64"),
+                                 "fp": _pd.Series(fps, dtype="int64")})
 
-        return _pd.Series([one(x) for x in hs])
-
-    winnow_udf = pandas_udf(_winnow, ArrayType(LongType()))
-    full = per_doc.select("id", F.explode(winnow_udf(F.col("_hs")))
-                          .alias("fp"))
-    return full.union(short).distinct()
+    # rows are distinct by construction (fps are np.unique'd per doc and
+    # each doc is one input row) — no distinct() shuffle needed
+    return base.mapInPandas(gen, "id long, fp long")
 
 
 def fingerprint_summary(df: DataFrame, id_col: str, text_col: str,
@@ -182,4 +195,5 @@ def fingerprint_summary(df: DataFrame, id_col: str, text_col: str,
     return (fp.groupBy("id")
             .agg(F.count("*").alias("n_fp"),
                  F.min("fp").alias("min_fp"),
-                 F.max("fp").alias("max_fp")))
+                 F.max("fp").alias("max_fp"),
+                 F.bit_xor("fp").alias("xor_fp")))

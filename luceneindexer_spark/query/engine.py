@@ -76,15 +76,18 @@ class IndexMeta:
     n_ranges: int
     snapshot: str
     positions: bool
+    fields: tuple[str, ...] = ()
 
 
 def load_meta(spark: SparkSession, root: str) -> IndexMeta:
     r = spark.read.parquet(IndexPaths(root).corpus_stats).collect()[0]
+    d = r.asDict()
+    fields = tuple(f for f in (d.get("fields") or "").split(",") if f)
     return IndexMeta(
         n_docs=r["n_docs"], avgdl=float(r["avgdl"]),
         range_size=int(r["range_size"]), n_buckets=int(r["n_buckets"]),
         n_ranges=int(r["n_ranges"]), snapshot=r["snapshot"],
-        positions=bool(r["positions"]))
+        positions=bool(r["positions"]), fields=fields)
 
 
 def _buckets_of(terms: list[str], n_buckets: int,
@@ -230,17 +233,31 @@ def _pop_pseudo_docs(post_pdf: pd.DataFrame, term: str
 def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float],
                        avgdl: float, k: int, k1: float = BM25_K1,
                        b: float = BM25_B,
-                       allow: bool = False, counters: dict | None = None):
+                       allow: bool = False, counters: dict | None = None,
+                       sentinel_of: dict[str, str] | None = None,
+                       avgdl_of: dict[str, float] | None = None):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
-    the range's DOCLEN_TERM postings row (norms) → local top-k
-    (doc_id, score), with block-max WAND pruning.
+    the range's norms rows → local top-k (doc_id, score), with block-max
+    WAND pruning.
 
     Tombstones arrive as DEL_TERM pseudo-postings rows in the same cogroup
     (range-partitioned; see QuerySession.refresh_deletes) and are filtered
     out before selection. ``allow``: require an ALLOW_TERM row per range
     (exact multi-field conjunction) and restrict candidates to its docIDs.
+
+    Per-field scoring (parsed multi-field queries): ``sentinel_of`` maps
+    each query term to its norms sentinel (DOCLEN_TERM for content,
+    ``<field>:`` for a namespaced metadata term) and ``avgdl_of`` maps each
+    sentinel to that field's average length — every term's tf saturation
+    then uses ITS field's doclen, like Lucene's per-field norms. Defaults
+    reproduce the single-field (content) behavior exactly.
     """
     score_order = sorted(terms_by_rarity)  # deterministic accumulation order
+    if sentinel_of is None:
+        sentinel_of = {t: DOCLEN_TERM for t in terms_by_rarity}
+    if avgdl_of is None:
+        avgdl_of = {DOCLEN_TERM: avgdl}
+    sentinels = sorted({sentinel_of[t] for t in terms_by_rarity})
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                     ) -> pd.DataFrame:
@@ -257,19 +274,23 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
         by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
         if any(t not in by_term for t in terms_by_rarity):
             return empty  # conjunctive MUST: every term must exist in range
-        nep = _ep_from_row(next(norms_pdf.itertuples()))
+        neps = {r.term: _ep_from_row(r) for r in norms_pdf.itertuples()}
+        if any(s not in neps for s in sentinels):
+            return empty  # no doc in this range carries that field
 
         rare = terms_by_rarity[0]
         others = terms_by_rarity[1:]
         rep = by_term[rare]
         rcache = _BlockCache(rep, counters)
         ocaches = {t: _BlockCache(by_term[t], counters) for t in others}
-        ncache = _BlockCache(nep)
+        ncaches = {s: _BlockCache(neps[s]) for s in sentinels}
 
         # ---- block-max upper bounds (metadata only) ----
-        dlmin_blocks = _block_dlmin(rep, nep)
+        # per-rare-block doclen lower bounds, one per involved field
+        dlmin_by_s = {s: _block_dlmin(rep, neps[s]) for s in sentinels}
         ub = _score_ub(idf_by_term[rare], rep.block_maxtf,
-                       dlmin_blocks, avgdl, k1, b)
+                       dlmin_by_s[sentinel_of[rare]],
+                       avgdl_of[sentinel_of[rare]], k1, b)
         if others:
             # per-rare-block other-term bounds from the OVERLAPPING blocks'
             # block_maxtf (not the range-wide max): tighter for hot
@@ -285,8 +306,10 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                 has = omax > 0
                 alive &= has
                 contrib = np.zeros(ub.size, dtype=np.float64)
+                dlm = dlmin_by_s[sentinel_of[t]]
                 contrib[has] = _score_ub(idf_by_term[t], omax[has],
-                                         dlmin_blocks[has], avgdl, k1, b)
+                                         dlm[has],
+                                         avgdl_of[sentinel_of[t]], k1, b)
                 ub += contrib
             ub[~alive] = -np.inf
 
@@ -347,14 +370,18 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
             if dead:
                 continue
 
-            nd, ntf = ncache.blocks_concat(
-                ncache.overlapping_idx(int(cd[0]), int(cd[-1])))
-            dl = ntf[np.searchsorted(nd, cd)].astype(np.float64)
-            norm = k1 * (1.0 - b + b * dl / avgdl)
+            norm_by_s = {}
+            for s in sentinels:
+                nc = ncaches[s]
+                nd, ntf = nc.blocks_concat(
+                    nc.overlapping_idx(int(cd[0]), int(cd[-1])))
+                dl = ntf[np.searchsorted(nd, cd)].astype(np.float64)
+                norm_by_s[s] = k1 * (1.0 - b + b * dl / avgdl_of[s])
             score = np.zeros(cd.size, dtype=np.float64)
             for t in score_order:
                 tf = tfs_by_term[t].astype(np.float64)
-                score += idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
+                score += (idf_by_term[t] * tf * (k1 + 1.0)
+                          / (tf + norm_by_s[sentinel_of[t]]))
             res_docs.append(cd)
             res_scores.append(score)
             n_scored += cd.size
@@ -535,11 +562,13 @@ class QuerySession:
         self.meta = load_meta(spark, root)
         self.paths = IndexPaths(root)
         self.post = spark.read.parquet(self.paths.postings)
-        # norms = the DOCLEN_TERM posting rows of the same table (tf==doclen)
-        self.norms = self.post.filter(F.col("term") == DOCLEN_TERM)
+        # norms = the DOCLEN_TERM posting rows (tf==doclen) plus the
+        # per-field "<field>:" sentinels when metadata fields are indexed
+        self.norms = self.post.filter(
+            (F.col("term") == DOCLEN_TERM) | F.col("term").endswith(":"))
         self.stats = spark.read.parquet(self.paths.term_stats)
         self._cached = cache
-        self._stats_local: dict[str, int] | None = None
+        self._stats_local: dict[str, tuple[int, int]] | None = None
         self.refresh_deletes()
         if cache:
             # cache the metadata-heavy small tables fully; postings cached
@@ -552,20 +581,38 @@ class QuerySession:
             self.norms.count()
             n_terms = self.stats.count()
             if n_terms <= 200_000:
-                # dictionary-sized vocab: pin (term → df) on the driver and
-                # save one Spark job per query; huge vocabularies keep the
-                # pushdown-filtered distributed lookup
-                self._stats_local = {r["term"]: int(r["df"])
+                # dictionary-sized vocab: pin (term → df, cf) on the driver
+                # and save one Spark job per query; huge vocabularies keep
+                # the pushdown-filtered distributed lookup
+                self._stats_local = {r["term"]: (int(r["df"]), int(r["cf"]))
                                      for r in self.stats.collect()}
 
-    def _df_lookup(self, terms: list[str]) -> dict[str, int]:
-        """(term → df) for the query terms: driver dict when pinned, else a
-        pushdown-filtered scan of the (tiny) term_stats table."""
+    def _stats_lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """(term → (df, cf)) for query terms / field sentinels: driver dict
+        when pinned, else a pushdown-filtered scan of term_stats."""
         if self._stats_local is not None:
             return {t: self._stats_local[t] for t in terms
                     if t in self._stats_local}
         rows = self.stats.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: int(r["df"]) for r in rows}
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    def _df_lookup(self, terms: list[str]) -> dict[str, int]:
+        return {t: dc[0] for t, dc in self._stats_lookup(terms).items()}
+
+    def _avgdl_by_sentinel(self, sentinels: list[str]) -> dict[str, float]:
+        """Per-field average length: content from corpus_stats; a metadata
+        field from its sentinel's term_stats row (cf = Σ field doclen,
+        df = docs with the field) — Lucene's avgFieldLength convention."""
+        fields = [s for s in sentinels if s != DOCLEN_TERM]
+        fstats = self._stats_lookup(fields) if fields else {}
+        out: dict[str, float] = {}
+        for s in sentinels:
+            if s == DOCLEN_TERM:
+                out[s] = self.meta.avgdl
+            else:
+                df, cf = fstats.get(s, (0, 0))
+                out[s] = (cf / df) if df else 1.0
+        return out
 
     def refresh_deletes(self) -> None:
         """(Re)load the tombstone list as DEL_TERM pseudo-postings, ready to
@@ -601,31 +648,68 @@ class QuerySession:
         results to an exact candidate set (multi-field conjunction) — encoded
         as per-range ALLOW_TERM pseudo-postings and intersected inside the
         scorer, so the k results are exact, not an over-fetch."""
+        terms = query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if mode == "phrase":
+            df_by_term = self._df_lookup(terms)
+            if any(t not in df_by_term for t in terms):
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double")
+            idf = {t: _idf(self.meta.n_docs, df_by_term[t]) for t in terms}
+            return self._phrase_topk(query, terms, idf, k, allow)
+        return self._score_terms(terms, k, allow)
+
+    def topk_parsed(self, field_queries: dict[str, str], k: int = 10,
+                    allow: DataFrame | None = None) -> DataFrame:
+        """Parsed multi-field search (reference ``MultiFieldQueryParser``
+        path, ``cLuceneIndexReader.java:320-338``): each clause's text is
+        ANALYZED with the pinned code-aware tokenizer and matched against
+        that field's namespaced index terms — so ``{"path": "parseJson"}``
+        matches camelCase path components by token, not substring — and all
+        clauses contribute to ONE conjunctive BM25 score with per-field
+        norms (each term's tf saturates against its own field's doclen and
+        avgdl). Requires the index to have been built with ``field_cols``.
+        """
+        terms: list[str] = []
+        for field, text in field_queries.items():
+            toks = query_terms(text or "")
+            if field in ("", "content"):
+                terms.extend(toks)
+            else:
+                terms.extend(f"{field}:{t}" for t in toks)
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self._score_terms(terms, k, allow)
+
+    def _score_terms(self, terms: list[str], k: int,
+                     allow: DataFrame | None = None) -> DataFrame:
+        """Shared conjunctive BM25 scorer over (possibly namespaced) terms."""
         spark = self.spark
         meta = self.meta
         empty = spark.createDataFrame([], "doc_id long, score double")
-        terms = query_terms(query)
-        if not terms:
-            return empty
+        sentinel_of = {
+            t: (t.split(":", 1)[0] + ":" if ":" in t else DOCLEN_TERM)
+            for t in terms}
+        sentinels = sorted({sentinel_of[t] for t in terms})
         df_by_term = self._df_lookup(terms)
         if any(t not in df_by_term for t in terms):
             return empty  # a MUST term absent from the corpus
         idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
+        avgdl_of = self._avgdl_by_sentinel(sentinels)
         terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
-
-        if mode == "phrase":
-            return self._phrase_topk(query, terms, idf_by_term, k, allow)
 
         if self._cached:
             # in-memory scan: bucket pruning buys nothing, and skipping the
             # ranges-collect saves a whole Spark job per query
             post = self.post.filter(F.col("term").isin(terms))
-            norms = self.norms
+            norms = self.norms.filter(F.col("term").isin(sentinels))
         else:
             # disk path: bucket pruning = parquet partition pruning; the
             # ranges filter keeps the cogroup from touching norms of ranges
             # where no query term occurs
-            bmap = _buckets_of(terms + [DOCLEN_TERM], meta.n_buckets, spark)
+            bmap = _buckets_of(terms + sentinels, meta.n_buckets, spark)
             buckets = sorted({bmap[t] for t in terms})
             post = self.post.filter(F.col("bucket").isin(buckets)
                                     & F.col("term").isin(terms))
@@ -634,7 +718,8 @@ class QuerySession:
             if not ranges:
                 return empty
             norms = self.norms.filter(
-                (F.col("bucket") == bmap[DOCLEN_TERM])
+                F.col("bucket").isin(sorted({bmap[s] for s in sentinels}))
+                & F.col("term").isin(sentinels)
                 & F.col("range_id").isin(ranges))
 
         post = self._with_deletes(post.select(*SCORER_COLS))
@@ -646,7 +731,9 @@ class QuerySession:
                   .applyInPandas(
                       _make_range_scorer(terms_by_rarity, idf_by_term,
                                          meta.avgdl, k,
-                                         allow=allow is not None),
+                                         allow=allow is not None,
+                                         sentinel_of=sentinel_of,
+                                         avgdl_of=avgdl_of),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -672,9 +759,11 @@ class QuerySession:
                                spark)
             buckets = sorted({bmap[t] for t in terms_dedup})
             post = post.filter(F.col("bucket").isin(buckets))
-            norms = self.norms.filter(F.col("bucket") == bmap[DOCLEN_TERM])
+            norms = self.norms.filter(
+                (F.col("bucket") == bmap[DOCLEN_TERM])
+                & (F.col("term") == DOCLEN_TERM))
         else:
-            norms = self.norms
+            norms = self.norms.filter(F.col("term") == DOCLEN_TERM)
         post = self._with_deletes(post.select(*SCORER_COLS))
         if allow is not None:
             post = post.unionByName(_allow_rows_df(allow, meta.range_size))
@@ -713,7 +802,7 @@ class QuerySession:
             return spark.createDataFrame([], out_schema + ", rank int")
         live_terms = sorted({t for _, ts, _ in plans for t in ts})
         post = self.post.filter(F.col("term").isin(live_terms))
-        norms = self.norms
+        norms = self.norms.filter(F.col("term") == DOCLEN_TERM)
         if not self._cached:
             # disk path: bucket pruning = parquet partition pruning (the
             # same pushdown the single-query path gets)
@@ -848,6 +937,25 @@ def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
         if flt.count() >= k or n_got < fetch:
             return flt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         fetch *= 4
+
+
+def search_fields_parsed(spark: SparkSession, root: str,
+                         fields: dict[str, str], k: int = 10,
+                         session: QuerySession | None = None) -> DataFrame:
+    """Parsed (analyzed) multi-field search THROUGH the index — the
+    reference's ``MultiFieldQueryParser`` mode (``cLuceneIndexReader.java:
+    320-338``): every clause, metadata included, is tokenized with the
+    pinned code-aware analyzer and matched/RANKED against the namespaced
+    index terms with per-field norms (QuerySession.topk_parsed). This is
+    token-exact semantics — ``{"path": "theFile"}`` matches camelCase path
+    components the substring path (search_fields) cannot. Returns
+    (doc_id, score, repo, path, commit, lang), at most k rows."""
+    sess = session or QuerySession(spark, root, cache=False)
+    hits = sess.topk_parsed(fields, k)
+    docmap = spark.read.parquet(IndexPaths(root).docmap)
+    return (docmap.join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
 def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:

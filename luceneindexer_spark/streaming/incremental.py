@@ -30,6 +30,12 @@ from ..index import manifest as mf
 from ..index.build import IndexPaths, build_index
 from ..query.engine import load_meta
 
+#: micro-batches up to this many ADDED rows use one global row_number window
+#: (cheapest); larger batches degrade to the range-partitioned numbering
+#: (corpus.assign_dense_ids) so a bulk replay can never hit a 1-partition
+#: window silently.
+LARGE_BATCH_ROWS = 2_000_000
+
 
 def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                      *, merge_partitions: int | None = None) -> dict:
@@ -49,6 +55,14 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     every call, so a crash between the docmap write and the delete-list
     write repairs itself on retry. The wave build resumes pending ranges
     regardless, so a crash between docmap write and build also self-heals.
+
+    Resurrection: an equal-commit row whose live doc_id is tombstoned is
+    un-tombstoned (the docmap row is still there — deletes are lazy), so
+    re-adding a deleted document restores it exactly like the reference's
+    ``updateDocument`` (delete+add). Deliberate divergence: a row whose
+    commit is OLDER than the tombstoned latest generation stays dropped
+    (latest-commit-wins) — the reference, which has no commit ordering,
+    would have re-added it.
     """
     meta = load_meta(spark, root)
     paths = IndexPaths(root)
@@ -80,28 +94,48 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                  (joined.filter(F.col("_old_commit").isNotNull()
                                 & (F.col("commit") > F.col("_old_commit")))
                   .select("_old_id").distinct().collect())]
+    same = [int(r["_old_id"]) for r in
+            (joined.filter(F.col("_old_commit").isNotNull()
+                           & (F.col("commit") == F.col("_old_commit")))
+             .select("_old_id").distinct().collect())]
 
-    if add.limit(1).count() > 0:
-        # batch-sized data: a global window is fine here (micro-batches);
-        # the bulk path is corpus.build_docmap's range-partitioned numbering
-        w = Window.orderBy(*DOC_ORDER)
-        add = add.withColumn("doc_id",
-                             (F.row_number().over(w) - 1 + start_id)
-                             .cast("long"))
+    n_add = add.count()
+    sorted_tmp = None
+    if n_add > 0:
+        if n_add <= LARGE_BATCH_ROWS:
+            # batch-sized data: a single global window is cheapest (no
+            # boundary-sampling pass) and safe at micro-batch row counts
+            w = Window.orderBy(*DOC_ORDER)
+            add = add.withColumn("doc_id",
+                                 (F.row_number().over(w) - 1 + start_id)
+                                 .cast("long"))
+        else:
+            # a surprise bulk "micro" batch: degrade to the scalable
+            # range-partitioned numbering instead of a 1-partition window
+            from ..corpus import assign_dense_ids
+            parts = merge_partitions or spark.sparkContext.defaultParallelism
+            add, sorted_tmp = assign_dense_ids(add, parts, start_id=start_id)
         add = (add.withColumn("size", F.length("content").cast("long"))
                .withColumn("content_sha256",
                            F.sha2(F.col("content").cast("binary"), 256))
                .select("doc_id", "repo", "path", "commit", "lang", "size",
                        "content_sha256", "content"))
         add.write.mode("append").parquet(paths.docmap)
+    if sorted_tmp is not None:
+        sorted_tmp.unpersist()
     joined.unpersist()
-    if supersede:
-        from ..ops.maintenance import append_deletes, read_deletes
+    if supersede or same:
+        from ..ops.maintenance import (append_deletes, read_deletes,
+                                       remove_deletes)
         already = {int(r["doc_id"]) for r in
                    read_deletes(spark, root).collect()}
         fresh = sorted(set(supersede) - already)
         if fresh:
             append_deletes(spark, root, fresh)
+        # resurrect equal-commit re-adds of tombstoned docs (delete+add)
+        revive = sorted(set(same) & already)
+        if revive:
+            remove_deletes(spark, root, revive)
 
     # rebuild only the new ranges by rerunning build with the appended docmap:
     # mark all pre-existing ranges complete under the NEW snapshot so only the
@@ -124,7 +158,7 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     report = build_index(
         spark, None, root, n_buckets=meta.n_buckets,
         range_size=meta.range_size, waves=1_000_000_000,
-        positions=meta.positions,
+        positions=meta.positions, field_cols=meta.fields,
         merge_partitions=merge_partitions, resume=True)
     return report
 

@@ -212,9 +212,21 @@ def tokenize_flat_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     data_buf = arr.buffers()[2]
     data = (np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None
             else np.empty(0, dtype=np.uint8))
-    lens = np.diff(offsets)  # null entries have len 0 (offsets repeat)
-    total = int(lens.sum())
-    src = data[offsets[0]:offsets[0] + total]
+    lens = np.diff(offsets)
+    if arr.null_count == 0:
+        # offsets are monotonic → the n extents are contiguous: one slice
+        total = int(lens.sum())
+        src = data[offsets[0]:offsets[0] + total]
+    else:
+        # the Arrow spec allows non-empty UNDEFINED byte extents under null
+        # slots (e.g. arrays from take/filter kernels): mask them out via
+        # the validity bitmap and gather only the valid extents
+        valid = np.asarray(arr.is_valid())
+        lens = np.where(valid, lens, 0)
+        total = int(lens.sum())
+        excl = np.cumsum(lens) - lens  # exclusive prefix sum
+        src = data[np.repeat(offsets[:-1] - excl, lens)
+                   + np.arange(total, dtype=np.int64)]
     out = np.ones(total + n, dtype=np.uint8)  # 0x01 prefilled separators
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
     dst = np.arange(total, dtype=np.int64) + doc_idx

@@ -153,6 +153,40 @@ def test_embedding_dedup_pathological_bucket(spark, emb_df):
     assert {500000 + i for i in range(1000)} <= dropped
 
 
+def test_embedding_dedup_adaptive_width(spark, emb_df, monkeypatch):
+    """The sketch width defaults to the corpus-size-adaptive pick_n_planes
+    (VERDICT r2 #6): at corpus scale (>~3M vectors) that is WIDER than the
+    old fixed 16, spreading clustered embeddings over more buckets so the
+    bucket cap drops fewer verification pairs."""
+    from luceneindexer_spark.ops import similarity as S
+
+    assert S.pick_n_planes(50_000_000) > 16  # the scale regime motivation
+
+    calls = []
+    orig = S.pick_n_planes
+
+    def spy(n):
+        calls.append(n)
+        return orig(n)
+
+    monkeypatch.setattr(S, "pick_n_planes", spy)
+    n = emb_df.count()
+    D.embedding_dedup_pairs(emb_df, "vec_id", "embedding",
+                            threshold=0.999).count()
+    assert calls == [n]
+
+    # mechanism: widening the sketch strictly shrinks the largest bucket of
+    # DISTINCT vectors (each extra plane can only split buckets)
+    dim = len(emb_df.select("embedding").first()[0])
+    sizes = {}
+    for w in (4, 10):
+        sk = emb_df.select(
+            S.sketch_expr(F.col("embedding"), dim, w).alias("s"))
+        sizes[w] = sk.groupBy("s").count().agg(
+            F.max("count")).collect()[0][0]
+    assert sizes[10] < sizes[4]
+
+
 def test_knn_join_recall_vs_bruteforce(spark, emb_df):
     """Adaptive sketch width at this corpus size probes every bucket, so the
     knn join must reproduce the brute-force top-k exactly."""
@@ -215,3 +249,70 @@ def test_topk_batch_matches_single(spark, tmp_path_factory):
         got = sorted(by_q.get(qid, []))
         assert got == single, qid
     qs.close()
+
+
+def _naive_winnow(text, k=5, w=4):
+    """Independent reference winnow (plain loops, no numpy)."""
+    import hashlib
+    s = text.lower()
+    if len(s) == 0:
+        return set()
+    if len(s) < k:
+        return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16)}
+    hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+          for i in range(len(s) - k + 1)]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_naive_and_guarantee(spark):
+    from luceneindexer_spark.ops import textstats as T
+    docs = [
+        (0, "the quick brown Fox jumps over the lazy dog"),
+        (1, "abc"),                       # shorter than k → whole-text hash
+        (2, "abcdef"),                    # >= k but < w grams → single min
+        (3, "x" * 50),                    # degenerate alphabet
+        (4, ""),                          # empty → no fingerprints
+        (5, "zzz the quick brown Fox zzz wholly different tail words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in T.fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for i, t in docs:
+        want = _naive_winnow(t)
+        assert got.get(i, set()) == want, i
+    # winnowing guarantee: docs 0 and 5 share "the quick brown fox"
+    # (len >= w+k-1 = 8) → at least one shared fingerprint
+    assert got[0] & got[5]
+
+
+def test_winnowing_5mb_doc_bounded(spark):
+    """A single 5 MB document flows through the mapInPandas winnow without
+    any corpus-wide explode or collect_list row (VERDICT r2 #7); digest
+    matches an independently computed sliding-min."""
+    import hashlib
+
+    import numpy as np
+    from luceneindexer_spark.ops import textstats as T
+
+    rng = np.random.default_rng(7)
+    text = "".join(np.array(list("abcd "))[rng.integers(0, 5, 5_000_000)])
+    df = spark.createDataFrame([(99, text)], "doc_id long, text string")
+    row = (T.fingerprint_summary(df, "doc_id", "text")
+           .collect())[0]
+    # independent digest: hash unique grams once, map back, sliding-min
+    s = text.lower()
+    k, w = 5, 4
+    grams = [s[i:i + k] for i in range(len(s) - k + 1)]
+    uniq = sorted(set(grams))
+    hmap = {g: int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in uniq}
+    hs = np.array([hmap[g] for g in grams], dtype=np.int64)
+    mins = np.unique(
+        np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1))
+    assert row.n_fp == mins.size
+    assert row.min_fp == int(mins.min())
+    assert row.max_fp == int(mins.max())
+    assert row.xor_fp == int(np.bitwise_xor.reduce(mins))

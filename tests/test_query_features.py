@@ -384,6 +384,78 @@ def test_mass_tombstones_stay_distributed(spark, tmp_path):
     assert got == want
 
 
+def test_parsed_multifield_per_field_norms(spark, tmp_path):
+    """Metadata fields are fulltext fields (reference indexes every field:
+    cLuceneIndexWriter.java:102-113; parsed mode cLuceneIndexReader.java:
+    320-338): namespaced tokens + per-field doclen sentinels ride the same
+    pipeline, and topk_parsed scores each clause against ITS field's norms.
+    Verified against a from-scratch python BM25 with per-field avgdl."""
+    import math
+    from luceneindexer_spark.tokenizer import tokenize_text
+
+    root = str(tmp_path / "idx_fields")
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1,
+                positions=True, field_cols=("repo", "path", "lang"))
+    docmap = spark.read.parquet(f"{root}/docmap")
+    rows = docmap.select("doc_id", "path", "content").collect()
+    N = len(rows)
+    k1, bb = 1.2, 0.75
+
+    def field(getter):
+        toks = {r.doc_id: tokenize_text(getter(r)) for r in rows}
+        nz = {d: len(t) for d, t in toks.items() if t}
+        return toks, sum(nz.values()) / len(nz)
+
+    ptoks, pavg = field(lambda r: r.path)
+    ctoks, cavg = field(lambda r: r.content)
+
+    def naive(clauses, k=10):
+        cands = None
+        for toks, _, t in clauses:
+            s = {d for d, tt in toks.items() if t in tt}
+            cands = s if cands is None else cands & s
+        out = []
+        for d in cands:
+            sc = 0.0
+            for toks, avgdl, t in clauses:
+                tf = toks[d].count(t)
+                df = sum(1 for tt in toks.values() if t in tt)
+                idf = math.log1p((N - df + 0.5) / (df + 0.5))
+                dl = len(toks[d])
+                sc += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - bb + bb * dl / avgdl))
+            out.append((d, round(sc, 9)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    qs = engine.QuerySession(spark, root)
+    # conjunction guaranteed non-empty: pick the path token of a hot doc
+    hot_doc = min(d for d, tt in ctoks.items() if HOT_TERM.lower() in tt)
+    ptok = ptoks[hot_doc][-1]            # e.g. file-name token
+    want = naive([(ctoks, cavg, HOT_TERM.lower()), (ptoks, pavg, ptok)])
+    assert want
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.topk_parsed({"content": HOT_TERM, "path": ptok},
+                          k=10).collect()]
+    assert got == want
+
+    # camelCase metadata analysis: "getUserName"-style query text splits to
+    # tokens — prove the analyzed (not substring) semantics on repo+path
+    want2 = naive([(ptoks, pavg, "py")])
+    got2 = [(r.doc_id, round(r.score, 9)) for r in
+            qs.topk_parsed({"path": "py"}, k=10).collect()]
+    assert got2 == want2 and got2
+
+    # plain content search over a field-indexed build stays oracle-identical
+    w = [(r.doc_id, round(r.score, 9)) for r in
+         bm25_topk_oracle(docmap.select("doc_id", "content"), HOT_TERM,
+                          k=10).collect()]
+    g = [(r.doc_id, round(r.score, 9)) for r in
+         engine.bm25_topk(spark, root, HOT_TERM, k=10).collect()]
+    assert g == w
+
+
 def test_delete_index_wipes_everything(built, spark, tmp_path):
     src, _ = built
     root = str(tmp_path / "wipe_idx")

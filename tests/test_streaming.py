@@ -138,6 +138,63 @@ def test_append_retry_is_idempotent(spark, tmp_path):
     assert got == want
 
 
+def test_reappend_resurrects_deleted_doc(spark, tmp_path):
+    """Re-appending a previously deleted document at the SAME commit must
+    restore it (reference updateDocument = delete+add), i.e. the stale
+    tombstone is removed instead of the row being silently dropped forever."""
+    from luceneindexer_spark.ops.maintenance import read_deletes
+    from luceneindexer_spark.ops.maintenance import append_deletes
+
+    root = str(tmp_path / "idx_rez")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    batch = _new_docs(spark, 3, "rz")
+    append_documents(spark, root, batch)
+    hits = engine.bm25_topk(spark, root, "incrementalToken", k=10).collect()
+    assert len(hits) == 3
+    victim = hits[0].doc_id
+
+    append_deletes(spark, root, [int(victim)])
+    assert {r.doc_id for r in
+            engine.bm25_topk(spark, root, "incrementalToken",
+                             k=10).collect()} == {
+        r.doc_id for r in hits} - {victim}
+
+    # same batch replayed (equal commits) → the victim is resurrected
+    append_documents(spark, root, batch)
+    got = {r.doc_id for r in
+           engine.bm25_topk(spark, root, "incrementalToken", k=10).collect()}
+    assert got == {r.doc_id for r in hits}
+    assert read_deletes(spark, root).count() == 0
+    # and no duplicate rows were appended
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    assert docmap.filter(F.col("repo").startswith("inc/")).count() == 3
+
+
+def test_large_batch_uses_scalable_numbering(spark, tmp_path, monkeypatch):
+    """Above LARGE_BATCH_ROWS the append numbering degrades to the
+    range-partitioned path; ids stay dense, contiguous, and deterministic
+    (identical to what the window path would assign)."""
+    import luceneindexer_spark.streaming.incremental as inc
+
+    root = str(tmp_path / "idx_big")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    monkeypatch.setattr(inc, "LARGE_BATCH_ROWS", 10)
+    batch = _new_docs(spark, 40, "bg")  # 40 > 10 → scalable path
+    append_documents(spark, root, batch)
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    added = docmap.filter(F.col("repo").startswith("inc/"))
+    ids = sorted(r.doc_id for r in added.select("doc_id").collect())
+    assert ids == list(range(128, 128 + 40))  # ceil(100/64)*64 = 128
+    # numbering order matches the (repo, path, commit) global order
+    by_order = [r.doc_id for r in
+                added.orderBy("repo", "path", "commit").collect()]
+    assert by_order == ids
+    got = engine.bm25_topk(spark, root, "incrementalToken", k=50).collect()
+    assert len(got) == 40
+
+
 def test_watch_corpus_ingests_backlog(spark, tmp_path):
     root = str(tmp_path / "idx3")
     build_index(spark, synth_corpus(spark, 100, partitions=2), root,

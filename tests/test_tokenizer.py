@@ -125,3 +125,42 @@ def test_numpy_tokenizer_matches_regex_path():
         return out
 
     assert expand(*a) == expand(*b)
+
+
+def test_arrow_tokenizer_honors_validity_bitmap():
+    """Null slots may carry non-empty UNDEFINED byte extents (Arrow spec;
+    arrays from take/filter kernels do this) — the arrow tokenizer must mask
+    them via the validity bitmap, not tokenize the garbage bytes."""
+    import numpy as np
+    import pyarrow as pa
+    from luceneindexer_spark.tokenizer import (tokenize_flat,
+                                               tokenize_flat_arrow)
+
+    data = b"fooBarGARBAGEbytesbazQux"
+    offsets = np.array([0, 6, 21, 24], dtype=np.int32)  # 3 slots
+    validity = bytearray([0b101])                       # middle slot null
+    arr = pa.StringArray.from_buffers(
+        3, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data),
+        pa.py_buffer(bytes(validity)), null_count=1)
+    assert arr.null_count == 1 and arr[0].as_py() == "fooBar"
+
+    u, c, k = tokenize_flat_arrow(arr)
+    want_u, want_c, want_k = tokenize_flat(
+        np.array(["fooBar", "", "Qux"], dtype=object))
+
+    def expand(u, c, k):
+        toks = [u[i] for i in c]
+        out, p = [], 0
+        for cnt in k:
+            out.append(toks[p:p + cnt])
+            p += cnt
+        return out
+
+    assert expand(u, c, k) == expand(want_u, want_c, want_k)
+    assert list(k) == [2, 0, 1]  # foo bar | (null) | qux
+
+    # sliced arrays (non-zero arr.offset) keep working on the no-null path
+    plain = pa.array(["alphaOne betaTwo", "gammaThree", "deltaFour"]).slice(1)
+    u2, c2, k2 = tokenize_flat_arrow(plain)
+    w2 = tokenize_flat(np.array(["gammaThree", "deltaFour"], dtype=object))
+    assert expand(u2, c2, k2) == expand(*w2)
