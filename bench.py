@@ -82,6 +82,24 @@ def _mk_spark(cpus: int):
     return b.getOrCreate()
 
 
+def _phase_probe(spark, corpus_dir: str) -> float:
+    """Pure-JVM phase probe (VERDICT r2 #1a): time a columnar parquet scan +
+    sum — zero Python workers, so it measures only this VM's memory-fault
+    phase (BASELINE.md: the identical scan swings 0.6 s ↔ 2.5 s between
+    phases with zero engine involvement). Run before each round; rounds
+    whose probe is outside the fast band are recorded but not used for the
+    headline scaling number."""
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    (spark.read.parquet(corpus_dir)
+     .agg(F.sum(F.length("content"))).collect())
+    return time.time() - t0
+
+
+#: a round is "fast-phase" when its probe is within this factor of the best
+PROBE_BAND = float(os.environ.get("BENCH_PROBE_BAND", "1.5"))
+
+
 def _one_build(spark, corpus, root: str, parallelism: int) -> dict:
     from luceneindexer_spark.index.build import build_index
     # every stage — including implicit shuffles (dedup window, stats aggs) —
@@ -159,23 +177,42 @@ def main() -> None:
         # faulting, fast/slow phases measured in BASELINE.md) is strictly
         # additive, so the minimum round is the faithful engine measurement.
         runs: dict[int, list[dict]] = {tiny: [], small: [], CPUS: []}
+        probes: list[float] = []   # one pure-JVM phase probe per round
         last_big_root = None
 
         def best(par, key):
             return min(r[key] for r in runs[par])
 
-        def core_eff(lo, hi):
+        def fast_rounds():
+            """Round indices whose phase probe sits in the fast band (within
+            PROBE_BAND of the best probe observed). Falls back to all rounds
+            if the band is empty for a pairing."""
+            if not probes:
+                return set()
+            lim = min(probes) * PROBE_BAND
+            return {i for i, p in enumerate(probes) if p <= lim}
+
+        def core_eff(lo, hi, gated=True):
             """Scaling efficiency from ADJACENT same-round pairs: the two
             levels of one round run back-to-back, so they share this VM's
-            fast/slow memory-fault phase (BASELINE.md); the best round is
-            the least phase-contaminated sample. Cross-round best-of would
-            pair a fast-phase lo with a slow-phase hi (or vice versa) and
-            measure the phase, not the engine."""
-            return max((rl["core_s"] / rh["core_s"]) / (hi / lo)
-                       for rl, rh in zip(runs[lo], runs[hi]))
+            fast/slow memory-fault phase (BASELINE.md); with ``gated`` only
+            rounds whose pure-JVM phase probe was in the fast band count
+            toward the headline number (every raw round stays on the
+            record). Cross-round best-of would pair a fast-phase lo with a
+            slow-phase hi (or vice versa) and measure the phase, not the
+            engine."""
+            ratios = [(rl["core_s"] / rh["core_s"]) / (hi / lo)
+                      for rl, rh in zip(runs[lo], runs[hi])]
+            if gated:
+                ok = fast_rounds()
+                gatedr = [r for i, r in enumerate(ratios) if i in ok]
+                if gatedr:
+                    return max(gatedr)
+            return max(ratios)
 
         rep = 0
         while rep < REPS_MAX:
+            probes.append(round(_phase_probe(spark, corpus_dir), 3))
             # the tiny level only contextualizes the secondary pair — run it
             # once; every round samples the PRIMARY adjacent (small, big)
             # pair, maximizing the chance of a clean-phase sample
@@ -270,6 +307,13 @@ def main() -> None:
             "scaling_efficiency": round(eff_core, 3),
             "scaling_efficiency_e2e": round(eff, 3),
             "scaling_efficiency_query": round(q_eff, 3),
+            # the phase-gate record: per-round pure-JVM probe times and
+            # which rounds were in the fast band (the headline number uses
+            # only those; every raw ratio is still listed below)
+            "phase_probe_s": probes,
+            "phase_fast_rounds": sorted(fast_rounds()),
+            "scaling_efficiency_ungated": round(
+                core_eff(small, CPUS, gated=False), 3),
             # every per-round adjacent ratio + their median, so the full
             # phase-noise distribution is on the record next to the best
             "scaling_efficiency_rounds": [
@@ -344,6 +388,10 @@ north-rule number is the core indexing efficiency of N={small} → 4N={big}:
 - query throughput: sequential {out['qps']} q/s, batched (topk_batch,
   {len(out['queries'])} queries/pass) **{out.get('qps_batch')} q/s**
 - per-query p50 (s): {json.dumps(out['queries'])}
+- phase probes (pure-JVM parquet scan, s): {json.dumps(out['phase_probe_s'])}
+  — fast-band rounds {json.dumps(out['phase_fast_rounds'])} are the only
+  ones eligible for the headline number (ungated best:
+  {out['scaling_efficiency_ungated']})
 - raw build rounds (s): {json.dumps(b['all_runs'])}
 - raw core rounds (s): {json.dumps(b['all_runs_core'])}
 
