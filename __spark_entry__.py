@@ -201,6 +201,23 @@ def _q_multifield_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r.select("doc_id", "score", "path"), "score")
 
 
+WHOLEWORDS_PATH_PHRASE = "file txt"  # consecutive path tokens, doc_id%3==0
+
+
+def _q_wholewords_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference whole-words mode across fields (one PhraseQuery per
+    non-empty field, MUST-conjoined, scores summed —
+    ``cLuceneIndexReader.java:285-301``): content phrase 'table hash' AND
+    path phrase 'file txt' (consecutive tokens of doc/readMe*/theFile.txt
+    paths), each clause verified on its own positional namespace and scored
+    with its field's norms."""
+    root = _index_root(spark, sf_dir)
+    r = engine.search_fields_whole_words(
+        spark, root, {"content": INDEX_PHRASE,
+                      "path": WHOLEWORDS_PATH_PHRASE}, k=10)
+    return _round6(r.select("doc_id", "score", "path"), "score")
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN correctness signal: recall@10 of the multi-probe sketch search vs
     the (separately oracle-checked) exact brute force, over ANN_PROBES probe
@@ -470,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_index": _q_phrase_index,
         "multifield_search_index": _q_multifield_index,
         "multifield_parsed_index": _q_multifield_parsed,
+        "wholewords_fields_index": _q_wholewords_fields,
         "ann_recall_check": _q_ann_recall,
         "term_df_top20": _q_term_df,
         "corpus_stats": _q_corpus_stats,
@@ -859,6 +877,71 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def _wholewords_fields_sql() -> str:
+    """Oracle for whole-words multi-field search: BOTH clauses are phrase
+    queries — content 'table hash' consecutive in the stopword-filtered
+    content token stream, path 'file txt' consecutive in the path token
+    stream — and the score is the sum of each clause's conjunctive BM25
+    over its own term space with per-field norms (same conventions as
+    _multifield_parsed_sql; phrase CTEs as in _bm25_sql)."""
+    ct = query_terms(INDEX_PHRASE)
+    pt = query_terms(WHOLEWORDS_PATH_PHRASE)
+    assert len(ct) == 2 and len(pt) == 2
+    c_in = ", ".join(f"'{t}'" for t in ct)
+    p_in = ", ".join(f"'{t}'" for t in pt)
+    ptok_cte = duckdb_tokens_cte("documents", "doc_id", DOC_PATH_SQL)
+    ptokp_cte = duckdb_tokens_pos_cte("documents", "doc_id", DOC_PATH_SQL)
+    return f"""
+WITH ctok AS ({_TOK}),
+cdl AS (SELECT doc_id, count(*) AS dl FROM ctok GROUP BY doc_id),
+cst AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+               (SELECT coalesce(sum(dl), 0) FROM cdl)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ctok
+        WHERE term IN ({c_in}) GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+cscore AS (
+  SELECT ctf.doc_id,
+         sum(ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+             * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * cdl.dl / s.avgdl))) AS score,
+         count(*) AS nt
+  FROM ctf JOIN cdf USING (term) JOIN cdl USING (doc_id) CROSS JOIN cst s
+  GROUP BY ctf.doc_id),
+ctokp AS ({_TOKP}),
+cph AS (SELECT DISTINCT a.doc_id FROM ctokp a JOIN ctokp b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = '{ct[0]}' AND b.term = '{ct[1]}'),
+ptok AS ({ptok_cte}),
+pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pst AS (SELECT (SELECT count(*) FROM ptok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ptok) AS avgdl),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptok
+        WHERE term IN ({p_in}) GROUP BY doc_id, term),
+pdf2 AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+pscore AS (
+  SELECT ptf.doc_id,
+         sum(ln(1 + (s.n_docs - pdf2.df + 0.5) / (pdf2.df + 0.5))
+             * ptf.tf * {K1_1} / (ptf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * pdl.dl / ps.avgdl))) AS score,
+         count(*) AS nt
+  FROM ptf JOIN pdf2 USING (term) JOIN pdl USING (doc_id)
+  CROSS JOIN cst s CROSS JOIN pst ps
+  GROUP BY ptf.doc_id),
+ptokp AS ({ptokp_cte}),
+pph AS (SELECT DISTINCT a.doc_id FROM ptokp a JOIN ptokp b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = '{pt[0]}' AND b.term = '{pt[1]}')
+SELECT doc_id, round(c.score + p.score, 6)::DOUBLE AS score,
+       {DOC_PATH_SQL} AS path
+FROM cscore c JOIN pscore p USING (doc_id)
+WHERE c.nt = 2 AND p.nt = 2
+  AND doc_id IN (SELECT doc_id FROM cph)
+  AND doc_id IN (SELECT doc_id FROM pph)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _multifield_sql() -> str:
     in_list = ", ".join(f"'{t}'" for t in MULTIFIELD_TERMS)
     return f"""
@@ -940,6 +1023,7 @@ SELECT t.doc_id, t.score, d.source AS repo,
 FROM ({_bm25_sql(BM25_QUERY, 10)}) t JOIN documents d USING (doc_id)
 """,
         "multifield_parsed_index": _multifield_parsed_sql(),
+        "wholewords_fields_index": _wholewords_fields_sql(),
         "knn_join_top3": """
 WITH l AS (SELECT vec_id AS id_l, embedding AS vl FROM embeddings
            WHERE vec_id < 3),

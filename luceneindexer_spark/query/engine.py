@@ -416,18 +416,27 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
 _POS_SHIFT = np.int64(1) << np.int64(32)  # doc-ordinal • position packing
 
 
-def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
-                        idf_by_term: dict[str, float], avgdl: float, k: int,
+#: one "whole words" clause: (analyzed token sequence — namespaced for
+#: metadata fields, with duplicates, in order; deduped terms; the field's
+#: doclen sentinel term; the field's avgdl)
+PhraseClause = tuple[list[str], list[str], str, float]
+
+
+def _make_phrase_scorer(clauses: list[PhraseClause],
+                        idf_by_term: dict[str, float], k: int,
                         k1: float = BM25_K1, b: float = BM25_B,
                         allow: bool = False):
-    """cogroup fn for phrase ("whole words") mode: per range, intersect the
-    phrase terms' doc lists, then verify the consecutive-position chain
-    entirely with sorted-key set operations on the delta-decoded positions
-    (reference ``PhraseQuery`` path, ``cLuceneIndexReader.java:285-301``).
-    Scored as the conjunctive BM25 of the constituent terms (documented
-    deviation from Lucene's phrase-freq scoring; the oracle pins the same
-    definition)."""
-    score_order = sorted(terms_dedup)
+    """cogroup fn for phrase ("whole words") mode — one PhraseQuery per
+    field, MUST-conjoined, clause scores summed (reference ``BooleanQuery``
+    of per-field ``PhraseQuery`` clauses, ``cLuceneIndexReader.java:
+    285-301``). Per range: intersect every clause's terms' doc lists, then
+    verify each clause's consecutive-position chain entirely with sorted-key
+    set operations on the delta-decoded (per-field) positions. Each clause
+    is scored as the conjunctive BM25 of its constituent terms with ITS
+    field's norms (documented deviation from Lucene's phrase-freq scoring;
+    the oracle pins the same definition)."""
+    all_terms = list(dict.fromkeys(
+        t for _, td, _, _ in clauses for t in td))
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                     ) -> pd.DataFrame:
@@ -442,18 +451,21 @@ def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
             if allow_docs is None:
                 return empty
         rows = {r.term: r for r in post_pdf.itertuples()}
-        if any(t not in rows for t in terms_dedup):
+        if any(t not in rows for t in all_terms):
+            return empty
+        nrows = {r.term: r for r in norms_pdf.itertuples()}
+        if any(s not in nrows for _, _, s, _ in clauses):
             return empty
         dec: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t in terms_dedup:
+        for t in all_terms:
             r = rows[t]
             if r.pos_enc is None:
                 raise ValueError("index was built without positions=True")
             d, tf = decode_postings(_ep_from_row(r))
             dec[t] = (d, tf, positions_decode(bytes(r.pos_enc), tf))
 
-        cand = dec[terms_dedup[0]][0]
-        for t in terms_dedup[1:]:
+        cand = dec[all_terms[0]][0]
+        for t in all_terms[1:]:
             cand = np.intersect1d(cand, dec[t][0], assume_unique=True)
             if cand.size == 0:
                 return empty
@@ -466,40 +478,42 @@ def _make_phrase_scorer(seq: list[str], terms_dedup: list[str],
             if cand.size == 0:
                 return empty
 
-        # per-term sorted (candidate-ordinal << 32 | position) key arrays
-        keysets: dict[str, np.ndarray] = {}
-        for t in set(seq):
-            d, tf, pos = dec[t]
-            m = _in_sorted(d, cand)
-            lens_c = tf[m]
-            offs = np.cumsum(tf) - tf
-            total = int(lens_c.sum())
-            starts_new = np.cumsum(lens_c) - lens_c
-            idx = (np.arange(total, dtype=np.int64)
-                   - np.repeat(starts_new, lens_c)
-                   + np.repeat(offs[m], lens_c))
-            p = pos[idx]
-            dkey = np.repeat(np.searchsorted(cand, d[m]).astype(np.int64),
-                             lens_c)
-            keysets[t] = dkey * _POS_SHIFT + p  # ascending by construction
+        for seq, _td, _s, _a in clauses:
+            # per-term sorted (candidate-ordinal << 32 | position) keys
+            keysets: dict[str, np.ndarray] = {}
+            for t in set(seq):
+                d, tf, pos = dec[t]
+                m = _in_sorted(d, cand)
+                lens_c = tf[m]
+                offs = np.cumsum(tf) - tf
+                total = int(lens_c.sum())
+                starts_new = np.cumsum(lens_c) - lens_c
+                idx = (np.arange(total, dtype=np.int64)
+                       - np.repeat(starts_new, lens_c)
+                       + np.repeat(offs[m], lens_c))
+                p = pos[idx]
+                dkey = np.repeat(
+                    np.searchsorted(cand, d[m]).astype(np.int64), lens_c)
+                keysets[t] = dkey * _POS_SHIFT + p  # ascending by constr.
+            live = keysets[seq[0]]
+            for i in range(1, len(seq)):
+                live = live[_in_sorted(live + np.int64(i), keysets[seq[i]])]
+                if live.size == 0:
+                    return empty
+            cand = cand[np.unique(live // _POS_SHIFT)]
+        match_docs = cand
 
-        live = keysets[seq[0]]
-        for i in range(1, len(seq)):
-            live = live[_in_sorted(live + np.int64(i), keysets[seq[i]])]
-            if live.size == 0:
-                return empty
-        match_docs = cand[np.unique(live // _POS_SHIFT)]
-
-        nep = _ep_from_row(next(norms_pdf.itertuples()))
-        nd, ntf = decode_blocks_overlapping(
-            nep, int(match_docs[0]), int(match_docs[-1]))
-        dl = ntf[np.searchsorted(nd, match_docs)].astype(np.float64)
-        norm = k1 * (1.0 - b + b * dl / avgdl)
         score = np.zeros(match_docs.size, dtype=np.float64)
-        for t in score_order:
-            d, tf, _ = dec[t]
-            tfv = tf[np.searchsorted(d, match_docs)].astype(np.float64)
-            score += idf_by_term[t] * tfv * (k1 + 1.0) / (tfv + norm)
+        for _seq, terms_dedup, sentinel, avgdl in clauses:
+            nep = _ep_from_row(nrows[sentinel])
+            nd, ntf = decode_blocks_overlapping(
+                nep, int(match_docs[0]), int(match_docs[-1]))
+            dl = ntf[np.searchsorted(nd, match_docs)].astype(np.float64)
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            for t in sorted(terms_dedup):
+                d, tf, _ = dec[t]
+                tfv = tf[np.searchsorted(d, match_docs)].astype(np.float64)
+                score += idf_by_term[t] * tfv * (k1 + 1.0) / (tfv + norm)
 
         if match_docs.size > k:
             part = np.argpartition(-score, k - 1)
@@ -556,7 +570,8 @@ class QuerySession:
     with ``refresh_deletes``) and cogrouped into every query path's scorer —
     never collected to the driver, never serialized into task closures."""
 
-    def __init__(self, spark: SparkSession, root: str, cache: bool = False):
+    def __init__(self, spark: SparkSession, root: str, cache: bool = False,
+                 cache_partitions: int | None = None):
         self.spark = spark
         self.root = root
         self.meta = load_meta(spark, root)
@@ -564,11 +579,25 @@ class QuerySession:
         self.post = spark.read.parquet(self.paths.postings)
         # norms = the DOCLEN_TERM posting rows (tf==doclen) plus the
         # per-field "<field>:" sentinels when metadata fields are indexed
+        self._cached = cache
+        self._stats_local: dict[str, tuple[int, int]] | None = None
+        if cache:
+            # Cache CO-PARTITIONED on range_id (the key every scorer
+            # cogroups on) and pre-sorted on it: the cached relation's
+            # hash-partitioning + ordering satisfy the cogroup's required
+            # distribution and sort, so a query plan is ONE stage — an
+            # in-memory scan feeding FlatMapCoGroupsInPandas directly, no
+            # exchange, no per-query shuffle write/read. ``cache_partitions``
+            # models serving-cluster width (N vs 4N task slots); defaults to
+            # the session's shuffle parallelism.
+            nparts = cache_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self.post = (self.post
+                         .repartition(nparts, "range_id")
+                         .sortWithinPartitions("range_id", "term"))
         self.norms = self.post.filter(
             (F.col("term") == DOCLEN_TERM) | F.col("term").endswith(":"))
         self.stats = spark.read.parquet(self.paths.term_stats)
-        self._cached = cache
-        self._stats_local: dict[str, tuple[int, int]] | None = None
         self.refresh_deletes()
         if cache:
             # cache the metadata-heavy small tables fully; postings cached
@@ -740,38 +769,78 @@ class QuerySession:
     def _phrase_topk(self, query: str, terms_dedup: list[str],
                      idf_by_term: dict[str, float], k: int,
                      allow: DataFrame | None = None) -> DataFrame:
-        """Phrase mode over the positional postings (positions live IN the
-        postings rows — no second table, no corpus-wide doclen decode: the
-        scorer touches only ranges containing all phrase terms, and norms
-        blocks overlapping actual matches)."""
+        """Content-field phrase mode — one clause of the general whole-words
+        path (positions live IN the postings rows — no second table, no
+        corpus-wide doclen decode: the scorer touches only ranges containing
+        all phrase terms, and norms blocks overlapping actual matches)."""
         from ..tokenizer import tokenize_text
-        spark = self.spark
-        meta = self.meta
-        empty = spark.createDataFrame([], "doc_id long, score double")
         seq = tokenize_text(query)          # with duplicates, in order
         if not seq:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        clause: PhraseClause = (seq, terms_dedup, DOCLEN_TERM,
+                                self.meta.avgdl)
+        return self._phrase_clauses_topk([clause], idf_by_term, k, allow)
+
+    def topk_whole_words(self, field_texts: dict[str, str], k: int = 10,
+                         allow: DataFrame | None = None) -> DataFrame:
+        """Reference "whole words" mode across fields
+        (``cLuceneIndexReader.java:285-301``): one PhraseQuery per non-empty
+        field over its ANALYZED token sequence (namespaced terms for
+        metadata fields — requires the index built with ``field_cols``),
+        all clauses MUST-conjoined, clause scores summed with per-field
+        norms. Returns (doc_id, score)."""
+        from ..tokenizer import tokenize_text
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        raw: list[tuple[list[str], str]] = []   # (namespaced seq, sentinel)
+        for field, text in field_texts.items():
+            if not text or not str(text).strip():
+                continue
+            seq = tokenize_text(str(text))
+            if not seq:
+                continue
+            if field in ("", "content"):
+                raw.append((seq, DOCLEN_TERM))
+            else:
+                raw.append(([f"{field}:{t}" for t in seq], field + ":"))
+        if not raw:
             return empty
+        all_terms = list(dict.fromkeys(t for seq, _ in raw for t in seq))
+        df_by_term = self._df_lookup(all_terms)
+        if any(t not in df_by_term for t in all_terms):
+            return empty
+        idf_by_term = {t: _idf(self.meta.n_docs, df_by_term[t])
+                       for t in all_terms}
+        avgdl_of = self._avgdl_by_sentinel(sorted({s for _, s in raw}))
+        clauses: list[PhraseClause] = [
+            (seq, list(dict.fromkeys(seq)), s, avgdl_of[s])
+            for seq, s in raw]
+        return self._phrase_clauses_topk(clauses, idf_by_term, k, allow)
+
+    def _phrase_clauses_topk(self, clauses: list[PhraseClause],
+                             idf_by_term: dict[str, float], k: int,
+                             allow: DataFrame | None = None) -> DataFrame:
+        meta = self.meta
+        spark = self.spark
         if not meta.positions:
             raise ValueError("index was built without positions=True")
-        post = self.post.filter(F.col("term").isin(terms_dedup))
+        terms_all = sorted({t for _, td, _, _ in clauses for t in td})
+        sentinels = sorted({s for _, _, s, _ in clauses})
+        post = self.post.filter(F.col("term").isin(terms_all))
+        norms = self.norms.filter(F.col("term").isin(sentinels))
         if not self._cached:
-            bmap = _buckets_of(terms_dedup + [DOCLEN_TERM], meta.n_buckets,
-                               spark)
-            buckets = sorted({bmap[t] for t in terms_dedup})
-            post = post.filter(F.col("bucket").isin(buckets))
-            norms = self.norms.filter(
-                (F.col("bucket") == bmap[DOCLEN_TERM])
-                & (F.col("term") == DOCLEN_TERM))
-        else:
-            norms = self.norms.filter(F.col("term") == DOCLEN_TERM)
+            bmap = _buckets_of(terms_all + sentinels, meta.n_buckets, spark)
+            post = post.filter(F.col("bucket").isin(
+                sorted({bmap[t] for t in terms_all})))
+            norms = norms.filter(F.col("bucket").isin(
+                sorted({bmap[s] for s in sentinels})))
         post = self._with_deletes(post.select(*SCORER_COLS))
         if allow is not None:
             post = post.unionByName(_allow_rows_df(allow, meta.range_size))
         scored = (post.groupby("range_id")
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
-                      _make_phrase_scorer(seq, terms_dedup, idf_by_term,
-                                          meta.avgdl, k,
+                      _make_phrase_scorer(clauses, idf_by_term, k,
                                           allow=allow is not None),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -952,6 +1021,24 @@ def search_fields_parsed(spark: SparkSession, root: str,
     (doc_id, score, repo, path, commit, lang), at most k rows."""
     sess = session or QuerySession(spark, root, cache=False)
     hits = sess.topk_parsed(fields, k)
+    docmap = spark.read.parquet(IndexPaths(root).docmap)
+    return (docmap.join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def search_fields_whole_words(spark: SparkSession, root: str,
+                              fields: dict[str, str], k: int = 10,
+                              session: QuerySession | None = None
+                              ) -> DataFrame:
+    """Reference "whole words" search (``cLuceneIndexReader.java:285-301``):
+    a BooleanQuery of one PhraseQuery per non-empty field, every clause
+    MUST, scores summed — here each field's phrase runs over its namespaced
+    positional postings with per-field norms (QuerySession.topk_whole_words)
+    and the hits hydrate from the docmap. Returns
+    (doc_id, score, repo, path, commit, lang), at most k rows."""
+    sess = session or QuerySession(spark, root, cache=False)
+    hits = sess.topk_whole_words(fields, k)
     docmap = spark.read.parquet(IndexPaths(root).docmap)
     return (docmap.join(F.broadcast(hits), "doc_id")
             .select("doc_id", "score", "repo", "path", "commit", "lang")

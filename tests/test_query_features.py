@@ -468,3 +468,73 @@ def test_delete_index_wipes_everything(built, spark, tmp_path):
     assert mf.published(root) is None
     for sub in M.INDEX_SUBDIRS:
         assert not os.path.exists(os.path.join(root, sub))
+
+
+def test_whole_words_multifield_phrases(spark, tmp_path):
+    """Reference whole-words mode (cLuceneIndexReader.java:285-301): one
+    PhraseQuery per non-empty field, MUST-conjoined, clause scores summed.
+    topk_whole_words must equal a from-scratch python implementation with
+    per-field positions and per-field norms, and its single-content-clause
+    degenerate case must equal topk(mode='phrase')."""
+    import math
+    from luceneindexer_spark.tokenizer import tokenize_text
+
+    root = str(tmp_path / "idx_ww")
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1,
+                positions=True, field_cols=("repo", "path", "lang"))
+    docmap = spark.read.parquet(f"{root}/docmap")
+    rows = docmap.select("doc_id", "path", "content").collect()
+    N = len(rows)
+    k1, bb = 1.2, 0.75
+    ptoks = {r.doc_id: tokenize_text(r.path) for r in rows}
+    ctoks = {r.doc_id: tokenize_text(r.content) for r in rows}
+    pavg = (sum(len(t) for t in ptoks.values() if t)
+            / sum(1 for t in ptoks.values() if t))
+    cavg = (sum(len(t) for t in ctoks.values())
+            / N)  # corpus_stats convention: all docs in the denominator
+
+    def has_seq(toks, seq):
+        return any(toks[i:i + len(seq)] == seq
+                   for i in range(len(toks) - len(seq) + 1))
+
+    def naive(clauses, k=10):
+        cands = None
+        for toks, _, seq in clauses:
+            s = {d for d, tt in toks.items() if has_seq(tt, seq)}
+            cands = s if cands is None else cands & s
+        out = []
+        for d in cands:
+            sc = 0.0
+            for toks, avgdl, seq in clauses:
+                dl = len(toks[d])
+                for t in sorted(set(seq)):
+                    tf = toks[d].count(t)
+                    df = sum(1 for tt in toks.values() if t in tt)
+                    idf = math.log1p((N - df + 0.5) / (df + 0.5))
+                    sc += idf * tf * (k1 + 1) / (
+                        tf + k1 * (1 - bb + bb * dl / avgdl))
+            out.append((d, round(sc, 9)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    cseq = tokenize_text(PHRASE)
+    pseq = ["src", "m3"]
+    want = naive([(ctoks, cavg, cseq), (ptoks, pavg, pseq)])
+    assert want  # planted phrase docs with i % 13 == 3 exist
+    qs = engine.QuerySession(spark, root)
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.topk_whole_words({"content": PHRASE, "path": "src m3"},
+                               k=10).collect()]
+    assert got == want
+
+    # a clause whose phrase chain breaks (non-consecutive tokens) → empty
+    assert qs.topk_whole_words({"content": PHRASE,
+                                "path": "m3 src"}).count() == 0
+
+    # degenerate single content clause == the existing phrase mode
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         qs.topk_whole_words({"content": PHRASE}, k=10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         qs.topk(PHRASE, k=10, mode="phrase").collect()]
+    assert a == b and a
