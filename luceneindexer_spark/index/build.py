@@ -9,10 +9,10 @@ flush → background merge). The Spark shape (SURVEY.md §3.1):
 
     docmap (stored-fields row store, dense deterministic doc_id)
       → tokenize (vectorized Arrow batches, tokenizer.tokenize_batch)
-      → per-partition (term, range) runs, delta+varint encoded   [mapInPandas]
+      → per-partition (term, range) runs, delta+varint encoded   [mapInArrow]
       → repartition(P, term, range_id)   ← the salted repartition-by-term
       → sortWithinPartitions(term, range_id, first_docid)
-      → merge runs → 128-posting blocks w/ per-block max-tf      [mapInPandas]
+      → merge runs → 128-posting blocks w/ per-block max-tf      [mapInArrow]
       → write parquet partitionBy(bucket), per-wave dirs + manifest rows
 
 Skew handling (BASELINE.json north_rule): the shuffle key is
@@ -42,6 +42,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,6 +65,32 @@ POSTINGS_SCHEMA = (
     "block_n array<int>, block_off_d array<int>, block_off_t array<int>, "
     "docs_enc binary, tfs_enc binary, pos_enc binary"
 )
+
+#: pyarrow twin of POSTINGS_SCHEMA — the merge stage emits RecordBatches
+#: directly (mapInArrow), so the batch schema must match field-for-field
+POSTINGS_PA_SCHEMA = pa.schema([
+    ("term", pa.string()), ("range_id", pa.int64()), ("df", pa.int64()),
+    ("cf", pa.int64()), ("max_tf", pa.int32()),
+    ("block_first", pa.list_(pa.int64())), ("block_last", pa.list_(pa.int64())),
+    ("block_maxtf", pa.list_(pa.int32())), ("block_mintf", pa.list_(pa.int32())),
+    ("block_n", pa.list_(pa.int32())), ("block_off_d", pa.list_(pa.int32())),
+    ("block_off_t", pa.list_(pa.int32())),
+    ("docs_enc", pa.binary()), ("tfs_enc", pa.binary()),
+    ("pos_enc", pa.binary()),
+])
+
+
+def _bin_view(arr: "pa.Array") -> tuple[np.ndarray, memoryview]:
+    """(byte_offsets, data) views of a Binary/LargeBinary Arrow array chunk —
+    zero-copy; offsets honor ``arr.offset`` so sliced arrays work. Safe under
+    nulls too: Arrow requires the offsets vector to stay monotonic, so null
+    slots are well-defined (skippable) spans — callers mask them out."""
+    dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=dt)[
+        arr.offset:arr.offset + len(arr) + 1]
+    buf = arr.buffers()[2]
+    return (off.astype(np.int64, copy=False),
+            memoryview(buf) if buf is not None else memoryview(b""))
 
 
 @dataclass
@@ -282,17 +310,22 @@ def _runs_generator_arrow(range_size: int, positions: bool = False,
 BLOCK = BLOCK_SIZE  # output postings block size (shared with codecs)
 
 
-def _merge_rows_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_rows_vec(tbl: "pa.Table") -> "pa.RecordBatch":
     """Merge a batch of COMPLETE (term, range_id) run groups into one
-    block-encoded postings row per group — fully vectorized across groups.
+    block-encoded postings row per group — fully vectorized across groups,
+    Arrow in / Arrow out (no pandas materialization on either side).
 
     This is the memory-traffic-minimal merge the 4N-core scaling target
-    needs: ONE varint decode over the concatenation of every run buffer in
-    the batch (varints are self-delimiting), one global cumsum-with-reset to
-    rebuild absolute docIDs, one reduceat family for all per-block metadata,
-    and ONE grouped varint encode for all output blocks. No per-group pandas
-    slicing, no per-group decode/encode round-trips — per-group Python is
-    reduced to output-row assembly (memoryview slices of shared buffers).
+    needs: the run buffers are read straight out of the Arrow binary
+    column's data buffer (already contiguous — no ``b"".join`` copy), ONE
+    varint decode covers every run in the batch (varints are
+    self-delimiting), one global cumsum-with-reset rebuilds absolute docIDs,
+    one reduceat family computes all per-block metadata, and ONE grouped
+    varint encode emits all output blocks. Output rows are assembled as
+    Arrow arrays from shared buffers + offset vectors — zero per-group
+    Python, zero per-group object allocation (the round-2 version looped
+    over groups building Python lists/bytes, ~10 ops per group; at corpus
+    scale a merge partition holds millions of (term, range) groups).
 
     Runs arrive sorted by (term, range_id, first_docid); concatenated docIDs
     of one group are therefore ascending in the common case (tokenize tasks
@@ -300,18 +333,29 @@ def _merge_rows_vec(pdf: pd.DataFrame) -> pd.DataFrame:
     in place with an argsort (positions decoded/permuted only for that
     group); duplicate docIDs raise.
     """
-    terms = pdf["term"].to_numpy()
-    rids = pdf["range_id"].to_numpy(np.int64)
-    ns = pdf["n"].to_numpy(np.int64)
-    denc = pdf["docs_enc"].to_numpy()
-    tenc = pdf["tfs_enc"].to_numpy()
-    penc = pdf["pos_enc"].to_numpy()
-    nrows = terms.size
+    term_arr = tbl.column("term").chunk(0)
+    rids = tbl.column("range_id").to_numpy()
+    ns = tbl.column("n").to_numpy().astype(np.int64, copy=False)
+    denc = tbl.column("docs_enc").chunk(0)
+    tenc = tbl.column("tfs_enc").chunk(0)
+    penc = tbl.column("pos_enc").chunk(0)
+    nrows = tbl.num_rows
     total = int(ns.sum())
+    d_off, d_data = _bin_view(denc)
+    t_off, t_data = _bin_view(tenc)
+    has_pos = penc.null_count < nrows
+    # positional builds mix validity per TERM KIND (regular terms carry
+    # positions, DOCLEN/field sentinels don't) — a group is one term, so
+    # validity is uniform within a group; check its first run like the
+    # per-row ``is not None`` this replaces
+    pvalid = (penc.is_valid().to_numpy(zero_copy_only=False)
+              if 0 < penc.null_count < nrows else None)
+    if has_pos:
+        p_off, p_data = _bin_view(penc)
 
     # ---- decode every run in one pass ----
-    gaps = varint_decode(b"".join(denc), total).astype(np.int64)
-    tfs = varint_decode(b"".join(tenc), total).astype(np.int64) + 1
+    gaps = varint_decode(d_data[d_off[0]:d_off[-1]], total).astype(np.int64)
+    tfs = varint_decode(t_data[t_off[0]:t_off[-1]], total).astype(np.int64) + 1
     run_starts = np.zeros(nrows, dtype=np.int64)
     np.cumsum(ns[:-1], out=run_starts[1:])
     c = np.cumsum(gaps)
@@ -321,7 +365,10 @@ def _merge_rows_vec(pdf: pd.DataFrame) -> pd.DataFrame:
     # ---- group boundaries (term, range_id) over runs ----
     newg = np.empty(nrows, dtype=bool)
     newg[0] = True
-    newg[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+    if nrows > 1:
+        newg[1:] = (pc.not_equal(term_arr.slice(1), term_arr.slice(0, nrows - 1))
+                    .to_numpy(zero_copy_only=False)
+                    | (rids[1:] != rids[:-1]))
     g_first_run = np.flatnonzero(newg)
     ngroups = g_first_run.size
     g_nruns = np.diff(np.append(g_first_run, nrows))
@@ -347,11 +394,11 @@ def _merge_rows_vec(pdf: pd.DataFrame) -> pd.DataFrame:
                 raise ValueError(
                     "duplicate doc_id across runs for one term+range")
             r0, r1 = int(g_first_run[g]), int(g_first_run[g] + g_nruns[g])
-            if penc[r0] is not None:
+            if has_pos and (pvalid is None or pvalid[r0]):
                 # decode the group's flat positions, permute per-doc slices
                 # into merged doc order, re-encode (index arithmetic only)
                 flat = np.concatenate([
-                    positions_decode(bytes(penc[r]),
+                    positions_decode(bytes(p_data[p_off[r]:p_off[r + 1]]),
                                      tfs[run_starts[r]:run_starts[r] + ns[r]])
                     for r in range(r0, r1)])
                 offs = np.cumsum(tg) - tg
@@ -389,78 +436,119 @@ def _merge_rows_vec(pdf: pd.DataFrame) -> pd.DataFrame:
     keep = np.ones(total, dtype=bool)
     keep[bstarts] = False
     kept_before = np.cumsum(keep) - keep
-    d_buf, d_offs = varint_encode_grouped(out_gaps[keep], kept_before[bstarts])
-    t_buf, t_offs = varint_encode_grouped(tfs - 1, bstarts)
-    d_mv, t_mv = memoryview(d_buf), memoryview(t_buf)
+    od_buf, od_offs = varint_encode_grouped(out_gaps[keep],
+                                            kept_before[bstarts])
+    ot_buf, ot_offs = varint_encode_grouped(tfs - 1, bstarts)
 
     # ---- per-group aggregates ----
-    g_cf = np.add.reduceat(tfs, gp_starts)
+    g_cf = np.add.reduceat(tfs, gp_starts).astype(np.int64, copy=False)
     g_maxtf = np.maximum.reduceat(tfs, gp_starts).astype(np.int32)
 
-    # ---- assemble output rows (slicing only) ----
-    bf_l, bl_l, bmax_l, bmin_l, bn_l = [], [], [], [], []
-    offd_l, offt_l, de_l, te_l, pe_l = [], [], [], [], []
-    for g in range(ngroups):
-        b0 = int(blk_g0[g])
-        b1 = b0 + int(nb_g[g])
-        bf_l.append(block_first[b0:b1].tolist())
-        bl_l.append(block_last[b0:b1].tolist())
-        bmax_l.append(block_maxtf[b0:b1].tolist())
-        bmin_l.append(block_mintf[b0:b1].tolist())
-        bn_l.append(block_n[b0:b1].tolist())
-        offd_l.append((d_offs[b0:b1] - d_offs[b0]).tolist())
-        offt_l.append((t_offs[b0:b1] - t_offs[b0]).tolist())
-        de_l.append(bytes(d_mv[d_offs[b0]:d_offs[b1]]))
-        te_l.append(bytes(t_mv[t_offs[b0]:t_offs[b1]]))
-        ov = pos_override.get(g)
-        if ov is not None:
-            pe_l.append(ov)
-        else:
+    # ---- assemble output arrays (offset vectors over shared buffers) ----
+    blk_bounds = np.append(blk_g0, tot_blocks)
+    blk_offs32 = pa.array(blk_bounds.astype(np.int32), pa.int32())
+
+    def _blist(vals: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(blk_offs32, pa.array(vals, typ))
+
+    def _bin_out(offs: np.ndarray, data, valid: np.ndarray | None = None
+                 ) -> pa.Array:
+        """Binary array over one shared data buffer: per-group byte spans.
+        (bytes full-range slices return the original object; memoryview
+        slices are zero-copy — no buffer duplication either way). ``valid``
+        marks null groups; their spans stay in the offsets vector (Arrow
+        requires monotonic offsets even under nulls) but readers skip them."""
+        base = int(offs[0])
+        vbuf = (None if valid is None else
+                pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()))
+        return pa.Array.from_buffers(pa.binary(), ngroups, [
+            vbuf,
+            pa.py_buffer((offs - base).astype(np.int32).tobytes()),
+            pa.py_buffer(data[base:int(offs[-1])])],
+            null_count=0 if valid is None else int(ngroups - valid.sum()))
+
+    off_d_vals = (od_offs[:-1] - np.repeat(od_offs[blk_g0], nb_g)
+                  ).astype(np.int32)
+    off_t_vals = (ot_offs[:-1] - np.repeat(ot_offs[blk_g0], nb_g)
+                  ).astype(np.int32)
+
+    if not has_pos:
+        pos_out = pa.nulls(ngroups, pa.binary())
+    elif not pos_override:
+        # a group's runs are consecutive rows, so its merged positions are
+        # ONE contiguous byte span of the input buffer — offsets taken at
+        # group boundaries, no join, no copy
+        pos_out = _bin_out(
+            p_off[np.append(g_first_run, nrows)], p_data,
+            valid=None if pvalid is None else pvalid[g_first_run])
+    else:
+        pe_l = []
+        for g in range(ngroups):
+            ov = pos_override.get(g)
             r0 = int(g_first_run[g])
-            if penc[r0] is None:
+            if ov is not None:
+                pe_l.append(ov)
+            elif pvalid is not None and not pvalid[r0]:
                 pe_l.append(None)
             else:
-                r1 = r0 + int(g_nruns[g])
-                pe_l.append(bytes(penc[r0]) if r1 == r0 + 1
-                            else b"".join(bytes(p) for p in penc[r0:r1]))
-    return pd.DataFrame({
-        "term": terms[g_first_run], "range_id": rids[g_first_run],
-        "df": gn, "cf": g_cf, "max_tf": g_maxtf,
-        "block_first": bf_l, "block_last": bl_l, "block_maxtf": bmax_l,
-        "block_mintf": bmin_l, "block_n": bn_l,
-        "block_off_d": offd_l, "block_off_t": offt_l,
-        "docs_enc": de_l, "tfs_enc": te_l, "pos_enc": pe_l,
-    })
+                pe_l.append(bytes(
+                    p_data[p_off[r0]:p_off[r0 + int(g_nruns[g])]]))
+        pos_out = pa.array(pe_l, pa.binary())
+
+    term_out = pc.take(term_arr, pa.array(g_first_run, pa.int64()))
+    if term_out.type != pa.string():
+        term_out = term_out.cast(pa.string())
+    return pa.RecordBatch.from_arrays([
+        term_out,
+        pa.array(rids[g_first_run], pa.int64()),
+        pa.array(gn.astype(np.int64, copy=False), pa.int64()),
+        pa.array(g_cf, pa.int64()),
+        pa.array(g_maxtf, pa.int32()),
+        _blist(block_first, pa.int64()), _blist(block_last, pa.int64()),
+        _blist(block_maxtf, pa.int32()), _blist(block_mintf, pa.int32()),
+        _blist(block_n, pa.int32()),
+        _blist(off_d_vals, pa.int32()), _blist(off_t_vals, pa.int32()),
+        _bin_out(od_offs[blk_bounds], od_buf),
+        _bin_out(ot_offs[blk_bounds], ot_buf),
+        pos_out,
+    ], schema=POSTINGS_PA_SCHEMA)
 
 
 def _merge_generator():
-    """mapInPandas fn over run rows sorted by (term, range_id, first_docid)
+    """mapInArrow fn over run rows sorted by (term, range_id, first_docid)
     within each shuffle partition; carries the trailing (possibly incomplete)
-    group across Arrow batch boundaries and hands complete-group batches to
-    the vectorized merger (_merge_rows_vec)."""
+    group across Arrow batch boundaries (zero-copy table slices) and hands
+    complete-group tables to the vectorized merger (_merge_rows_vec)."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None and len(pending):
-                pdf = pd.concat([pending, pdf], ignore_index=True)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: pa.Table | None = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if pending is not None and pending.num_rows:
+                tbl = pa.concat_tables([pending, tbl])
                 pending = None
-            if len(pdf) == 0:
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
                 continue
-            terms = pdf["term"].to_numpy()
-            rids = pdf["range_id"].to_numpy(np.int64)
-            newg = np.empty(terms.size, dtype=bool)
+            terms = tbl.column("term").chunk(0)
+            rids = tbl.column("range_id").to_numpy()
+            newg = np.empty(n, dtype=bool)
             newg[0] = True
-            newg[1:] = (terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])
+            if n > 1:
+                newg[1:] = (pc.not_equal(terms.slice(1),
+                                         terms.slice(0, n - 1))
+                            .to_numpy(zero_copy_only=False)
+                            | (rids[1:] != rids[:-1]))
             boundaries = np.flatnonzero(newg)
             if boundaries.size == 1:
-                pending = pdf  # single (possibly incomplete) group
+                pending = tbl  # single (possibly incomplete) group
                 continue
             last_start = int(boundaries[-1])
-            pending = pdf.iloc[last_start:].reset_index(drop=True)
-            yield _merge_rows_vec(pdf.iloc[:last_start])
-        if pending is not None and len(pending):
-            yield _merge_rows_vec(pending)
+            pending = tbl.slice(last_start)
+            yield _merge_rows_vec(tbl.slice(0, last_start))
+        if pending is not None and pending.num_rows:
+            yield _merge_rows_vec(pending.combine_chunks())
 
     return gen
 
@@ -618,7 +706,7 @@ def build_index(
             merged = (runs
                       .repartition(merge_partitions, "term", "range_id")
                       .sortWithinPartitions("term", "range_id", "first_docid")
-                      .mapInPandas(_merge_generator(), POSTINGS_SCHEMA)
+                      .mapInArrow(_merge_generator(), POSTINGS_SCHEMA)
                       .withColumn("bucket",
                                   F.pmod(F.xxhash64("term"),
                                          F.lit(n_buckets)).cast("int")))
