@@ -272,21 +272,33 @@ def main() -> None:
         # an index cache CO-PARTITIONED at small vs CPUS slots (the cached
         # cogroup runs shuffle-free, so serving width IS the cache partition
         # count — the faithful analog of N vs 4N serving executors),
-        # interleaved best-of (the serving-side half of the north rule)
+        # interleaved best-of (the serving-side half of the north rule).
+        # The SCALING ratio is measured on a 64-query pass: at 8 queries the
+        # fixed per-pass cost (job scheduling, one python roundtrip per
+        # partition) dominates wall time and the ratio measures overhead,
+        # not serving capacity; 64 concurrent queries amortize it — the
+        # high-load regime the north rule's throughput criterion describes.
+        # qps_batch stays the 8-query number for cross-round continuity.
+        big_batch = {f"{k}__{i}": v for i in range(8)
+                     for k, v in QUERY_SET.items()}
         qs_small = QuerySession(spark, last_big_root, cache=True,
                                 cache_partitions=small)
         qs_small.topk("sharedlogger", k=10).collect()   # warmup
         qtimes: dict[int, list[float]] = {small: [], CPUS: []}
+        qtimes64: dict[int, list[float]] = {small: [], CPUS: []}
         for _ in range(3):
             for qpar, sess in ((small, qs_small), (CPUS, qs)):
                 spark.conf.set("spark.sql.shuffle.partitions", str(qpar))
                 t1 = time.time()
                 sess.topk_batch(dict(QUERY_SET), k=10).collect()
                 qtimes[qpar].append(time.time() - t1)
+                t1 = time.time()
+                sess.topk_batch(big_batch, k=10).collect()
+                qtimes64[qpar].append(time.time() - t1)
         spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
         qs_small.close()
         qs.close()
-        q_eff = (min(qtimes[small]) / min(qtimes[CPUS])) / (CPUS / small)
+        q_eff = (min(qtimes64[small]) / min(qtimes64[CPUS])) / (CPUS / small)
 
         out.update({
             "metric": (
@@ -324,6 +336,7 @@ def main() -> None:
             "query_p50_s": round(lat[len(lat) // 2], 4),
             "qps": round(len(lat) / sum(lat), 2),
             "qps_batch": round(len(QUERY_SET) / min(qtimes[CPUS]), 2),
+            "qps_batch64": round(len(big_batch) / min(qtimes64[CPUS]), 2),
             "scaling_efficiency": round(eff_core, 3),
             "scaling_efficiency_e2e": round(eff, 3),
             "scaling_efficiency_query": round(q_eff, 3),
@@ -401,8 +414,10 @@ north-rule number is the core indexing efficiency of N={small} → 4N={big}:
   with bounded group sizes
 - N={tiny} → 4N={small}: end-to-end {out[f'scaling_efficiency_{tiny}_{small}']},
   core {out[f'scaling_efficiency_core_{tiny}_{small}']}
-- query-side scaling (same batched pass, cogroup throttled {small}→{big}
-  partitions): {out['scaling_efficiency_query']}
+- query-side scaling (64-query batched pass — fixed per-pass cost
+  amortized, the high-load regime — cogroup throttled {small}→{big}
+  partitions): {out['scaling_efficiency_query']}; 64-query throughput
+  **{out.get('qps_batch64')} q/s**
 - core = the data-proportional work; end-to-end additionally includes O(1)
   control-plane jobs (docmap bookkeeping, manifest, stats) that amortize at
   real corpus scale but dominate at sandbox sizes
