@@ -593,7 +593,7 @@ def build_index(
     field_cols: tuple[str, ...] = (),
     merge_partitions: int | None = None,
     docmap_partitions: int | None = None,
-    arrow_batch_rows: int | None = 2048,
+    arrow_batch_rows: int | None = 128,
     wave_tag: str = "",
     resume: bool = True,
     _stop_after_waves: int | None = None,
@@ -675,12 +675,15 @@ def build_index(
                  str(max(1 << 20, db_bytes // (2 * merge_partitions))))
         conf.set("spark.sql.files.openCostInBytes", "0")
     if arrow_batch_rows:
-        # bound each worker's PEAK tokenize allocation: the batch working
-        # set (~12x the batch's text bytes in mask/hash intermediates) must
-        # stay small enough that later batches REUSE the retained arena
-        # instead of faulting fresh pages — measured 7x on the 32-way stage
-        # of this host in fault-constrained conditions; at 10^12-file scale
-        # it is also what keeps executor memory flat regardless of doc size
+        # bound each worker's tokenize batch so the working set (~12x the
+        # batch's text bytes in mask/hash intermediates) stays CACHE-sized,
+        # not merely arena-sized: a measured sweep (round 3, warm fast-phase
+        # host, 50k 3KB docs) halved 8-way core time and cut 32-way from
+        # 7.4s to ~3.0s going 2048 -> 128 rows (plateau 96-192; per-batch
+        # fixed costs take over below ~64). Intermediates that fit a core's
+        # L2/L3 slice stop competing for DRAM bandwidth — the same property
+        # that keeps executor memory flat at 10^12-file scale regardless of
+        # document size
         conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                  str(arrow_batch_rows))
     try:
