@@ -148,28 +148,81 @@ _B2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _B1_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 _B2_INV = np.uint64(pow(0xC2B2AE3D27D4EB4F, -1, 1 << 64))
 
+# Byte-classification LUTs. _CLS bits: 1=upper, 2=lower, 4=digit.
+_CLS_LUT = np.zeros(256, dtype=np.uint8)
+_CLS_LUT[65:91] = 1
+_CLS_LUT[97:123] = 2
+_CLS_LUT[48:58] = 4
+_LOW_LUT = np.arange(256, dtype=np.uint8)
+_LOW_LUT[65:91] += 32  # ASCII lowercase fold
+
+
+class _Arena:
+    """Per-worker-process grow-only scratch memory.
+
+    WHY THIS EXISTS: this host (and any busy multi-tenant box) serializes
+    page-fault handling across processes — a fresh multi-MB numpy allocation
+    per batch costs far more than the compute on it, and 32 concurrent
+    faulting workers queue behind the handler, inverting scaling. Reusing
+    grow-only buffers keeps every kernel pass on warm, already-faulted pages
+    (measured: warm pages ~6 GB/s during the same host phase where a fresh
+    50 MB allocation took seconds). Power tables are pure constants of the
+    hash bases — cached, they turn _seg_hash's two full+accumulate passes
+    per call into slices.
+
+    Single-threaded use only (one Python worker = one task at a time);
+    callers must not return views of scratch buffers.
+    """
+    __slots__ = ("bufs", "pows")
+
+    def __init__(self) -> None:
+        self.bufs: dict = {}
+        self.pows: dict = {}
+
+    def buf(self, name: str, n: int, dtype) -> np.ndarray:
+        b = self.bufs.get(name)
+        if b is None or b.size < n or b.dtype != np.dtype(dtype):
+            b = np.empty(max(int(n * 5 // 4) + 64, 1 << 12), dtype=dtype)
+            self.bufs[name] = b
+        return b[:n]
+
+    def powers(self, base: np.uint64, n: int) -> np.ndarray:
+        """p[i] = base^i mod 2^64 for i < n (grow-only cache)."""
+        p = self.pows.get(int(base))
+        if p is None or p.size < n:
+            size = max(int(n * 5 // 4) + 64, 1 << 12)
+            p = np.empty(size, dtype=np.uint64)
+            p[0] = np.uint64(1)
+            with np.errstate(over="ignore"):
+                np.multiply.accumulate(
+                    np.full(size - 1, base, dtype=np.uint64), out=p[1:])
+            self.pows[int(base)] = p
+        return p
+
+
+_ARENA = _Arena()
+
 
 def _seg_hash(c: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-              base: np.uint64, base_inv: np.uint64) -> np.ndarray:
+              base: np.uint64, base_inv: np.uint64,
+              arena: _Arena | None = None, tag: str = "") -> np.ndarray:
     """Polynomial hash of each [start, end) segment of byte array c, all
     arithmetic wrapping mod 2^64. hash(s,e) = Σ c[j]·B^(e-1-j), computed as
-    (S[e-1] − S[s-1])·P[e-1] with P[i]=B^{-i} prefix products and
-    S[i]=Σ c[j]·B^{-j}... (equivalently with inverse powers; exact closed
-    form verified by the property tests)."""
+    (S[e-1] − S[s-1])·P[e-1] with P[i]=B^i prefix products and
+    S[i]=Σ c[j]·B^{-j} (exact closed form verified by the property tests —
+    position-invariant: equal byte segments hash equal anywhere in c).
+
+    With an arena, the B^i / B^-i tables come from the grow-only cache and
+    the weighted prefix sum runs in a reused buffer — zero fresh multi-MB
+    allocations per call (see _Arena docstring)."""
     n = c.size
+    arena = arena if arena is not None else _Arena()
     with np.errstate(over="ignore"):
-        pinv = np.empty(n, dtype=np.uint64)
-        pinv[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(n - 1, base_inv, dtype=np.uint64),
-                               out=pinv[1:]) if n > 1 else None
-        # pinv[i] = B^-i
-        s = np.cumsum(c.astype(np.uint64) * pinv, dtype=np.uint64)
-        p = np.empty(n, dtype=np.uint64)
-        p[0] = np.uint64(1)
-        if n > 1:
-            np.multiply.accumulate(np.full(n - 1, base, dtype=np.uint64),
-                                   out=p[1:])
-        # p[i] = B^i
+        pinv = arena.powers(base_inv, n)
+        p = arena.powers(base, n)
+        s = arena.buf("segsum" + tag, n, np.uint64)
+        np.multiply(c, pinv[:n], out=s, casting="unsafe")
+        np.add.accumulate(s, out=s)
         hi = s[ends - 1]
         lo = np.where(starts > 0, s[starts - 1], np.uint64(0))
         return (hi - lo) * p[ends - 1]
@@ -213,79 +266,102 @@ def tokenize_flat_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     data = (np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None
             else np.empty(0, dtype=np.uint8))
     lens = np.diff(offsets)
-    if arr.null_count == 0:
-        # offsets are monotonic → the n extents are contiguous: one slice
-        total = int(lens.sum())
-        src = data[offsets[0]:offsets[0] + total]
-    else:
+    if arr.null_count != 0:
         # the Arrow spec allows non-empty UNDEFINED byte extents under null
         # slots (e.g. arrays from take/filter kernels): mask them out via
-        # the validity bitmap and gather only the valid extents
+        # the validity bitmap so they are never copied
         valid = np.asarray(arr.is_valid())
         lens = np.where(valid, lens, 0)
-        total = int(lens.sum())
-        excl = np.cumsum(lens) - lens  # exclusive prefix sum
-        src = data[np.repeat(offsets[:-1] - excl, lens)
-                   + np.arange(total, dtype=np.int64)]
-    out = np.ones(total + n, dtype=np.uint8)  # 0x01 prefilled separators
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-    dst = np.arange(total, dtype=np.int64) + doc_idx
-    np.put(out, dst, np.where(src == 1, np.uint8(32), src))
+    total = int(lens.sum())
+    # per-doc slice memcpy into a reused stream buffer (n is cache-sized —
+    # a short Python loop of memcpys beats building total-sized int64
+    # scatter-index arrays, and the arena keeps the pages warm)
+    out = _ARENA.buf("stream", total + n, np.uint8)
+    doc_off = np.cumsum(lens) - lens + np.arange(n, dtype=np.int64)
+    for d in range(n):
+        ln = lens[d]
+        if ln:
+            o, s0 = doc_off[d], offsets[d]
+            out[o:o + ln] = data[s0:s0 + ln]
+    # in-content 0x01 → space (tokenization-invariant), then separators
+    eq = _ARENA.buf("stream_eq", total + n, np.uint8)
+    np.equal(out, 1, out=eq, casting="unsafe")
+    out[eq.view(bool)] = 32
+    out[doc_off + lens] = 1
     return _tokenize_sep_bytes(out, n)
 
 
 def _tokenize_sep_bytes(b: np.ndarray, n: int
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Byte-domain tokenizer core over a \\x01-separated utf-8 stream of
-    ``n`` documents (n-1 or n separators — trailing separator harmless)."""
+    ``n`` documents (n-1 or n separators — trailing separator harmless).
+
+    Every full-stream pass writes into the per-process _ARENA (warm reused
+    pages — see _Arena) and token byte-segments are hashed IN PLACE in the
+    original stream (a token is a contiguous alnum run, so no compaction /
+    position-remap pass is needed). Returned arrays never alias scratch.
+    """
     empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
              np.zeros(n, dtype=np.int64))
     if b.size == 0:
         return empty
 
-    is_up = (b >= 65) & (b <= 90)
-    is_lo = (b >= 97) & (b <= 122)
-    is_di = (b >= 48) & (b <= 57)
-    alnum = is_up | is_lo | is_di
+    m = b.size
+    A = _ARENA
+    cls = A.buf("cls", m, np.uint8)
+    np.take(_CLS_LUT, b, out=cls)          # 1=upper, 2=lower, 4=digit
 
     # boundary[i] == True → split between i and i+1 (both alnum):
     #   acronym rule ([A-Z]+)([A-Z][a-z]): upper[i] & upper[i+1] & lower[i+2]
     #   camel rule ([a-z0-9])([A-Z]):      (lower|digit)[i] & upper[i+1]
-    m = b.size
-    boundary = np.zeros(m, dtype=bool)
+    # masks are uint8 0/1 in scratch; slices stand in for shifted copies
+    t = A.buf("t", m, np.uint8)
+    boundary = A.buf("boundary", m, np.uint8)
+    boundary[-1:] = 0
     if m >= 2:
-        boundary[:-1] |= (is_lo[:-1] | is_di[:-1]) & is_up[1:]
+        np.bitwise_and(cls[:-1], 6, out=t[:-1])        # lower|digit at i
+        np.minimum(t[:-1], 1, out=t[:-1])
+        np.bitwise_and(t[:-1], cls[1:], out=boundary[:-1])  # & upper(i+1)
     if m >= 3:
-        boundary[:-2] |= is_up[:-2] & is_up[1:-1] & is_lo[2:]
+        acr = A.buf("acr", m, np.uint8)
+        np.bitwise_and(cls[:-2], 1, out=acr[:-2])           # upper at i
+        np.bitwise_and(acr[:-2], cls[1:-1], out=acr[:-2])   # & upper at i+1
+        np.right_shift(cls[2:], 1, out=t[:-2])
+        np.bitwise_and(t[:-2], 1, out=t[:-2])               # lower at i+2
+        np.bitwise_and(acr[:-2], t[:-2], out=acr[:-2])
+        np.bitwise_or(boundary[:-2], acr[:-2], out=boundary[:-2])
 
-    # token starts: alnum position that is not preceded by alnum, or is
-    # preceded by a boundary
-    prev_alnum = np.zeros(m, dtype=bool)
-    prev_alnum[1:] = alnum[:-1]
-    prev_boundary = np.zeros(m, dtype=bool)
-    prev_boundary[1:] = boundary[:-1]
-    tok_start_mask = alnum & (~prev_alnum | prev_boundary)
-    starts_pos = np.flatnonzero(tok_start_mask)
+    alnum = A.buf("alnum", m, np.uint8)
+    np.minimum(cls, 1, out=alnum)                            # alnum = cls>0
+
+    # token starts: alnum & (not prev_alnum | prev_boundary)
+    start_m = A.buf("start_m", m, np.uint8)
+    start_m[0:1] = alnum[0:1]
+    if m >= 2:
+        np.subtract(1, alnum[:-1], out=t[1:])                # ~prev_alnum
+        np.bitwise_or(t[1:], boundary[:-1], out=t[1:])
+        np.bitwise_and(alnum[1:], t[1:], out=start_m[1:])
+    starts_pos = np.flatnonzero(start_m)
     if starts_pos.size == 0:
         return empty
-    # token ends: alnum position not followed by alnum, or followed by split
-    next_alnum = np.zeros(m, dtype=bool)
-    next_alnum[:-1] = alnum[1:]
-    tok_end_mask = alnum & (~next_alnum | boundary)
-    ends_pos = np.flatnonzero(tok_end_mask) + 1  # exclusive
+    # token ends: alnum & (not next_alnum | boundary)
+    end_m = A.buf("end_m", m, np.uint8)
+    end_m[-1:] = alnum[-1:]
+    if m >= 2:
+        np.subtract(1, alnum[1:], out=t[:-1])                # ~next_alnum
+        np.bitwise_or(t[:-1], boundary[:-1], out=t[:-1])
+        np.bitwise_and(alnum[:-1], t[:-1], out=end_m[:-1])
+    ends_pos = np.flatnonzero(end_m) + 1  # exclusive
 
-    # lowercase fold + compact to alnum-only byte stream
-    c_low = b + np.uint8(32) * is_up.astype(np.uint8)
-    keep_idx = np.flatnonzero(alnum)
-    c = c_low[keep_idx]
-    # map big-string positions → compact positions
-    pos_map = np.cumsum(alnum.astype(np.int64)) - 1
-    cs = pos_map[starts_pos]
-    ce = pos_map[ends_pos - 1] + 1
+    # lowercase fold (single LUT gather); hash token segments directly in
+    # the original stream — token bytes are contiguous alnum runs, and the
+    # rolling hash is position-invariant (see _seg_hash)
+    c_low = A.buf("c_low", m, np.uint8)
+    np.take(_LOW_LUT, b, out=c_low)
 
-    h1 = _seg_hash(c, cs, ce, _B1, _B1_INV)
-    h2 = _seg_hash(c, cs, ce, _B2, _B2_INV)
-    lens = (ce - cs).astype(np.uint64)
+    h1 = _seg_hash(c_low, starts_pos, ends_pos, _B1, _B1_INV, A, "1")
+    h2 = _seg_hash(c_low, starts_pos, ends_pos, _B2, _B2_INV, A, "2")
+    lens = (ends_pos - starts_pos).astype(np.uint64)
     # group identical (h1, h2, len) keys via a TYPE-SPECIALIZED lexsort —
     # np.unique on a structured dtype falls back to a generic-comparator
     # argsort that is ~10x slower on multi-million-token batches
@@ -306,7 +382,8 @@ def _tokenize_sep_bytes(b: np.ndarray, n: int
         uniq[j] = c_low[s0:e0].tobytes().decode("ascii")
 
     # doc assignment via separator positions
-    sep_pos = np.flatnonzero(b == 1)
+    np.equal(b, 1, out=t, casting="unsafe")
+    sep_pos = np.flatnonzero(t)
     doc_of_tok = np.searchsorted(sep_pos, starts_pos)
     counts = np.bincount(doc_of_tok, minlength=n).astype(np.int64)
 
