@@ -594,6 +594,7 @@ def build_index(
     merge_partitions: int | None = None,
     docmap_partitions: int | None = None,
     arrow_batch_rows: int | None = 128,
+    scan_parallelism: int | None = None,
     wave_tag: str = "",
     resume: bool = True,
     _stop_after_waves: int | None = None,
@@ -601,6 +602,12 @@ def build_index(
     """Build (or resume) the full index at out_dir. Returns a report dict.
 
     corpus may be None on resume if the docmap was already written.
+
+    scan_parallelism targets EXACTLY that many tokenize-scan splits (it also
+    sets spark.sql.files.minPartitionNum, without which Spark silently floors
+    the split count at defaultParallelism). Used by bench.py to throttle the
+    tokenize stage honestly when evidencing N-vs-4N scaling; leave None in
+    production (default: >= 2x merge_partitions splits for load balancing).
     """
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -668,11 +675,24 @@ def build_index(
     saved = {k: conf.get(k) for k in (
         "spark.sql.files.maxPartitionBytes",
         "spark.sql.files.openCostInBytes",
+        "spark.sql.files.minPartitionNum",
         "spark.sql.execution.arrow.maxRecordsPerBatch")}
     if scan_split:
         db_bytes = mf.dir_bytes(paths.docmap)
-        conf.set("spark.sql.files.maxPartitionBytes",
-                 str(max(1 << 20, db_bytes // (2 * merge_partitions))))
+        if scan_parallelism:
+            # exact split-count target (bench throttling): without this,
+            # spark.sql.files.minPartitionNum defaults to defaultParallelism
+            # and maxSplitBytes = min(maxPartitionBytes, bytes/minPartitionNum)
+            # — the scan silently runs defaultParallelism-wide no matter how
+            # large maxPartitionBytes is set
+            conf.set("spark.sql.files.maxPartitionBytes",
+                     str(max(1 << 20,
+                             int(db_bytes / scan_parallelism * 1.02) + 1)))
+            conf.set("spark.sql.files.minPartitionNum",
+                     str(scan_parallelism))
+        else:
+            conf.set("spark.sql.files.maxPartitionBytes",
+                     str(max(1 << 20, db_bytes // (2 * merge_partitions))))
         conf.set("spark.sql.files.openCostInBytes", "0")
     if arrow_batch_rows:
         # bound each worker's tokenize batch so the working set (~12x the
@@ -714,8 +734,23 @@ def build_index(
                                          F.lit(n_buckets)).cast("int")))
             wave_post_dir = paths.wave_dir(paths.postings,
                                            f"{wave_tag}{w}")
-            (merged.write.mode("overwrite").partitionBy("bucket")
-                   .parquet(wave_post_dir))
+            # Write via ONE extra shuffle of the (compact, already-encoded)
+            # postings, hashed on bucket, term-sorted within each task:
+            # exactly n_buckets term-sorted files per wave instead of
+            # merge_tasks x n_buckets concurrent dynamic-partition writers.
+            # Measured (this host, 50k docs, par32): dynamic partitionBy
+            # write 2.2 s fast-phase / 13.5 s slow-phase vs 0.4 s / 1.6 s
+            # for this plan — writer buffers for hundreds of open files are
+            # exactly the allocation pattern the VM's serialized page-fault
+            # handler punishes, and hundreds of tiny files per wave is the
+            # wrong layout at 10^12-file scale anyway (manifest bloat, open
+            # costs, unsorted row groups defeating term min/max pruning).
+            # Size n_buckets >= cluster write parallelism at real scale.
+            (merged
+             .repartition(merge_partitions, "bucket")
+             .sortWithinPartitions("bucket", "term", "range_id")
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(wave_post_dir))
             _mark("postings_write", tw)
 
             # per-range manifest stats: postings counts from ONE pass over the
@@ -753,7 +788,7 @@ def build_index(
                     f"test hook: stopped after {waves_done} wave(s)")
     finally:
         for key, v in saved.items():
-            conf.set(key, v)
+            conf.set(key, v) if v is not None else conf.unset(key)
 
     # ---- global stats + publish ----
     t1 = time.time()
