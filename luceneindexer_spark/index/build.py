@@ -719,6 +719,8 @@ def build_index(
             tok_in = sub.select("doc_id", "content", *field_cols)
             if not scan_split:
                 tok_in = tok_in.repartitionByRange(merge_partitions, "doc_id")
+            if "scan_partitions" not in report:
+                report["scan_partitions"] = tok_in.rdd.getNumPartitions()
             # Arrow-native tokenize stage: record batches flow JVM -> Python
             # and back WITHOUT a pandas materialization, and the tokenizer
             # reads the Arrow string buffers directly (tokenize_flat_arrow)

@@ -167,3 +167,41 @@ def test_published_marker(built):
     assert pub is not None
     assert pub["snapshot"] == report["snapshot"]
     assert pub["n_docs"] == report["n_docs"]
+
+
+def test_wave_write_layout_one_file_per_bucket(built, spark):
+    """The wave write routes the merged postings through a bucket shuffle:
+    exactly ONE parquet file per non-empty bucket per wave (not
+    merge_tasks x n_buckets dynamic-partition writers), and rows inside a
+    file are term-sorted so term min/max row-group pruning works."""
+    root, _, _, report = built
+    wave_dirs = sorted(glob.glob(os.path.join(root, "postings", "wave=*")))
+    assert wave_dirs, "no wave dirs written"
+    for wd in wave_dirs:
+        for bucket_dir in sorted(glob.glob(os.path.join(wd, "bucket=*"))):
+            files = glob.glob(os.path.join(bucket_dir, "*.parquet"))
+            assert len(files) == 1, (
+                f"{bucket_dir}: expected one file per bucket per wave, "
+                f"got {len(files)}")
+            import pyarrow.parquet as pq
+            terms = pq.read_table(files[0], columns=["term"])["term"]
+            vals = terms.to_pylist()
+            assert vals == sorted(vals), f"{files[0]} not term-sorted"
+
+
+def test_scan_parallelism_targets_split_count(spark, tmp_path):
+    """build_index(scan_parallelism=k) must yield exactly k tokenize-scan
+    splits (requires setting spark.sql.files.minPartitionNum — without it
+    Spark floors the split count at defaultParallelism)."""
+    root = str(tmp_path / "idx_sp")
+    corpus = synth_corpus(spark, 200, partitions=4)
+    rep = build_index(spark, corpus, root, n_buckets=4, range_size=RANGE_SIZE,
+                      waves=1, merge_partitions=2, docmap_partitions=2,
+                      scan_parallelism=2)
+    assert rep["scan_partitions"] == 2
+    # the conf is restored after the build
+    assert spark.conf.get("spark.sql.files.minPartitionNum", None) is None
+    # and the index it produced is queryable + correct
+    qs = engine.QuerySession(spark, root)
+    got = qs.topk(HOT_TERM, k=5).collect()
+    assert len(got) == 5
