@@ -171,6 +171,27 @@ def _one_build(spark, corpus, root: str, parallelism: int) -> dict:
             "docmap_s": round(report.get("docmap_s", 0.0), 3)}
 
 
+PHASE_WAIT_S = float(os.environ.get("BENCH_PHASE_WAIT", "180"))
+
+
+def _wait_for_fast_phase() -> tuple[float, list]:
+    """If the host is mid slow-phase at startup, wait (bounded) for a fast
+    window before benching: a 200 MB numpy alloc+sum takes ~0.2 s in a fast
+    phase and 17-55 s in a slow one (measured) — benchmarking through the
+    latter records the VMM, not the engine. Bounded by PHASE_WAIT_S and
+    fully reported (phase_wait_s + the probe trace in the output JSON)."""
+    import numpy as _np
+    waited0 = time.time()
+    trace = []
+    while True:
+        t0 = time.time()
+        _np.ones(200_000_000 // 8).sum()
+        trace.append(round(time.time() - t0, 2))
+        if trace[-1] < 2.0 or time.time() - waited0 > PHASE_WAIT_S:
+            return round(time.time() - waited0, 1), trace
+        time.sleep(20)
+
+
 def main() -> None:
     # keep glibc from returning large blocks to the OS between UDF batches:
     # this VM's lazy page faulting makes re-faulting released memory cost
@@ -187,6 +208,7 @@ def main() -> None:
     from luceneindexer_spark.index.build import build_index
     from luceneindexer_spark.query.engine import QuerySession
 
+    phase_wait_s, phase_wait_trace = _wait_for_fast_phase()
     t_all = time.time()
     small = max(1, CPUS // 4)
     tiny = max(1, small // 4)
@@ -415,6 +437,8 @@ def main() -> None:
                 "and ceiling-normalized (see BASELINE.md)"),
             "value": round(time.time() - t_all, 2),
             "unit": "sec",
+            "phase_wait_s": phase_wait_s,
+            "phase_wait_trace": phase_wait_trace,
             "queries": per_q,
             "sf": SF_DIR,
             "n_docs": N_DOCS,
