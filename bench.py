@@ -558,7 +558,10 @@ silicon, so it is the PRIMARY north-rule pair:
 - N={small} → 4N={big}: core {out[f'scaling_efficiency_{small}_{big}']},
   end-to-end {out[f'scaling_efficiency_e2e_{small}_{big}']},
   ceiling-normalized {out['scaling_vs_ceiling'][f'{small}_{big}']} — the
-  raw number is hypervisor-capped for ANY work (see ceiling above); the
+  raw number is hypervisor-capped for ANY work (see ceiling above; a
+  normalized value above 1 means the ceiling samples themselves landed in
+  slow phases — the ceiling is a lower bound on the hardware, so read it
+  as "the engine scaled at least as well as pure-int did this run"); the
   engine itself has no serial stage — every pipeline step is
   partition-parallel with bounded group sizes
 - query-side scaling (64-query batched pass — fixed per-pass cost
