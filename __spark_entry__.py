@@ -26,6 +26,7 @@ from luceneindexer_spark import BM25_B, BM25_K1
 from luceneindexer_spark.corpus import DOC_PATH_SQL, docmap_from_documents
 from luceneindexer_spark.index.build import build_index
 from luceneindexer_spark.ops import dedup as D
+from luceneindexer_spark.ops import ivf as IVF
 from luceneindexer_spark.ops import maintenance as M
 from luceneindexer_spark.ops import multimodal as MM
 from luceneindexer_spark.ops import similarity as S
@@ -333,6 +334,19 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r.withColumnRenamed("id", "vec_id"), "cosine")
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF learned-cell ANN (ops.ivf): spherical-k-means cells, centroid
+    probing. At this sf ``pick_nprobe`` probes every cell (< 64 centroids),
+    so the approximate search provably equals brute force — hash-checkable
+    against the exact-cosine oracle; recall under narrow probing is pinned
+    by test_ivf_narrow_probe_recall_on_clustered_data."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    idx = IVF.build_ivf_index(emb)
+    r = IVF.ivf_topk(idx, [float(x) for x in qv], k=10)
+    return _round6(r.withColumnRenamed("id", "vec_id"), "cosine")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (T.lang_id(_docs(spark, sf_dir), "doc_id", "text")
             .withColumnRenamed("id", "doc_id"))
@@ -498,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_pairs": _q_simhash_pairs,
         "embedding_cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ivf_topk": _q_ivf_topk,
         "lang_id": _q_lang_id,
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
@@ -1008,6 +1023,9 @@ FROM x GROUP BY doc_id
         # brute-force SQL; ann_recall_check additionally pins recall >= 0.9
         # as an explicit regression gate
         "ann_lsh_topk": _COSINE_SQL,
+        # ivf_topk: pick_nprobe probes ALL learned cells below 64 centroids,
+        # so at this sf the IVF result is exactly the brute-force top-10
+        "ivf_topk": _COSINE_SQL,
         "ann_recall_check":
             f"SELECT {ANN_PROBES}::BIGINT AS n_queries, true AS recall_ge_090",
         "bm25_batch_serving": f"""

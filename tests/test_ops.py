@@ -316,3 +316,70 @@ def test_winnowing_5mb_doc_bounded(spark):
     assert row.min_fp == int(mins.min())
     assert row.max_fp == int(mins.max())
     assert row.xor_fp == int(np.bitwise_xor.reduce(mins))
+
+
+# ---------------------------------------------------------------------------
+# IVF (learned-cell ANN) — ops.ivf
+# ---------------------------------------------------------------------------
+
+def test_ivf_exhaustive_probe_matches_brute_force(spark, emb_df):
+    from luceneindexer_spark.ops import ivf as IVF
+    rows = emb_df.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    want = [int(rows[i].vec_id) for i in order]
+    idx = IVF.build_ivf_index(emb_df)
+    # probing every cell is exact by construction
+    got = [r.id for r in
+           IVF.ivf_topk(idx, q.tolist(), k=10,
+                        nprobe=idx.centroids.shape[0]).collect()]
+    assert got == want
+
+
+def test_ivf_training_is_deterministic(spark, emb_df):
+    from luceneindexer_spark.ops import ivf as IVF
+    c1 = IVF.train_kmeans(emb_df, 8)
+    c2 = IVF.train_kmeans(emb_df, 8)
+    assert np.array_equal(c1, c2)
+
+
+def test_ivf_narrow_probe_recall_on_clustered_data(spark):
+    from luceneindexer_spark.ops import ivf as IVF
+    # four tight clusters around orthogonal axes: learned cells must align
+    # with them, so nprobe=1 already recalls the query's whole cluster
+    base = np.eye(4, dtype=np.float64)
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = base[c] + 0.01 * np.array(
+            [((i * 2654435761 + j * 40503) % 1000) / 1000.0 - 0.5
+             for j in range(4)])
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IVF.build_ivf_index(emb, n_centroids=4)
+    q = [float(x) for x in base[2]]
+    got = {r.id for r in IVF.ivf_topk(idx, q, k=10, nprobe=1).collect()}
+    mat = np.array([r[1] for r in rows])
+    sims = mat @ np.asarray(q) / (np.linalg.norm(mat, axis=1)
+                                  * np.linalg.norm(q))
+    want = {int(rows[i][0]) for i in
+            np.lexsort((np.arange(len(sims)), -sims))[:10]}
+    assert len(got & want) >= 9   # recall@10 >= 0.9 probing ONE of 4 cells
+    # and the scan touched only ~1/4 of the corpus
+    probed = idx.assignments.filter(
+        F.col("cluster").isin([int(np.argmax(idx.centroids @ q /
+                                             np.linalg.norm(q)))])).count()
+    assert probed <= 80
+
+
+def test_ivf_empty_cells_keep_position(spark):
+    from luceneindexer_spark.ops import ivf as IVF
+    # 3 identical vectors, 2 centroids: one cell must go empty and survive
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>")
+    cent = IVF.train_kmeans(emb, 2, max_iters=4)
+    assert cent.shape == (2, 2)
+    assert not np.isnan(cent).any()
