@@ -132,6 +132,16 @@ def _q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r, "score")
 
 
+def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (SHOULD) BM25 via the MaxScore scorer: any doc matching
+    >= 1 query term competes, score = sum over present terms. Beyond the
+    reference wrapper's MUST-only surface (SURVEY §2.7 U2) but native to
+    Lucene's query parser; same index, same tombstone/allow machinery."""
+    root = _index_root(spark, sf_dir)
+    r = engine.bm25_topk(spark, root, BM25_QUERY, k=10, mode="or")
+    return _round6(r, "score")
+
+
 _COMPACT_ROOT_CACHE: dict[str, str] = {}
 
 
@@ -347,6 +357,19 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r.withColumnRenamed("id", "vec_id"), "cosine")
 
 
+MUST_NOT_TERM = "vector"
+
+
+def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST_NOT clause (Lucene ``-term``): the conjunctive ranking with
+    every doc containing the denied term anti-joined out inside the scorer
+    (candidate-pruned deny-block decodes, not a post-filter over-fetch)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.topk(BM25_QUERY, k=10, must_not=MUST_NOT_TERM)
+    return _round6(r, "score")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (T.lang_id(_docs(spark, sf_dir), "doc_id", "text")
             .withColumnRenamed("id", "doc_id"))
@@ -493,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
+        "bm25_or_topk": _q_bm25_or,
+        "bm25_not_topk": _q_bm25_not,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
         "knn_join_top3": _q_knn_join,
@@ -557,7 +582,9 @@ _SHINGLES = """
 
 def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               phrase: str | None = None, lang: str | None = None,
-              with_lang_col: bool = False) -> str:
+              with_lang_col: bool = False,
+              conjunctive: bool = True,
+              must_not: str | None = None) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
     to a lang, and/or with the global rank-1 doc excluded (the delete
@@ -579,6 +606,11 @@ phrase_docs AS (
     if lang is not None:
         restrict += (" AND doc_id IN (SELECT doc_id FROM documents"
                      f" WHERE lang = '{lang}')")
+    if must_not is not None:
+        deny_list = ", ".join("'" + t + "'"
+                              for t in query_terms(must_not))
+        restrict += (" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok"
+                     f" WHERE term IN ({deny_list}))")
     top1 = ""
     if exclude_rank1:
         top1 = f""",
@@ -605,7 +637,7 @@ scored AS (
 SELECT doc_id, round(score, 6)::DOUBLE AS score{
     ", lang" if with_lang_col else ""}
 FROM scored{" JOIN documents USING (doc_id)" if with_lang_col else ""}
-WHERE nt = {len(terms)}{restrict}
+WHERE nt {f"= {len(terms)}" if conjunctive else ">= 1"}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -991,6 +1023,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_oracle": _bm25_sql(BM25_QUERY, 10),
         "bm25_topk_index": _bm25_sql(BM25_QUERY, 10),
+        # disjunctive: same scoring, union instead of intersection
+        "bm25_or_topk": _bm25_sql(BM25_QUERY, 10, conjunctive=False),
+        # MUST_NOT: conjunctive ranking minus docs containing the deny term
+        "bm25_not_topk": _bm25_sql(BM25_QUERY, 10, must_not=MUST_NOT_TERM),
         "term_df_top20": f"""
 WITH tok AS ({_TOK})
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df

@@ -380,6 +380,13 @@ def main() -> None:
                 _timed(qs, q, k) for _ in range(N_QUERY_REPS))
             per_q[name] = round(times[len(times) // 2], 4)
             lat.extend(times)
+        # disjunctive (MaxScore) serving: hot OR-union of the three
+        # conjunction queries' terms — the widest candidate set we serve
+        or_times = sorted(
+            _timed(qs, "sharedlogger mergeSegments commitPoint", k=10,
+                   mode="or") for _ in range(N_QUERY_REPS))
+        per_q["q_or_hot"] = round(or_times[len(or_times) // 2], 4)
+        # (kept out of `lat` so p50/p95 stay comparable across rounds)
         lat.sort()
 
         # query-throughput scaling: the same batched query pass served from
@@ -510,9 +517,9 @@ def main() -> None:
         _write_baseline_section(out, tiny, small)
 
 
-def _timed(qs, q: str, k: int) -> float:
+def _timed(qs, q: str, k: int, mode: str = "and") -> float:
     t1 = time.time()
-    qs.topk(q, k=k).collect()
+    qs.topk(q, k=k, mode=mode).collect()
     return time.time() - t1
 
 

@@ -230,12 +230,36 @@ def _pop_pseudo_docs(post_pdf: pd.DataFrame, term: str
     return post_pdf[~mask], docs
 
 
+def _deny_filter(deny_caches: dict, docs: np.ndarray, *payloads):
+    """Drop (sorted) docIDs present in any deny term's postings, decoding
+    only deny blocks that contain a candidate (skip-list analog — a deny
+    term hot elsewhere in the range costs nothing here). Returns the
+    filtered docs plus each payload array filtered the same way."""
+    for dc in deny_caches.values():
+        if docs.size == 0:
+            break
+        idxs = dc.overlapping_idx(int(docs[0]), int(docs[-1]))
+        if idxs.size == 0:
+            continue
+        blo = np.searchsorted(docs, dc.ep.block_first[idxs], "left")
+        bhi = np.searchsorted(docs, dc.ep.block_last[idxs], "right")
+        idxs = idxs[bhi > blo]
+        if idxs.size == 0:
+            continue
+        dd, _ = dc.blocks_concat(idxs)
+        m = ~_in_sorted(docs, dd)
+        docs = docs[m]
+        payloads = tuple(p[m] for p in payloads)
+    return (docs, *payloads)
+
+
 def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float],
                        avgdl: float, k: int, k1: float = BM25_K1,
                        b: float = BM25_B,
                        allow: bool = False, counters: dict | None = None,
                        sentinel_of: dict[str, str] | None = None,
-                       avgdl_of: dict[str, float] | None = None):
+                       avgdl_of: dict[str, float] | None = None,
+                       deny: list[str] | None = None):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
     the range's norms rows → local top-k (doc_id, score), with block-max
     WAND pruning.
@@ -274,6 +298,8 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
         by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
         if any(t not in by_term for t in terms_by_rarity):
             return empty  # conjunctive MUST: every term must exist in range
+        deny_caches = {dt: _BlockCache(by_term[dt], counters)
+                       for dt in (deny or []) if dt in by_term}
         neps = {r.term: _ep_from_row(r) for r in norms_pdf.itertuples()}
         if any(s not in neps for s in sentinels):
             return empty  # no doc in this range carries that field
@@ -343,6 +369,8 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
             if deletes is not None and deletes.size:
                 m = ~_in_sorted(cd, deletes)
                 cd, ct = cd[m], ct[m]
+            if deny_caches:
+                cd, ct = _deny_filter(deny_caches, cd, ct)
             if cd.size == 0:
                 continue
 
@@ -405,6 +433,169 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
         else:
             order = np.lexsort((cand, -score))
         return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
+
+    return score_range
+
+
+# ---------------------------------------------------------------------------
+# disjunctive (SHOULD) scorer — vectorized MaxScore
+# ---------------------------------------------------------------------------
+
+def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
+                          avgdl: float, k: int, k1: float = BM25_K1,
+                          b: float = BM25_B, allow: bool = False,
+                          counters: dict | None = None,
+                          sentinel_of: dict[str, str] | None = None,
+                          avgdl_of: dict[str, float] | None = None,
+                          deny: list[str] | None = None):
+    """cogroup-applyInPandas fn: disjunctive (OR / Lucene ``SHOULD``) BM25 —
+    score(d) = Σ over query terms PRESENT in d; any doc matching at least
+    one term competes. Beyond the reference wrapper (it only ever emits
+    ``Occur.MUST``, SURVEY §2.7 U2) but native to Lucene's query parser and
+    a first-class mode for a fulltext engine.
+
+    Exact top-k with **MaxScore pruning** (Turtle & Flood 1995), batch-
+    vectorized to fit this engine's block layout: terms are processed in
+    descending range-wide score-upper-bound order; once the top-k threshold
+    θ (kth best PARTIAL sum — a valid lower bound of the kth final score)
+    exceeds the suffix UB sum of the remaining terms, those terms become
+    non-essential: no doc seen only in them can reach the top-k, so they are
+    scored ONLY on surviving candidates, decoding ONLY blocks that contain a
+    candidate (counters prove skipped blocks, like the conjunctive WAND).
+    Candidates whose partial + remaining UB < θ are dropped between terms.
+    Tombstones (DEL_TERM) and the exact allowlist (ALLOW_TERM) arrive as
+    pseudo-postings rows, same as the conjunctive scorer.
+    """
+    if sentinel_of is None:
+        sentinel_of = {t: DOCLEN_TERM for t in terms}
+    if avgdl_of is None:
+        avgdl_of = {DOCLEN_TERM: avgdl}
+
+    def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
+        if len(norms_pdf) == 0 or len(post_pdf) == 0:
+            return empty
+        post_pdf, deletes = _pop_pseudo_docs(post_pdf, DEL_TERM)
+        allow_docs: np.ndarray | None = None
+        if allow:
+            post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
+            if allow_docs is None:
+                return empty
+        by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
+        neps = {r.term: _ep_from_row(r) for r in norms_pdf.itertuples()}
+        present = [t for t in terms
+                   if t in by_term and sentinel_of[t] in neps]
+        if not present:
+            return empty
+        caches = {t: _BlockCache(by_term[t], counters) for t in present}
+        deny_caches = {dt: _BlockCache(by_term[dt], counters)
+                       for dt in (deny or []) if dt in by_term}
+        ncaches = {s: _BlockCache(neps[s])
+                   for s in sorted({sentinel_of[t] for t in present})}
+
+        def dl_of(s: str, docs: np.ndarray) -> np.ndarray:
+            """doclen per (sorted) docID via the field's norms postings; a
+            doc matching a field term always carries that field's norm, but
+            fall back to avgdl rather than crash on a malformed index."""
+            nc = ncaches[s]
+            nd, ntf = nc.blocks_concat(
+                nc.overlapping_idx(int(docs[0]), int(docs[-1])))
+            dl = np.full(docs.size, avgdl_of[s], dtype=np.float64)
+            if nd.size:
+                p = np.searchsorted(nd, docs)
+                np.clip(p, 0, nd.size - 1, out=p)
+                m = nd[p] == docs
+                dl[m] = ntf[p[m]]
+            return dl
+
+        def bm25(t: str, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+            norm = k1 * (1.0 - b + b * dl / avgdl_of[sentinel_of[t]])
+            return idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
+
+        # range-wide per-term upper bounds, metadata only
+        ub: dict[str, float] = {}
+        for t in present:
+            ep, nep = by_term[t], neps[sentinel_of[t]]
+            lo = int(np.searchsorted(nep.block_last,
+                                     ep.block_first[0], "left"))
+            hi = int(np.searchsorted(nep.block_first,
+                                     ep.block_last[-1], "right"))
+            dlmin = float(nep.block_mintf[lo:hi].min()) if hi > lo else 1.0
+            ub[t] = float(_score_ub(idf_by_term[t],
+                                    float(ep.block_maxtf.max()), dlmin,
+                                    avgdl_of[sentinel_of[t]], k1, b))
+        order = sorted(present, key=lambda t: (-ub[t], t))
+        suffix = np.cumsum([ub[t] for t in order][::-1])[::-1]
+
+        cand = np.empty(0, dtype=np.int64)
+        partial = np.empty(0, dtype=np.float64)
+        threshold = -np.inf
+
+        for i, t in enumerate(order):
+            rem = float(suffix[i])  # UB of t plus every later term
+            if np.isfinite(threshold) and cand.size:
+                keep = partial + rem >= threshold
+                cand, partial = cand[keep], partial[keep]
+            c = caches[t]
+            ep = by_term[t]
+            if not (np.isfinite(threshold) and rem < threshold):
+                # essential: every posting of t is a potential candidate
+                d, tf = c.blocks_concat(np.arange(ep.block_first.size))
+                if allow_docs is not None:
+                    m = _in_sorted(d, allow_docs)
+                    d, tf = d[m], tf[m]
+                if deletes is not None and deletes.size:
+                    m = ~_in_sorted(d, deletes)
+                    d, tf = d[m], tf[m]
+                if deny_caches:
+                    # candidates only ever enter through this branch, so
+                    # denying here covers the whole union
+                    d, tf = _deny_filter(deny_caches, d, tf)
+                if d.size == 0:
+                    continue
+                contrib = bm25(t, tf.astype(np.float64),
+                               dl_of(sentinel_of[t], d))
+                comb = np.concatenate([cand, d])
+                vals = np.concatenate([partial, contrib])
+                cand, inv = np.unique(comb, return_inverse=True)
+                partial = np.zeros(cand.size, dtype=np.float64)
+                np.add.at(partial, inv, vals)
+            else:
+                # non-essential: may only raise EXISTING candidates — decode
+                # only blocks holding at least one candidate (the skip)
+                if cand.size == 0:
+                    continue
+                idxs = c.overlapping_idx(int(cand[0]), int(cand[-1]))
+                blo = np.searchsorted(cand, ep.block_first[idxs], "left")
+                bhi = np.searchsorted(cand, ep.block_last[idxs], "right")
+                idxs = idxs[bhi > blo]
+                if idxs.size == 0:
+                    continue
+                d2, t2 = c.blocks_concat(idxs)
+                p = np.searchsorted(d2, cand)
+                np.clip(p, 0, d2.size - 1, out=p)
+                m = d2[p] == cand
+                if not m.any():
+                    continue
+                partial[m] += bm25(t, t2[p[m]].astype(np.float64),
+                                   dl_of(sentinel_of[t], cand[m]))
+            if cand.size >= k:
+                threshold = float(np.partition(
+                    partial, partial.size - k)[partial.size - k])
+
+        if cand.size == 0:
+            return empty
+        if cand.size > k:
+            part = np.argpartition(-partial, k - 1)
+            kth = partial[part[k - 1]]
+            sel2 = np.flatnonzero(partial >= kth)
+            order2 = sel2[np.lexsort((cand[sel2], -partial[sel2]))][:k]
+        else:
+            order2 = np.lexsort((cand, -partial))
+        return pd.DataFrame({"doc_id": cand[order2],
+                             "score": partial[order2]})
 
     return score_range
 
@@ -672,14 +863,33 @@ class QuerySession:
                     df.unpersist()
 
     def topk(self, query: str, k: int = 10, mode: str = "and",
-             allow: DataFrame | None = None) -> DataFrame:
-        """Top-k BM25. ``allow``: optional (doc_id) DataFrame restricting
-        results to an exact candidate set (multi-field conjunction) — encoded
-        as per-range ALLOW_TERM pseudo-postings and intersected inside the
-        scorer, so the k results are exact, not an over-fetch."""
+             allow: DataFrame | None = None,
+             must_not: str | None = None) -> DataFrame:
+        """Top-k BM25. ``mode``: "and" (MUST intersection, block-max WAND),
+        "or" (SHOULD union, MaxScore — any doc matching ≥1 term competes;
+        Lucene-parser default, beyond the reference wrapper's MUST-only
+        surface), or "phrase". ``allow``: optional (doc_id) DataFrame
+        restricting results to an exact candidate set (multi-field
+        conjunction) — encoded as per-range ALLOW_TERM pseudo-postings and
+        intersected inside the scorer, so the k results are exact, not an
+        over-fetch. ``must_not``: MUST_NOT clause text (Lucene ``-term``):
+        its analyzed terms exclude any doc containing them, anti-joined
+        inside the scorer ("and"/"or" modes)."""
         terms = query_terms(query)
+        deny = query_terms(must_not) if must_not else []
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        if deny and mode == "phrase":
+            raise ValueError("must_not is not supported in phrase mode")
+        if deny and mode != "or" and set(terms) & set(deny):
+            # a term both MUST and MUST_NOT can match nothing (Lucene
+            # BooleanQuery semantics)
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if deny and mode == "or":
+            terms = [t for t in terms if t not in set(deny)]
+            if not terms:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double")
         if mode == "phrase":
             df_by_term = self._df_lookup(terms)
             if any(t not in df_by_term for t in terms):
@@ -687,10 +897,13 @@ class QuerySession:
                     [], "doc_id long, score double")
             idf = {t: _idf(self.meta.n_docs, df_by_term[t]) for t in terms}
             return self._phrase_topk(query, terms, idf, k, allow)
-        return self._score_terms(terms, k, allow)
+        return self._score_terms(terms, k, allow,
+                                 conjunctive=(mode != "or"),
+                                 deny=deny or None)
 
     def topk_parsed(self, field_queries: dict[str, str], k: int = 10,
-                    allow: DataFrame | None = None) -> DataFrame:
+                    allow: DataFrame | None = None,
+                    op: str = "and") -> DataFrame:
         """Parsed multi-field search (reference ``MultiFieldQueryParser``
         path, ``cLuceneIndexReader.java:320-338``): each clause's text is
         ANALYZED with the pinned code-aware tokenizer and matched against
@@ -698,7 +911,9 @@ class QuerySession:
         matches camelCase path components by token, not substring — and all
         clauses contribute to ONE conjunctive BM25 score with per-field
         norms (each term's tf saturates against its own field's doclen and
-        avgdl). Requires the index to have been built with ``field_cols``.
+        avgdl). ``op="or"`` switches to SHOULD-union semantics (Lucene
+        parser default operator). Requires the index to have been built
+        with ``field_cols``.
         """
         terms: list[str] = []
         for field, text in field_queries.items():
@@ -710,42 +925,62 @@ class QuerySession:
         terms = list(dict.fromkeys(terms))
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        return self._score_terms(terms, k, allow)
+        return self._score_terms(terms, k, allow,
+                                 conjunctive=(op != "or"))
 
     def _score_terms(self, terms: list[str], k: int,
-                     allow: DataFrame | None = None) -> DataFrame:
-        """Shared conjunctive BM25 scorer over (possibly namespaced) terms."""
+                     allow: DataFrame | None = None,
+                     conjunctive: bool = True,
+                     deny: list[str] | None = None) -> DataFrame:
+        """Shared BM25 scorer over (possibly namespaced) terms:
+        ``conjunctive`` picks MUST-intersection (WAND) vs SHOULD-union
+        (MaxScore) semantics; ``deny`` terms (MUST_NOT) exclude any doc
+        containing them, anti-joined inside the scorer via candidate-pruned
+        block decodes. Everything else — bucket/range pruning, tombstones,
+        allowlist, per-field norms — is identical."""
         spark = self.spark
         meta = self.meta
         empty = spark.createDataFrame([], "doc_id long, score double")
+        df_by_term = self._df_lookup(terms)
+        if conjunctive:
+            if any(t not in df_by_term for t in terms):
+                return empty  # a MUST term absent from the corpus
+        else:
+            terms = [t for t in terms if t in df_by_term]
+            if not terms:
+                return empty  # no SHOULD term exists in the corpus
+        # deny terms absent from the corpus exclude nothing
+        deny = ([t for t in deny if t in self._df_lookup(deny)]
+                if deny else [])
         sentinel_of = {
             t: (t.split(":", 1)[0] + ":" if ":" in t else DOCLEN_TERM)
             for t in terms}
         sentinels = sorted({sentinel_of[t] for t in terms})
-        df_by_term = self._df_lookup(terms)
-        if any(t not in df_by_term for t in terms):
-            return empty  # a MUST term absent from the corpus
         idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
         avgdl_of = self._avgdl_by_sentinel(sentinels)
         terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
 
+        fetch = terms + deny
         if self._cached:
             # in-memory scan: bucket pruning buys nothing, and skipping the
             # ranges-collect saves a whole Spark job per query
-            post = self.post.filter(F.col("term").isin(terms))
+            post = self.post.filter(F.col("term").isin(fetch))
             norms = self.norms.filter(F.col("term").isin(sentinels))
         else:
             # disk path: bucket pruning = parquet partition pruning; the
-            # ranges filter keeps the cogroup from touching norms of ranges
-            # where no query term occurs
-            bmap = _buckets_of(terms + sentinels, meta.n_buckets, spark)
-            buckets = sorted({bmap[t] for t in terms})
+            # ranges filter keeps the cogroup from touching norms (and deny
+            # postings) of ranges where no query term occurs
+            bmap = _buckets_of(fetch + sentinels, meta.n_buckets, spark)
+            buckets = sorted({bmap[t] for t in fetch})
             post = self.post.filter(F.col("bucket").isin(buckets)
-                                    & F.col("term").isin(terms))
+                                    & F.col("term").isin(fetch))
             ranges = [int(r["range_id"]) for r in
-                      post.select("range_id").distinct().collect()]
+                      post.filter(F.col("term").isin(terms))
+                      .select("range_id").distinct().collect()]
             if not ranges:
                 return empty
+            if deny:
+                post = post.filter(F.col("range_id").isin(ranges))
             norms = self.norms.filter(
                 F.col("bucket").isin(sorted({bmap[s] for s in sentinels}))
                 & F.col("term").isin(sentinels)
@@ -755,14 +990,16 @@ class QuerySession:
         if allow is not None:
             post = post.unionByName(
                 _allow_rows_df(allow, meta.range_size))
+        factory = _make_range_scorer if conjunctive else _make_or_range_scorer
         scored = (post.groupby("range_id")
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
-                      _make_range_scorer(terms_by_rarity, idf_by_term,
-                                         meta.avgdl, k,
-                                         allow=allow is not None,
-                                         sentinel_of=sentinel_of,
-                                         avgdl_of=avgdl_of),
+                      factory(terms_by_rarity, idf_by_term,
+                              meta.avgdl, k,
+                              allow=allow is not None,
+                              sentinel_of=sentinel_of,
+                              avgdl_of=avgdl_of,
+                              deny=deny or None),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -538,3 +538,173 @@ def test_whole_words_multifield_phrases(spark, tmp_path):
     b = [(r.doc_id, round(r.score, 9)) for r in
          qs.topk(PHRASE, k=10, mode="phrase").collect()]
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# disjunctive (OR / SHOULD) mode — MaxScore
+# ---------------------------------------------------------------------------
+
+def test_or_mode_matches_naive_union(built, spark):
+    """topk(mode="or") must equal a from-scratch union BM25 over the raw
+    corpus: every doc containing >= 1 query term competes, score = sum of
+    per-present-term BM25 contributions; absent query terms are ignored
+    (not a MUST failure)."""
+    import collections
+
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    meta = engine.load_meta(spark, root)
+    query = f"{HOT_TERM} {RARE_TERM} zzznotindexed"
+    terms = [t for t in (HOT_TERM, RARE_TERM)]
+
+    rows = docmap.select("doc_id", "content").collect()
+    toks = {int(r.doc_id): tokenize_text(r.content) for r in rows}
+    df = {t: sum(1 for v in toks.values() if t in set(v)) for t in terms}
+    assert df[HOT_TERM] > 100 and 0 < df[RARE_TERM] <= 3
+    from luceneindexer_spark import BM25_B, BM25_K1
+    scores = {}
+    for d, tk in toks.items():
+        c = collections.Counter(tk)
+        s = 0.0
+        for t in terms:
+            tf = float(c.get(t, 0))
+            if tf:
+                s += (engine._idf(meta.n_docs, df[t]) * tf * (BM25_K1 + 1)
+                      / (tf + BM25_K1 * (1 - BM25_B
+                                         + BM25_B * len(tk) / meta.avgdl)))
+        if s > 0.0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    qs = engine.QuerySession(spark, root)
+    got = [(int(r.doc_id), float(r.score)) for r in
+           qs.topk(query, k=10, mode="or").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                               rtol=0, atol=1e-9)
+    # the rare-term docs outrank hot-only docs but hot-only docs DO appear
+    # (union, not intersection): top-10 must contain docs without RARE_TERM
+    assert any(RARE_TERM not in toks[g[0]] for g in got)
+
+
+def test_or_maxscore_skips_nonessential_hot_blocks(spark, tmp_path):
+    """MaxScore pruning surface: a high-idf rare term confined to one
+    low-doc stripe sets the top-k threshold; the hot term's UB then falls
+    below it, so the hot term is scored only on surviving candidates and
+    NONE of its 16 blocks (docs 8..2047, no candidates inside) is decoded."""
+    n = 2048
+    rows = []
+    for i in range(n):
+        if i < 8:
+            content = ("rareterm " * 5) + f"tiny{i}"
+        else:
+            content = "hotterm " + ("bulkword " * 400)
+        rows.append(("r", f"src/f{i:05d}.py", f"c{i:05d}", "python",
+                     content))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    root = str(tmp_path / "or_idx")
+    build_index(spark, corpus, root, n_buckets=2, range_size=4096, waves=1)
+
+    meta = engine.load_meta(spark, root)
+    post = spark.read.parquet(os.path.join(root, "postings"))
+    pdf = post.filter(F.col("term").isin(["rareterm", "hotterm"])).toPandas()
+    norms_pdf = post.filter(F.col("term") == DOCLEN_TERM).toPandas()
+    dfs = {r.term: int(r.df) for r in pdf.itertuples()}
+    assert dfs == {"rareterm": 8, "hotterm": 2040}
+    idf = {t: engine._idf(meta.n_docs, d) for t, d in dfs.items()}
+
+    counters: dict = {}
+    scorer = engine._make_or_range_scorer(
+        ["rareterm", "hotterm"], idf, meta.avgdl, k=5, counters=counters)
+    got = scorer(None, pdf, norms_pdf)
+
+    # rareterm: 1 block (8 docs); hotterm: 16 blocks, all skipped
+    assert counters["blocks_total"] == 17
+    assert counters["blocks_decoded"] == 1
+
+    # exactness vs naive full-decode union
+    from luceneindexer_spark.codecs import decode_postings
+    eps = {r.term: engine._ep_from_row(r) for r in pdf.itertuples()}
+    nep = engine._ep_from_row(next(norms_pdf.itertuples()))
+    nd, ntf = decode_postings(nep)
+    agg: dict[int, float] = {}
+    for t in ("rareterm", "hotterm"):
+        d, tf = decode_postings(eps[t])
+        dl = ntf[np.searchsorted(nd, d)].astype(np.float64)
+        sc = (idf[t] * tf * 2.2
+              / (tf + 1.2 * (0.25 + 0.75 * dl / meta.avgdl)))
+        for dd, ss in zip(d.tolist(), sc.tolist()):
+            agg[dd] = agg.get(dd, 0.0) + ss
+    want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got["doc_id"].tolist() == [w[0] for w in want]
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               [w[1] for w in want], rtol=0, atol=1e-12)
+
+
+def test_or_mode_honors_tombstones(built, spark, tmp_path):
+    root, docmap = built
+    droot = _linked_copy(root, str(tmp_path / "or_del_idx"))
+    query = HOT_TERM + " " + PHRASE.split()[0]
+    base = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            engine.QuerySession(spark, droot)
+            .topk(query, k=11, mode="or").collect()]
+    victim = base[0][0]
+    M.append_deletes(spark, droot, [victim])
+    got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+           engine.QuerySession(spark, droot)
+           .topk(query, k=10, mode="or").collect()]
+    assert victim not in [g[0] for g in got]
+    assert got == base[1:11]  # lazy delete: stats unchanged, ranks shift up
+
+
+# ---------------------------------------------------------------------------
+# MUST_NOT (deny) clauses
+# ---------------------------------------------------------------------------
+
+def test_must_not_excludes_matching_docs(built, spark):
+    """topk(must_not=...) = the plain ranking with every doc containing a
+    denied term removed (scores of survivors unchanged — exclusion is an
+    anti-join, not a re-scoring)."""
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    deny = PHRASE.split()[0]
+    qs = engine.QuerySession(spark, root)
+    base = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            qs.topk(HOT_TERM, k=300).collect()]
+    toks = {int(r.doc_id): set(tokenize_text(r.content))
+            for r in docmap.select("doc_id", "content").collect()}
+    denied = {d for d, _ in base if deny in toks[d]}
+    assert denied  # the planted corpus interleaves PHRASE and HOT_TERM docs
+    want = [(d, s) for d, s in base if d not in denied][:10]
+    got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+           qs.topk(HOT_TERM, k=10, must_not=deny).collect()]
+    assert got == want
+
+
+def test_must_not_edge_semantics(built, spark):
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    deny = PHRASE.split()[0]
+    qs = engine.QuerySession(spark, root)
+    plain = [(int(r.doc_id), round(float(r.score), 9)) for r in
+             qs.topk(HOT_TERM, k=10).collect()]
+    # denying a term absent from the corpus is a no-op
+    noop = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            qs.topk(HOT_TERM, k=10, must_not="zzznope").collect()]
+    assert noop == plain
+    # the same term MUST and MUST_NOT matches nothing (BooleanQuery)
+    assert qs.topk(HOT_TERM, k=10, must_not=HOT_TERM).count() == 0
+    # OR mode: union minus denied docs, scores preserved
+    toks = {int(r.doc_id): set(tokenize_text(r.content))
+            for r in docmap.select("doc_id", "content").collect()}
+    base = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            qs.topk(f"{HOT_TERM} {RARE_TERM}", k=300, mode="or").collect()]
+    want = [(d, s) for d, s in base if deny not in toks[d]][:10]
+    got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+           qs.topk(f"{HOT_TERM} {RARE_TERM}", k=10, mode="or",
+                   must_not=deny).collect()]
+    assert got == want
