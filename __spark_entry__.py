@@ -358,6 +358,26 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MUST_NOT_TERM = "vector"
+PREFIX_Q = "s"          # expands to scan/small/slow/spark/stream/... at any sf
+FACET_FIELD = "lang"
+
+
+def _q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene PrefixQuery (``s*``), scoring-boolean rewrite: dictionary
+    expansion (df desc, term asc, capped) then a MaxScore SHOULD union."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.topk_prefix(PREFIX_Q, k=10)
+    return _round6(r, "score")
+
+
+def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceting over ALL matching docs (Lucene collector, not a top-k
+    post-filter): per-lang counts of the conjunctive match set."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return (qs.facet_counts(BM25_QUERY, FACET_FIELD)
+            .withColumn("cnt", F.col("cnt").cast("long")))
 
 
 def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
         "bm25_not_topk": _q_bm25_not,
+        "prefix_search": _q_prefix_search,
+        "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
         "knn_join_top3": _q_knn_join,
@@ -1027,6 +1049,41 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk": _bm25_sql(BM25_QUERY, 10, conjunctive=False),
         # MUST_NOT: conjunctive ranking minus docs containing the deny term
         "bm25_not_topk": _bm25_sql(BM25_QUERY, 10, must_not=MUST_NOT_TERM),
+        # PrefixQuery: dictionary expansion (df desc, term asc, cap 128),
+        # then the same union scoring as bm25_or_topk over the expansion
+        "prefix_search": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          WHERE term LIKE '{PREFIX_Q}%' GROUP BY term),
+exp AS (SELECT term, df FROM dfall ORDER BY df DESC, term ASC LIMIT 128),
+tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
+       JOIN exp USING (term) GROUP BY doc_id, tok.term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score
+  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # faceting: per-lang counts over the FULL conjunctive match set
+        "facet_lang_counts": f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT doc_id FROM tok
+      WHERE term IN ({", ".join("'" + t + "'"
+                                for t in query_terms(BM25_QUERY))})
+      GROUP BY doc_id
+      HAVING count(DISTINCT term) = {len(query_terms(BM25_QUERY))})
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC
+""",
         "term_df_top20": f"""
 WITH tok AS ({_TOK})
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df

@@ -601,6 +601,61 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
 
 
 # ---------------------------------------------------------------------------
+# match-set (no scoring) — the facet/count substrate
+# ---------------------------------------------------------------------------
+
+def _make_range_matcher(terms: list[str], conjunctive: bool,
+                        deny: list[str] | None = None):
+    """grouped-map fn: ALL matching docIDs of one range — intersection
+    (MUST) or union (SHOULD), no norms, no scores. Lucene's collector
+    analog for faceting/counting. Tombstones (DEL_TERM pseudo rows) and
+    deny terms are anti-joined. Decode discipline: a conjunction fully
+    decodes only the rarest term; every other term (and every deny term)
+    decodes only blocks holding a surviving candidate."""
+
+    def match_range(_key, pdf):
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        if len(pdf) == 0:
+            return empty
+        pdf, deletes = _pop_pseudo_docs(pdf, DEL_TERM)
+        by_term = {r.term: _ep_from_row(r) for r in pdf.itertuples()}
+        present = [t for t in terms if t in by_term]
+        if not present or (conjunctive and len(present) < len(terms)):
+            return empty
+        deny_caches = {dt: _BlockCache(by_term[dt])
+                       for dt in (deny or []) if dt in by_term}
+        if conjunctive:
+            order = sorted(present, key=lambda t: (by_term[t].n, t))
+            rc = _BlockCache(by_term[order[0]])
+            d, _ = rc.blocks_concat(
+                np.arange(by_term[order[0]].block_first.size))
+            for t in order[1:]:
+                if d.size == 0:
+                    break
+                ep = by_term[t]
+                oc = _BlockCache(ep)
+                idxs = oc.overlapping_idx(int(d[0]), int(d[-1]))
+                blo = np.searchsorted(d, ep.block_first[idxs], "left")
+                bhi = np.searchsorted(d, ep.block_last[idxs], "right")
+                d2, _ = oc.blocks_concat(idxs[bhi > blo])
+                d = d[_in_sorted(d, d2)]
+        else:
+            d = np.unique(np.concatenate(
+                [_BlockCache(by_term[t]).blocks_concat(
+                    np.arange(by_term[t].block_first.size))[0]
+                 for t in present]))
+        if deletes is not None and deletes.size and d.size:
+            d = d[~_in_sorted(d, deletes)]
+        if deny_caches and d.size:
+            (d,) = _deny_filter(deny_caches, d)
+        if d.size == 0:
+            return empty
+        return pd.DataFrame({"doc_id": d})
+
+    return match_range
+
+
+# ---------------------------------------------------------------------------
 # phrase scorer (positional)
 # ---------------------------------------------------------------------------
 
@@ -1148,6 +1203,106 @@ class QuerySession:
              .orderBy(F.desc("score"), F.asc("doc_id")))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
+
+    # -- prefix queries (Lucene PrefixQuery / MultiTermQuery rewrite) ------
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 128
+                      ) -> list[str]:
+        """Term-dictionary expansion: the ``max_expansions`` highest-df
+        terms starting with ``prefix``, deterministic (df desc, term asc) —
+        Lucene TopTermsRewrite's size bound. A content prefix never crosses
+        into namespaced metadata terms; a ``field:pre`` prefix stays inside
+        that field. Field/doclen sentinel rows (terms ending in ``:`` or
+        empty) are never expansions. The dictionary scan is vocabulary-
+        sized (≪ corpus at any scale) and pushdown-filtered on term_stats
+        when not pinned driver-side."""
+        prefix = prefix.strip().lower()
+        if not prefix:
+            return []
+        in_field = ":" in prefix
+        if self._stats_local is not None:
+            cands = [(df, t) for t, (df, _) in self._stats_local.items()
+                     if t.startswith(prefix) and not t.endswith(":")
+                     and (in_field or ":" not in t)]
+            cands.sort(key=lambda x: (-x[0], x[1]))
+            return [t for _, t in cands[:max_expansions]]
+        cond = (F.col("term").startswith(prefix)
+                & ~F.col("term").endswith(":"))
+        if not in_field:
+            cond &= ~F.col("term").contains(":")
+        rows = (self.stats.filter(cond)
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def topk_prefix(self, prefix: str, k: int = 10,
+                    max_expansions: int = 128) -> DataFrame:
+        """Lucene ``PrefixQuery`` (``term*``) with the scoring-boolean
+        rewrite (``MultiTermQuery.SCORING_BOOLEAN_QUERY_REWRITE``): expand
+        against the term dictionary, then score the SHOULD union with the
+        MaxScore scorer. Not reachable from the reference UI (the wrapper
+        emits only MUST term queries) but core Lucene surface."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        return self._score_terms(terms, k, conjunctive=False)
+
+    # -- match set + facets (Lucene collector analog) -----------------------
+
+    def match_ids(self, query: str, mode: str = "and",
+                  must_not: str | None = None) -> DataFrame:
+        """ALL matching docIDs (no scores): MUST intersection or SHOULD
+        union, tombstone-aware, deny terms anti-joined — the substrate for
+        faceting and match counting. One grouped-map over the term-filtered
+        (bucket-pruned) postings; output stays distributed."""
+        empty = self.spark.createDataFrame([], "doc_id long")
+        terms = query_terms(query)
+        deny = query_terms(must_not) if must_not else []
+        if not terms:
+            return empty
+        conjunctive = mode != "or"
+        df_by_term = self._df_lookup(terms)
+        if conjunctive:
+            if any(t not in df_by_term for t in terms):
+                return empty
+        else:
+            terms = [t for t in terms if t in df_by_term]
+        deny = ([t for t in deny if t in self._df_lookup(deny)]
+                if deny else [])
+        if conjunctive and set(terms) & set(deny):
+            return empty
+        if not conjunctive:
+            terms = [t for t in terms if t not in set(deny)]
+        if not terms:
+            return empty
+        fetch = terms + deny
+        if self._cached:
+            post = self.post.filter(F.col("term").isin(fetch))
+        else:
+            bmap = _buckets_of(fetch, self.meta.n_buckets, self.spark)
+            post = self.post.filter(
+                F.col("bucket").isin(sorted({bmap[t] for t in fetch}))
+                & F.col("term").isin(fetch))
+        post = self._with_deletes(post.select(*SCORER_COLS))
+        return (post.groupby("range_id")
+                .applyInPandas(
+                    _make_range_matcher(terms, conjunctive, deny or None),
+                    "doc_id long"))
+
+    def facet_counts(self, query: str, field: str, mode: str = "and",
+                     must_not: str | None = None) -> DataFrame:
+        """Facet counts over ALL matching documents (Lucene faceting, not a
+        top-k post-filter): (``field``, cnt) ordered (cnt desc, value asc).
+        The match set flows straight into a partially-aggregated groupBy —
+        the shuffle carries (value, partial count) rows only; nothing is
+        driver-materialized."""
+        ids = self.match_ids(query, mode=mode, must_not=must_not)
+        import os as _os
+        dm = self.spark.read.parquet(_os.path.join(self.root, "docmap"))
+        return (ids.join(dm.select("doc_id", field), "doc_id")
+                .groupBy(field).agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc(field)))
 
 
 def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,

@@ -708,3 +708,61 @@ def test_must_not_edge_semantics(built, spark):
            qs.topk(f"{HOT_TERM} {RARE_TERM}", k=10, mode="or",
                    must_not=deny).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# prefix queries, match set, facets
+# ---------------------------------------------------------------------------
+
+def test_topk_prefix_expands_and_scores(built, spark):
+    """PrefixQuery: expansion = highest-df dictionary terms under the
+    prefix (deterministic), ranking = the SHOULD union over them."""
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    exp = qs.expand_prefix("share")
+    assert exp and all(t.startswith("share") for t in exp)
+    assert HOT_TERM in exp
+    got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+           qs.topk_prefix("share", k=10).collect()]
+    want = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            qs.topk(" ".join(exp), k=10, mode="or").collect()]
+    assert got == want and len(got) == 10
+    # dfs are descending in the expansion order
+    dfs = [qs._df_lookup([t])[t] for t in exp]
+    assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
+
+
+def test_match_ids_and_facet_counts(built, spark):
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    toks = {int(r.doc_id): set(tokenize_text(r.content))
+            for r in docmap.select("doc_id", "content").collect()}
+    lang = {int(r.doc_id): r.lang
+            for r in docmap.select("doc_id", "lang").collect()}
+    q = f"{HOT_TERM} {PHRASE.split()[0]}"
+    terms = q.split()
+
+    want_and = {d for d, tk in toks.items() if all(t in tk for t in terms)}
+    got_and = {int(r.doc_id) for r in qs.match_ids(q).collect()}
+    assert got_and == want_and and want_and
+
+    want_or = {d for d, tk in toks.items() if any(t in tk for t in terms)}
+    got_or = {int(r.doc_id) for r in qs.match_ids(q, mode="or").collect()}
+    assert got_or == want_or
+
+    deny = RARE_TERM
+    want_not = {d for d in want_and if deny not in toks[d]}
+    got_not = {int(r.doc_id) for r in
+               qs.match_ids(q, must_not=deny).collect()}
+    assert got_not == want_not
+
+    # facet over ALL matches (not top-k): counts per lang, ordered
+    import collections
+    cnt = collections.Counter(lang[d] for d in want_and)
+    want_facets = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_facets = [(r.lang, int(r.cnt)) for r in
+                  qs.facet_counts(q, "lang").collect()]
+    assert got_facets == want_facets
