@@ -360,6 +360,38 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MUST_NOT_TERM = "vector"
 PREFIX_Q = "s"          # expands to scan/small/slow/spark/stream/... at any sf
 FACET_FIELD = "lang"
+FUZZY_Q = "tabel"       # Levenshtein 1 from "table"
+WILDCARD_PAT = "s*am"   # matches "stream"
+WILDCARD_RX = "^s.*am$"
+
+
+def _expansion_sql(exp_where: str, exp_order: str, cap: int,
+                   k: int = 10) -> str:
+    """Shared oracle for MultiTermQuery rewrites (prefix/fuzzy/wildcard):
+    dictionary expansion under ``exp_where`` in ``exp_order`` capped at
+    ``cap``, scored as the SHOULD union (same BM25 as bm25_or_topk)."""
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          GROUP BY term),
+exp AS (SELECT term, df FROM dfall WHERE {exp_where}
+        ORDER BY {exp_order} LIMIT {cap}),
+tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
+       JOIN exp USING (term) GROUP BY doc_id, tok.term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score
+  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 def _q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,6 +400,25 @@ def _q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _index_root(spark, sf_dir)
     qs = engine.QuerySession(spark, root, cache=False)
     r = qs.topk_prefix(PREFIX_Q, k=10)
+    return _round6(r, "score")
+
+
+def _q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene FuzzyQuery (``tabel~2``), scoring-boolean rewrite: dictionary
+    terms within Levenshtein 2 (dist asc, df desc, term asc, cap 50),
+    scored as a MaxScore SHOULD union."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.topk_fuzzy(FUZZY_Q, k=10, max_edits=2)
+    return _round6(r, "score")
+
+
+def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene WildcardQuery (``s*am``): anchored pattern expansion over the
+    dictionary, SHOULD-union scoring."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.topk_wildcard(WILDCARD_PAT, k=10)
     return _round6(r, "score")
 
 
@@ -539,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": _q_bm25_or,
         "bm25_not_topk": _q_bm25_not,
         "prefix_search": _q_prefix_search,
+        "fuzzy_search": _q_fuzzy_search,
+        "wildcard_search": _q_wildcard_search,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -1051,27 +1104,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not_topk": _bm25_sql(BM25_QUERY, 10, must_not=MUST_NOT_TERM),
         # PrefixQuery: dictionary expansion (df desc, term asc, cap 128),
         # then the same union scoring as bm25_or_topk over the expansion
-        "prefix_search": f"""
-WITH tok AS ({_TOK}),
-dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
-                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
-                 / (SELECT count(*) FROM documents) AS avgdl),
-dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
-          WHERE term LIKE '{PREFIX_Q}%' GROUP BY term),
-exp AS (SELECT term, df FROM dfall ORDER BY df DESC, term ASC LIMIT 128),
-tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
-       JOIN exp USING (term) GROUP BY doc_id, tok.term),
-scored AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
-             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
-               + {BM25_B} * dl.doclen / s.avgdl))) AS score
-  FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id)
-SELECT doc_id, round(score, 6)::DOUBLE AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
-""",
+        "prefix_search": _expansion_sql(
+            f"term LIKE '{PREFIX_Q}%'", "df DESC, term ASC", 128),
+        # FuzzyQuery: expansion within Levenshtein 2, (dist, df desc, term)
+        "fuzzy_search": _expansion_sql(
+            f"levenshtein(term, '{FUZZY_Q}') <= 2",
+            f"levenshtein(term, '{FUZZY_Q}') ASC, df DESC, term ASC", 50),
+        # WildcardQuery: anchored * / ? pattern over the dictionary
+        "wildcard_search": _expansion_sql(
+            f"regexp_matches(term, '{WILDCARD_RX}')",
+            "df DESC, term ASC", 128),
         # faceting: per-lang counts over the FULL conjunctive match set
         "facet_lang_counts": f"""
 WITH tok AS ({_TOK}),

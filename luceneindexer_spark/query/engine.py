@@ -600,6 +600,30 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
     return score_range
 
 
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Banded Levenshtein DP: returns the distance, or cap+1 as soon as a
+    full row exceeds ``cap`` (early exit). O(len·cap) per pair — used only
+    on the length-prefiltered sliver of a PINNED driver-side dictionary;
+    the distributed path uses the JVM's F.levenshtein."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = cap + 1
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            lo = min(lo, cur[j])
+        if lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
 # ---------------------------------------------------------------------------
 # match-set (no scoring) — the facet/count substrate
 # ---------------------------------------------------------------------------
@@ -1234,6 +1258,94 @@ class QuerySession:
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(max_expansions).collect())
         return [r["term"] for r in rows]
+
+    def expand_fuzzy(self, term: str, max_edits: int = 2,
+                     max_expansions: int = 50) -> list[str]:
+        """Lucene ``FuzzyQuery`` expansion: dictionary terms within
+        Levenshtein distance ``max_edits`` of ``term``, ordered
+        (distance asc, df desc, term asc) and capped at ``max_expansions``
+        (Lucene's default 50). The scan is vocabulary-sized with a
+        term-length pre-filter (|len(t) − len(q)| ≤ max_edits) so the DP
+        runs on a sliver of the dictionary; namespaced metadata terms and
+        sentinels are never expansions. Lucene's automaton is a constant
+        here, not an asymptotic need — the dictionary, not the corpus, is
+        the domain."""
+        term = term.strip().lower()
+        if not term:
+            return []
+        if self._stats_local is not None:
+            cands = []
+            for t, (df, _) in self._stats_local.items():
+                if (abs(len(t) - len(term)) > max_edits or ":" in t
+                        or not t):
+                    continue
+                d = _levenshtein_capped(t, term, max_edits)
+                if d <= max_edits:
+                    cands.append((d, -df, t))
+            cands.sort()
+            return [t for _, _, t in cands[:max_expansions]]
+        rows = (self.stats
+                .filter((F.length("term")
+                         >= F.lit(len(term) - max_edits))
+                        & (F.length("term")
+                           <= F.lit(len(term) + max_edits))
+                        & ~F.col("term").contains(":")
+                        & (F.col("term") != DOCLEN_TERM))
+                .withColumn("dist",
+                            F.levenshtein(F.col("term"), F.lit(term)))
+                .filter(F.col("dist") <= max_edits)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 128
+                        ) -> list[str]:
+        """Lucene ``WildcardQuery`` expansion: ``*`` = any run, ``?`` = one
+        char, anchored both ends; ordered (df desc, term asc), capped.
+        Same dictionary-scan discipline as expand_prefix."""
+        import re
+        pattern = pattern.strip().lower()
+        if not pattern:
+            return []
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern) + "$"
+        if self._stats_local is not None:
+            crx = re.compile(rx)
+            cands = [(-df, t) for t, (df, _) in self._stats_local.items()
+                     if t and ":" not in t and crx.match(t)]
+            cands.sort()
+            return [t for _, t in cands[:max_expansions]]
+        rows = (self.stats
+                .filter(F.col("term").rlike(rx)
+                        & ~F.col("term").contains(":")
+                        & (F.col("term") != DOCLEN_TERM))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def topk_fuzzy(self, term: str, k: int = 10, max_edits: int = 2,
+                   max_expansions: int = 50) -> DataFrame:
+        """Lucene ``FuzzyQuery`` (``term~``) with the scoring-boolean
+        rewrite: expansion terms scored as a SHOULD union (MaxScore).
+        Divergence from Lucene noted: no per-term similarity boost
+        (TopTermsBlendedFreqScoringRewrite) — scores are plain BM25 sums,
+        which keeps the ranking SQL-oracle-checkable."""
+        terms = self.expand_fuzzy(term, max_edits, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        return self._score_terms(terms, k, conjunctive=False)
+
+    def topk_wildcard(self, pattern: str, k: int = 10,
+                      max_expansions: int = 128) -> DataFrame:
+        """Lucene ``WildcardQuery`` (``te*m``/``te?m``), scoring-boolean
+        rewrite over the dictionary expansion."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        return self._score_terms(terms, k, conjunctive=False)
 
     def topk_prefix(self, prefix: str, k: int = 10,
                     max_expansions: int = 128) -> DataFrame:

@@ -766,3 +766,39 @@ def test_match_ids_and_facet_counts(built, spark):
     got_facets = [(r.lang, int(r.cnt)) for r in
                   qs.facet_counts(q, "lang").collect()]
     assert got_facets == want_facets
+
+
+def test_fuzzy_and_wildcard_queries(built, spark):
+    """FuzzyQuery and WildcardQuery: dictionary expansion (deterministic
+    order, sentinel/namespace-free), ranking = SHOULD union over the
+    expansion; pinned-dictionary and distributed expansion paths agree."""
+    root, _ = built
+    qs = engine.QuerySession(spark, root)                 # distributed
+    qsc = engine.QuerySession(spark, root, cache=True)    # pinned dict
+    try:
+        typo = HOT_TERM[:-1]  # 1 deletion away ("sharedlogge")
+        exp = qs.expand_fuzzy(typo, max_edits=2)
+        assert HOT_TERM in exp
+        assert exp == qsc.expand_fuzzy(typo, max_edits=2)
+        got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+               qs.topk_fuzzy(typo, k=10).collect()]
+        want = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                qs.topk(" ".join(exp), k=10, mode="or").collect()]
+        assert got == want and len(got) == 10
+
+        pat = HOT_TERM[:4] + "*" + HOT_TERM[-2:]  # "shar*er"
+        expw = qs.expand_wildcard(pat)
+        assert HOT_TERM in expw
+        assert expw == qsc.expand_wildcard(pat)
+        assert all(":" not in t and t for t in expw)
+        gotw = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                qs.topk_wildcard(pat, k=10).collect()]
+        wantw = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                 qs.topk(" ".join(expw), k=10, mode="or").collect()]
+        assert gotw == wantw
+
+        # '?' matches exactly one char; no match -> empty result
+        assert qs.expand_wildcard("?" + HOT_TERM) == []
+        assert qs.topk_fuzzy("zz" + HOT_TERM + "zz", max_edits=1).count() == 0
+    finally:
+        qsc.close()
