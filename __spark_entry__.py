@@ -366,10 +366,16 @@ WILDCARD_RX = "^s.*am$"
 
 
 def _expansion_sql(exp_where: str, exp_order: str, cap: int,
-                   k: int = 10) -> str:
-    """Shared oracle for MultiTermQuery rewrites (prefix/fuzzy/wildcard):
-    dictionary expansion under ``exp_where`` in ``exp_order`` capped at
-    ``cap``, scored as the SHOULD union (same BM25 as bm25_or_topk)."""
+                   k: int = 10, extra_cte: str = "",
+                   exp_from: str = "dfall",
+                   exclude_doc: int | None = None) -> str:
+    """Shared oracle for MultiTermQuery rewrites (prefix/fuzzy/wildcard)
+    and MoreLikeThis: dictionary expansion from ``exp_from`` under
+    ``exp_where`` in ``exp_order`` capped at ``cap``, scored as the SHOULD
+    union (same BM25 as bm25_or_topk); ``extra_cte`` may add expansion
+    sources, ``exclude_doc`` drops the MLT source doc."""
+    final = (f"WHERE doc_id <> {exclude_doc}"
+             if exclude_doc is not None else "")
     return f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
@@ -377,8 +383,8 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
                  (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
                  / (SELECT count(*) FROM documents) AS avgdl),
 dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
-          GROUP BY term),
-exp AS (SELECT term, df FROM dfall WHERE {exp_where}
+          GROUP BY term){extra_cte},
+exp AS (SELECT term, df FROM {exp_from} WHERE {exp_where}
         ORDER BY {exp_order} LIMIT {cap}),
 tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
        JOIN exp USING (term) GROUP BY doc_id, tok.term),
@@ -390,7 +396,7 @@ scored AS (
   FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 6)::DOUBLE AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+FROM scored {final} ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -419,6 +425,18 @@ def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _index_root(spark, sf_dir)
     qs = engine.QuerySession(spark, root, cache=False)
     r = qs.topk_wildcard(WILDCARD_PAT, k=10)
+    return _round6(r, "score")
+
+
+MLT_SRC = 0
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis: the source doc's top-25 tf·idf terms (df >= 2)
+    ranked as a SHOULD union, source excluded."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.more_like_this(MLT_SRC, k=10)
     return _round6(r, "score")
 
 
@@ -592,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "wildcard_search": _q_wildcard_search,
+        "more_like_this": _q_more_like_this,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -1114,6 +1133,18 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_search": _expansion_sql(
             f"regexp_matches(term, '{WILDCARD_RX}')",
             "df DESC, term ASC", 128),
+        # MoreLikeThis: source doc's top tf·idf terms (df >= 2), source
+        # excluded from the ranking
+        "more_like_this": _expansion_sql(
+            "TRUE", "w DESC, term ASC", 25,
+            extra_cte=f""",
+src AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+        WHERE doc_id = {MLT_SRC} GROUP BY term),
+mlt AS (SELECT s.term, d.df,
+               s.tf * ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+        FROM src s JOIN dfall d USING (term) CROSS JOIN stats st
+        WHERE d.df >= 2)""",
+            exp_from="mlt", exclude_doc=MLT_SRC),
         # faceting: per-lang counts over the FULL conjunctive match set
         "facet_lang_counts": f"""
 WITH tok AS ({_TOK}),

@@ -54,7 +54,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("query")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=("and", "phrase"), default="and")
+    q.add_argument("--mode",
+                   choices=("and", "or", "phrase", "prefix", "fuzzy",
+                            "wildcard"),
+                   default="and",
+                   help="and/or/phrase take query text; prefix/fuzzy/"
+                        "wildcard take a single term/pattern")
+    q.add_argument("--must-not", default=None,
+                   help="MUST_NOT clause text (and/or modes)")
+    q.add_argument("--facet", default=None,
+                   help="instead of top-k, print per-value counts of this "
+                        "docmap field over ALL matches")
     q.add_argument("--hydrate", action="store_true")
 
     s = sub.add_parser("search", help="multi-field conjunctive search")
@@ -65,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--commit", default="")
     s.add_argument("--lang", default="")
     s.add_argument("-k", type=int, default=10)
+
+    m = sub.add_parser("mlt", help="more-like-this: docs similar to one doc")
+    m.add_argument("--index", required=True)
+    m.add_argument("--doc-id", type=int, required=True)
+    m.add_argument("-k", type=int, default=10)
 
     d = sub.add_parser("delete", help="tombstone doc ids")
     d.add_argument("--index", required=True)
@@ -99,8 +114,23 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "query":
             from .query.engine import QuerySession, hydrate
             qs = QuerySession(spark, args.index)
-            topk = qs.topk(args.query, k=args.k, mode=args.mode)
-            out = hydrate(spark, args.index, topk) if args.hydrate else topk
+            if args.facet is not None:
+                if args.mode not in ("and", "or"):
+                    p.error("--facet supports only and/or modes")
+                out = qs.facet_counts(args.query, args.facet,
+                                      mode=args.mode,
+                                      must_not=args.must_not)
+            elif args.mode == "prefix":
+                out = qs.topk_prefix(args.query, k=args.k)
+            elif args.mode == "fuzzy":
+                out = qs.topk_fuzzy(args.query, k=args.k)
+            elif args.mode == "wildcard":
+                out = qs.topk_wildcard(args.query, k=args.k)
+            else:
+                out = qs.topk(args.query, k=args.k, mode=args.mode,
+                              must_not=args.must_not)
+            if args.hydrate and args.facet is None:
+                out = hydrate(spark, args.index, out)
             for r in out.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "search":
@@ -109,6 +139,11 @@ def main(argv: list[str] | None = None) -> int:
                       ("content", "repo", "path", "commit", "lang")}
             for r in search_fields(spark, args.index, fields,
                                    k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "mlt":
+            from .query.engine import QuerySession
+            qs = QuerySession(spark, args.index)
+            for r in qs.more_like_this(args.doc_id, k=args.k).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "delete":
             from .ops.maintenance import append_deletes

@@ -1402,6 +1402,41 @@ class QuerySession:
                     _make_range_matcher(terms, conjunctive, deny or None),
                     "doc_id long"))
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_query_terms: int = 25,
+                       min_doc_freq: int = 2) -> DataFrame:
+        """Lucene ``MoreLikeThis``: pick the source doc's
+        ``max_query_terms`` most characteristic terms by tf·idf (terms with
+        df < ``min_doc_freq`` dropped, ties broken term asc), score the
+        SHOULD union with MaxScore, and exclude the source doc itself.
+        Driver work is one stored-doc fetch + one dictionary lookup —
+        control-plane; the ranking is the ordinary distributed union."""
+        import os as _os
+        dm = self.spark.read.parquet(_os.path.join(self.root, "docmap"))
+        row = (dm.filter(F.col("doc_id") == int(doc_id))
+               .select("content").take(1))
+        if not row:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        from ..tokenizer import tokenize_text
+        toks = tokenize_text(row[0]["content"] or "")
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        df_by_term = self._df_lookup(sorted(tf))
+        cands = sorted(
+            ((-tf[t] * _idf(self.meta.n_docs, df_by_term[t]), t)
+             for t in tf
+             if df_by_term.get(t, 0) >= min_doc_freq),)
+        terms = [t for _, t in cands[:max_query_terms]]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        # over-fetch one, drop the source doc, re-cut to k
+        scored = self._score_terms(terms, k + 1, conjunctive=False)
+        return (scored.filter(F.col("doc_id") != int(doc_id))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
     def facet_counts(self, query: str, field: str, mode: str = "and",
                      must_not: str | None = None) -> DataFrame:
         """Facet counts over ALL matching documents (Lucene faceting, not a

@@ -42,5 +42,19 @@ def test_cli_build_query_delete_wipe(spark, tmp_path):
                "--lang", "python", "-k", "3")
     assert all(h["lang"] == "python" for h in srch)
 
+    # extended query modes reach the engine end-to-end
+    orx = run("query", "--index", idx, f"{HOT_TERM} zzznope",
+              "--mode", "or", "-k", "3")
+    assert len(orx) == 3
+    pfx = run("query", "--index", idx, HOT_TERM[:5],
+              "--mode", "prefix", "-k", "3")
+    assert len(pfx) == 3
+    fz = run("query", "--index", idx, HOT_TERM[:-1],
+             "--mode", "fuzzy", "-k", "3")
+    assert len(fz) == 3
+    fac = run("query", "--index", idx, HOT_TERM, "--facet", "lang")
+    assert {"lang", "cnt"} <= set(fac[0]) and sum(
+        f["cnt"] for f in fac) >= len(hits2)
+
     run("wipe", "--index", idx)
     assert not os.path.exists(os.path.join(idx, "postings"))

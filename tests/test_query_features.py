@@ -802,3 +802,29 @@ def test_fuzzy_and_wildcard_queries(built, spark):
         assert qs.topk_fuzzy("zz" + HOT_TERM + "zz", max_edits=1).count() == 0
     finally:
         qsc.close()
+
+
+def test_more_like_this_matches_manual_expansion(built, spark):
+    """MoreLikeThis: top tf-idf terms of the source doc (df >= 2, ties by
+    term), ranked as the SHOULD union, source doc excluded."""
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    src = int(docmap.select("doc_id").orderBy("doc_id").first().doc_id)
+    content = docmap.filter(F.col("doc_id") == src).first().content
+    tf = {}
+    for t in tokenize_text(content):
+        tf[t] = tf.get(t, 0) + 1
+    dfm = qs._df_lookup(sorted(tf))
+    cands = sorted(((-n * engine._idf(qs.meta.n_docs, dfm[t]), t)
+                    for t, n in tf.items() if dfm.get(t, 0) >= 2))
+    terms = [t for _, t in cands[:25]]
+    want = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            qs.topk(" ".join(terms), k=11, mode="or").collect()
+            if int(r.doc_id) != src][:10]
+    got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+           qs.more_like_this(src, k=10).collect()]
+    assert got == want and len(got) == 10
+    assert src not in [g[0] for g in got]
+    # a nonexistent source doc yields an empty frame, not an error
+    assert qs.more_like_this(10**9, k=5).count() == 0
