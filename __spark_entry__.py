@@ -142,6 +142,40 @@ def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r, "score")
 
 
+def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match (Lucene BooleanQuery
+    setMinimumNumberShouldMatch): SHOULD union where only docs containing
+    >= 2 of the 3 query terms qualify; scores still sum every present
+    term. Pigeonhole pruning: only the 2 rarest terms decode fully."""
+    root = _index_root(spark, sf_dir)
+    r = engine.bm25_topk(spark, root, BM25_QUERY, k=10, mode="or",
+                         min_should_match=2)
+    return _round6(r, "score")
+
+
+SIZE_LO, SIZE_HI = 250, 420   # central band of the sf length distribution
+SORT_TERM = BM25_QUERY.split()[0]
+
+
+def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range clause (Lucene IntPoint.newRangeQuery analog)
+    MUST-conjoined with a BM25 content clause; exact through the scorer
+    allowlist path, range pushed down to the docmap parquet scan."""
+    root = _index_root(spark, sf_dir)
+    r = engine.search_fields(spark, root, {"content": SORT_TERM}, k=10,
+                             ranges={"size": (SIZE_LO, SIZE_HI)})
+    return _round6(r.select("doc_id", "score"), "score")
+
+
+def _q_sort_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-stored-field (Lucene Sort(SortField)): the full match set of
+    a term ordered by doc size desc — TakeOrderedAndProject, never a global
+    sort."""
+    root = _index_root(spark, sf_dir)
+    return (engine.browse_sorted(spark, root, "size", k=20, query=SORT_TERM)
+            .select("doc_id", "size"))
+
+
 _COMPACT_ROOT_CACHE: dict[str, str] = {}
 
 
@@ -181,6 +215,19 @@ def _q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stopword-filtered token stream), BM25-scored."""
     root = _index_root(spark, sf_dir)
     r = engine.bm25_topk(spark, root, INDEX_PHRASE, k=10, mode="phrase")
+    return _round6(r, "score")
+
+
+NEAR_SLOP = 3
+
+
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered span-near (Lucene SpanNearQuery, inOrder=true) THROUGH the
+    index: the phrase terms at strictly increasing positions with total
+    slack <= NEAR_SLOP, BM25-scored like phrase mode."""
+    root = _index_root(spark, sf_dir)
+    r = engine.bm25_topk(spark, root, INDEX_PHRASE, k=10, mode="phrase",
+                         slop=NEAR_SLOP)
     return _round6(r, "score")
 
 
@@ -611,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": _q_fuzzy_search,
         "wildcard_search": _q_wildcard_search,
         "more_like_this": _q_more_like_this,
+        "span_near_search": _q_span_near,
+        "bm25_msm_topk": _q_bm25_msm,
+        "range_search": _q_range_search,
+        "sort_by_size": _q_sort_by_size,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -678,11 +729,18 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               phrase: str | None = None, lang: str | None = None,
               with_lang_col: bool = False,
               conjunctive: bool = True,
-              must_not: str | None = None) -> str:
+              must_not: str | None = None,
+              slop: int = 0,
+              min_match: int = 1,
+              size_between: tuple | None = None) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
     to a lang, and/or with the global rank-1 doc excluded (the delete
-    contract: tombstoned rank-1 must yield ranks 2..k+1, stats unchanged)."""
+    contract: tombstoned rank-1 must yield ranks 2..k+1, stats unchanged).
+    ``slop`` relaxes the phrase restriction to ordered span-near
+    (SpanNearQuery inOrder=true): positions a < b with b - a <= slop + 1
+    for the 2-term case — any witness pair, equivalent to the engine's
+    greedy minimal-span chain on existence."""
     terms = query_terms(query)
     in_list = ", ".join("'" + t + "'" for t in terms)
     restrict = ""
@@ -690,16 +748,22 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
     if phrase is not None:
         pterms = query_terms(phrase)  # oracle limited to 2-term phrases here
         assert len(pterms) == 2
+        pos_cond = ("b.pos = a.pos + 1" if slop == 0 else
+                    f"b.pos > a.pos AND b.pos - a.pos <= {slop + 1}")
         phrase_cte = f""",
 tokp AS ({_TOKP}),
 phrase_docs AS (
   SELECT DISTINCT a.doc_id FROM tokp a JOIN tokp b
-    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ON b.doc_id = a.doc_id AND {pos_cond}
   WHERE a.term = '{pterms[0]}' AND b.term = '{pterms[1]}')"""
         restrict += " AND doc_id IN (SELECT doc_id FROM phrase_docs)"
     if lang is not None:
         restrict += (" AND doc_id IN (SELECT doc_id FROM documents"
                      f" WHERE lang = '{lang}')")
+    if size_between is not None:
+        restrict += (" AND doc_id IN (SELECT doc_id FROM documents WHERE"
+                     f" length(text) BETWEEN {size_between[0]}"
+                     f" AND {size_between[1]})")
     if must_not is not None:
         deny_list = ", ".join("'" + t + "'"
                               for t in query_terms(must_not))
@@ -731,7 +795,7 @@ scored AS (
 SELECT doc_id, round(score, 6)::DOUBLE AS score{
     ", lang" if with_lang_col else ""}
 FROM scored{" JOIN documents USING (doc_id)" if with_lang_col else ""}
-WHERE nt {f"= {len(terms)}" if conjunctive else ">= 1"}{restrict}
+WHERE nt {f"= {len(terms)}" if conjunctive else f">= {min_match}"}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -1119,6 +1183,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_index": _bm25_sql(BM25_QUERY, 10),
         # disjunctive: same scoring, union instead of intersection
         "bm25_or_topk": _bm25_sql(BM25_QUERY, 10, conjunctive=False),
+        # minimum_should_match: >= 2 of the 3 SHOULD terms must be present
+        "bm25_msm_topk": _bm25_sql(BM25_QUERY, 10, conjunctive=False,
+                                   min_match=2),
+        # numeric range clause conjoined with the BM25 content clause
+        "range_search": _bm25_sql(SORT_TERM, 10,
+                                  size_between=(SIZE_LO, SIZE_HI)),
+        # sort-by-stored-field over the full match set of one term
+        "sort_by_size": f"""
+WITH tok AS ({_TOK})
+SELECT doc_id, length(text)::BIGINT AS size FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{SORT_TERM}')
+ORDER BY size DESC, doc_id ASC LIMIT 20
+""",
         # MUST_NOT: conjunctive ranking minus docs containing the deny term
         "bm25_not_topk": _bm25_sql(BM25_QUERY, 10, must_not=MUST_NOT_TERM),
         # PrefixQuery: dictionary expansion (df desc, term asc, cap 128),
@@ -1232,6 +1309,9 @@ FROM ranked WHERE rk <= 3
         "bm25_after_compact": _bm25_after_compact_sql(BM25_QUERY, 10),
         "phrase_search_index": _bm25_sql(INDEX_PHRASE, 10,
                                          phrase=INDEX_PHRASE),
+        # ordered span-near: any witness pair within slop+1 positions
+        "span_near_search": _bm25_sql(INDEX_PHRASE, 10,
+                                      phrase=INDEX_PHRASE, slop=NEAR_SLOP),
         "multifield_search_index": _bm25_sql(
             " ".join(MULTIFIELD_TERMS), 10, lang=MULTIFIELD_LANG,
             with_lang_col=True),

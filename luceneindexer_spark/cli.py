@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
                         "wildcard take a single term/pattern")
     q.add_argument("--must-not", default=None,
                    help="MUST_NOT clause text (and/or modes)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="phrase mode: ordered span-near slack "
+                        "(0 = exact phrase)")
     q.add_argument("--facet", default=None,
                    help="instead of top-k, print per-value counts of this "
                         "docmap field over ALL matches")
@@ -128,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
                 out = qs.topk_wildcard(args.query, k=args.k)
             else:
                 out = qs.topk(args.query, k=args.k, mode=args.mode,
-                              must_not=args.must_not)
+                              must_not=args.must_not, slop=args.slop)
             if args.hydrate and args.facet is None:
                 out = hydrate(spark, args.index, out)
             for r in out.collect():

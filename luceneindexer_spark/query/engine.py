@@ -441,18 +441,41 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
 # disjunctive (SHOULD) scorer — vectorized MaxScore
 # ---------------------------------------------------------------------------
 
+def _topk_frame(cand: np.ndarray, score: np.ndarray, k: int) -> pd.DataFrame:
+    """(score desc, doc_id asc) top-k cut shared by the union and phrase
+    scorers: argpartition to the kth score, then lexsort only the head."""
+    if cand.size > k:
+        part = np.argpartition(-score, k - 1)
+        kth = score[part[k - 1]]
+        sel = np.flatnonzero(score >= kth)
+        order = sel[np.lexsort((cand[sel], -score[sel]))][:k]
+    else:
+        order = np.lexsort((cand, -score))
+    return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
+
+
 def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
                           avgdl: float, k: int, k1: float = BM25_K1,
                           b: float = BM25_B, allow: bool = False,
                           counters: dict | None = None,
                           sentinel_of: dict[str, str] | None = None,
                           avgdl_of: dict[str, float] | None = None,
-                          deny: list[str] | None = None):
+                          deny: list[str] | None = None,
+                          min_should_match: int = 1):
     """cogroup-applyInPandas fn: disjunctive (OR / Lucene ``SHOULD``) BM25 —
     score(d) = Σ over query terms PRESENT in d; any doc matching at least
     one term competes. Beyond the reference wrapper (it only ever emits
     ``Occur.MUST``, SURVEY §2.7 U2) but native to Lucene's query parser and
     a first-class mode for a fulltext engine.
+
+    ``min_should_match`` = Lucene
+    ``BooleanQuery.setMinimumNumberShouldMatch``: only docs containing at
+    least that many DISTINCT query terms qualify (scores still sum every
+    present term). Exactness at scale comes from the pigeonhole rule: a
+    qualifying doc must contain one of the ``n - m + 1`` RAREST terms, so
+    only those decode fully; the ``m - 1`` hottest terms decode just the
+    blocks overlapping surviving candidates (their postings dominate the
+    union's cost, and they are exactly the ones skipped).
 
     Exact top-k with **MaxScore pruning** (Turtle & Flood 1995), batch-
     vectorized to fit this engine's block layout: terms are processed in
@@ -513,6 +536,66 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
         def bm25(t: str, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
             norm = k1 * (1.0 - b + b * dl / avgdl_of[sentinel_of[t]])
             return idf_by_term[t] * tf * (k1 + 1.0) / (tf + norm)
+
+        if min_should_match > 1:
+            if len(present) < min_should_match:
+                return empty  # this range cannot hold a qualifying doc
+            # rarest first (idf is monotone-decreasing in df); a doc with
+            # >= m present terms must contain one of the n-m+1 rarest
+            rare = sorted(present, key=lambda t: (-idf_by_term[t], t))
+            n_ess = len(present) - min_should_match + 1
+            cand = np.empty(0, dtype=np.int64)
+            partial = np.empty(0, dtype=np.float64)
+            nmatch = np.empty(0, dtype=np.int64)
+            for t in rare[:n_ess]:
+                c, ep = caches[t], by_term[t]
+                d, tf = c.blocks_concat(np.arange(ep.block_first.size))
+                if allow_docs is not None:
+                    m = _in_sorted(d, allow_docs)
+                    d, tf = d[m], tf[m]
+                if deletes is not None and deletes.size:
+                    m = ~_in_sorted(d, deletes)
+                    d, tf = d[m], tf[m]
+                if deny_caches:
+                    d, tf = _deny_filter(deny_caches, d, tf)
+                if d.size == 0:
+                    continue
+                contrib = bm25(t, tf.astype(np.float64),
+                               dl_of(sentinel_of[t], d))
+                comb = np.concatenate([cand, d])
+                vals = np.concatenate([partial, contrib])
+                ones = np.concatenate(
+                    [nmatch, np.ones(d.size, dtype=np.int64)])
+                cand, inv = np.unique(comb, return_inverse=True)
+                partial = np.zeros(cand.size, dtype=np.float64)
+                nmatch = np.zeros(cand.size, dtype=np.int64)
+                np.add.at(partial, inv, vals)
+                np.add.at(nmatch, inv, ones)
+            if cand.size == 0:
+                return empty
+            for t in rare[n_ess:]:
+                # hottest terms: decode only candidate-overlapping blocks
+                c, ep = caches[t], by_term[t]
+                idxs = c.overlapping_idx(int(cand[0]), int(cand[-1]))
+                blo = np.searchsorted(cand, ep.block_first[idxs], "left")
+                bhi = np.searchsorted(cand, ep.block_last[idxs], "right")
+                idxs = idxs[bhi > blo]
+                if idxs.size == 0:
+                    continue
+                d2, t2 = c.blocks_concat(idxs)
+                p = np.searchsorted(d2, cand)
+                np.clip(p, 0, d2.size - 1, out=p)
+                m = d2[p] == cand
+                if not m.any():
+                    continue
+                partial[m] += bm25(t, t2[p[m]].astype(np.float64),
+                                   dl_of(sentinel_of[t], cand[m]))
+                nmatch[m] += 1
+            qual = nmatch >= min_should_match
+            cand, partial = cand[qual], partial[qual]
+            if cand.size == 0:
+                return empty
+            return _topk_frame(cand, partial, k)
 
         # range-wide per-term upper bounds, metadata only
         ub: dict[str, float] = {}
@@ -587,15 +670,7 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
 
         if cand.size == 0:
             return empty
-        if cand.size > k:
-            part = np.argpartition(-partial, k - 1)
-            kth = partial[part[k - 1]]
-            sel2 = np.flatnonzero(partial >= kth)
-            order2 = sel2[np.lexsort((cand[sel2], -partial[sel2]))][:k]
-        else:
-            order2 = np.lexsort((cand, -partial))
-        return pd.DataFrame({"doc_id": cand[order2],
-                             "score": partial[order2]})
+        return _topk_frame(cand, partial, k)
 
     return score_range
 
@@ -695,7 +770,7 @@ PhraseClause = tuple[list[str], list[str], str, float]
 def _make_phrase_scorer(clauses: list[PhraseClause],
                         idf_by_term: dict[str, float], k: int,
                         k1: float = BM25_K1, b: float = BM25_B,
-                        allow: bool = False):
+                        allow: bool = False, slop: int = 0):
     """cogroup fn for phrase ("whole words") mode — one PhraseQuery per
     field, MUST-conjoined, clause scores summed (reference ``BooleanQuery``
     of per-field ``PhraseQuery`` clauses, ``cLuceneIndexReader.java:
@@ -704,7 +779,17 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
     set operations on the delta-decoded (per-field) positions. Each clause
     is scored as the conjunctive BM25 of its constituent terms with ITS
     field's norms (documented deviation from Lucene's phrase-freq scoring;
-    the oracle pins the same definition)."""
+    the oracle pins the same definition).
+
+    ``slop > 0`` switches every clause to Lucene ``SpanNearQuery``
+    (inOrder=true) semantics: the clause matches where its terms occur at
+    strictly increasing positions p_1 < … < p_n with total slack
+    ``p_n - p_1 - (n-1) <= slop``. Existence is decided by a greedy
+    earliest-next chain per start occurrence (for a fixed start, taking the
+    smallest admissible next position minimizes the end position, hence the
+    span — so the greedy chain finds a witness iff one exists), vectorized
+    as one ``searchsorted`` per query term over the packed
+    (doc-ordinal << 32 | position) keys."""
     all_terms = list(dict.fromkeys(
         t for _, td, _, _ in clauses for t in td))
 
@@ -765,9 +850,28 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                 dkey = np.repeat(
                     np.searchsorted(cand, d[m]).astype(np.int64), lens_c)
                 keysets[t] = dkey * _POS_SHIFT + p  # ascending by constr.
-            live = keysets[seq[0]]
-            for i in range(1, len(seq)):
-                live = live[_in_sorted(live + np.int64(i), keysets[seq[i]])]
+            if slop == 0:
+                live = keysets[seq[0]]
+                for i in range(1, len(seq)):
+                    live = live[_in_sorted(live + np.int64(i),
+                                           keysets[seq[i]])]
+                    if live.size == 0:
+                        return empty
+            else:
+                start = keysets[seq[0]]
+                cur = start
+                ok = np.ones(cur.size, dtype=bool)
+                for i in range(1, len(seq)):
+                    ks = keysets[seq[i]]
+                    idx = np.searchsorted(ks, cur, side="right")
+                    valid = idx < ks.size
+                    nxt = ks[np.minimum(idx, ks.size - 1)]
+                    ok &= valid & ((nxt // _POS_SHIFT) == (cur // _POS_SHIFT))
+                    cur = np.where(ok, nxt, cur)
+                    if not ok.any():
+                        return empty
+                ok &= (cur - start) <= np.int64(slop + len(seq) - 1)
+                live = start[ok]
                 if live.size == 0:
                     return empty
             cand = cand[np.unique(live // _POS_SHIFT)]
@@ -785,15 +889,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                 tfv = tf[np.searchsorted(d, match_docs)].astype(np.float64)
                 score += idf_by_term[t] * tfv * (k1 + 1.0) / (tfv + norm)
 
-        if match_docs.size > k:
-            part = np.argpartition(-score, k - 1)
-            kth = score[part[k - 1]]
-            sel2 = np.flatnonzero(score >= kth)
-            order = sel2[np.lexsort((match_docs[sel2], -score[sel2]))][:k]
-        else:
-            order = np.lexsort((match_docs, -score))
-        return pd.DataFrame({"doc_id": match_docs[order],
-                             "score": score[order]})
+        return _topk_frame(match_docs, score, k)
 
     return score_range
 
@@ -943,7 +1039,8 @@ class QuerySession:
 
     def topk(self, query: str, k: int = 10, mode: str = "and",
              allow: DataFrame | None = None,
-             must_not: str | None = None) -> DataFrame:
+             must_not: str | None = None, slop: int = 0,
+             min_should_match: int = 1) -> DataFrame:
         """Top-k BM25. ``mode``: "and" (MUST intersection, block-max WAND),
         "or" (SHOULD union, MaxScore — any doc matching ≥1 term competes;
         Lucene-parser default, beyond the reference wrapper's MUST-only
@@ -953,13 +1050,26 @@ class QuerySession:
         intersected inside the scorer, so the k results are exact, not an
         over-fetch. ``must_not``: MUST_NOT clause text (Lucene ``-term``):
         its analyzed terms exclude any doc containing them, anti-joined
-        inside the scorer ("and"/"or" modes)."""
+        inside the scorer ("and"/"or" modes). ``slop`` (phrase mode only)
+        relaxes the phrase to Lucene ``SpanNearQuery`` (inOrder=true)
+        semantics: terms in order within total slack ``slop``; 0 keeps the
+        exact consecutive ``PhraseQuery``. ``min_should_match`` ("or" mode
+        only, Lucene ``BooleanQuery.setMinimumNumberShouldMatch``): only
+        docs containing at least that many distinct query terms qualify;
+        more terms than exist in the corpus-present query can match
+        nothing."""
         terms = query_terms(query)
         deny = query_terms(must_not) if must_not else []
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         if deny and mode == "phrase":
             raise ValueError("must_not is not supported in phrase mode")
+        if slop and mode != "phrase":
+            raise ValueError("slop applies to phrase mode only")
+        if min_should_match > 1 and mode != "or":
+            raise ValueError("min_should_match applies to or mode only")
+        if min_should_match > len(set(terms)):
+            return self.spark.createDataFrame([], "doc_id long, score double")
         if deny and mode != "or" and set(terms) & set(deny):
             # a term both MUST and MUST_NOT can match nothing (Lucene
             # BooleanQuery semantics)
@@ -975,10 +1085,11 @@ class QuerySession:
                 return self.spark.createDataFrame(
                     [], "doc_id long, score double")
             idf = {t: _idf(self.meta.n_docs, df_by_term[t]) for t in terms}
-            return self._phrase_topk(query, terms, idf, k, allow)
+            return self._phrase_topk(query, terms, idf, k, allow, slop=slop)
         return self._score_terms(terms, k, allow,
                                  conjunctive=(mode != "or"),
-                                 deny=deny or None)
+                                 deny=deny or None,
+                                 min_should_match=min_should_match)
 
     def topk_parsed(self, field_queries: dict[str, str], k: int = 10,
                     allow: DataFrame | None = None,
@@ -1010,7 +1121,8 @@ class QuerySession:
     def _score_terms(self, terms: list[str], k: int,
                      allow: DataFrame | None = None,
                      conjunctive: bool = True,
-                     deny: list[str] | None = None) -> DataFrame:
+                     deny: list[str] | None = None,
+                     min_should_match: int = 1) -> DataFrame:
         """Shared BM25 scorer over (possibly namespaced) terms:
         ``conjunctive`` picks MUST-intersection (WAND) vs SHOULD-union
         (MaxScore) semantics; ``deny`` terms (MUST_NOT) exclude any doc
@@ -1070,6 +1182,8 @@ class QuerySession:
             post = post.unionByName(
                 _allow_rows_df(allow, meta.range_size))
         factory = _make_range_scorer if conjunctive else _make_or_range_scorer
+        extra = ({"min_should_match": min_should_match}
+                 if not conjunctive and min_should_match > 1 else {})
         scored = (post.groupby("range_id")
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
@@ -1078,13 +1192,14 @@ class QuerySession:
                               allow=allow is not None,
                               sentinel_of=sentinel_of,
                               avgdl_of=avgdl_of,
-                              deny=deny or None),
+                              deny=deny or None, **extra),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _phrase_topk(self, query: str, terms_dedup: list[str],
                      idf_by_term: dict[str, float], k: int,
-                     allow: DataFrame | None = None) -> DataFrame:
+                     allow: DataFrame | None = None,
+                     slop: int = 0) -> DataFrame:
         """Content-field phrase mode — one clause of the general whole-words
         path (positions live IN the postings rows — no second table, no
         corpus-wide doclen decode: the scorer touches only ranges containing
@@ -1096,7 +1211,8 @@ class QuerySession:
                 [], "doc_id long, score double")
         clause: PhraseClause = (seq, terms_dedup, DOCLEN_TERM,
                                 self.meta.avgdl)
-        return self._phrase_clauses_topk([clause], idf_by_term, k, allow)
+        return self._phrase_clauses_topk([clause], idf_by_term, k, allow,
+                                         slop=slop)
 
     def topk_whole_words(self, field_texts: dict[str, str], k: int = 10,
                          allow: DataFrame | None = None) -> DataFrame:
@@ -1135,7 +1251,8 @@ class QuerySession:
 
     def _phrase_clauses_topk(self, clauses: list[PhraseClause],
                              idf_by_term: dict[str, float], k: int,
-                             allow: DataFrame | None = None) -> DataFrame:
+                             allow: DataFrame | None = None,
+                             slop: int = 0) -> DataFrame:
         meta = self.meta
         spark = self.spark
         if not meta.positions:
@@ -1157,7 +1274,8 @@ class QuerySession:
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
                       _make_phrase_scorer(clauses, idf_by_term, k,
-                                          allow=allow is not None),
+                                          allow=allow is not None,
+                                          slop=slop),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -1453,11 +1571,13 @@ class QuerySession:
 
 
 def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
-              mode: str = "and") -> DataFrame:
+              mode: str = "and", slop: int = 0,
+              min_should_match: int = 1) -> DataFrame:
     """Top-k BM25 over the compressed index; rank-identical to
     query.oracle.bm25_topk_oracle. Returns (doc_id, score). One-shot
     convenience wrapper — use QuerySession for serving."""
-    return QuerySession(spark, root, cache=False).topk(query, k, mode)
+    return QuerySession(spark, root, cache=False).topk(
+        query, k, mode, slop=slop, min_should_match=min_should_match)
 
 
 METADATA_FIELDS = ("repo", "path", "commit", "lang")
@@ -1470,7 +1590,8 @@ ALLOWLIST_MAX = 100_000
 
 def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
                   k: int = 10, mode: str = "and",
-                  session: QuerySession | None = None) -> DataFrame:
+                  session: QuerySession | None = None,
+                  ranges: dict[str, tuple] | None = None) -> DataFrame:
     """Reference-parity multi-field conjunctive search
     (``cLuceneIndexReader.java:272-397``: one MUST clause per non-empty UI
     field — Path/Filename/Extension/Category…). Spark shape: the ``content``
@@ -1485,11 +1606,20 @@ def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
     or the index is exhausted. Empty-valued fields are ignored (reference
     P1, ``cSearchTable.java:222-246``).
 
+    ``ranges`` adds Lucene range clauses (``IntPoint.newRangeQuery`` /
+    ``TermRangeQuery``): ``{field: (lo, hi)}`` keeps docs with
+    ``lo <= docmap[field] <= hi`` (either bound may be None for
+    open-ended). Range predicates ride the same exact allowlist /
+    over-fetch machinery as the metadata clauses, and push down to the
+    docmap parquet scan as ordinary comparison filters.
+
     Returns (doc_id, score, repo, path, commit, lang) ordered
     (score desc, doc_id asc), at most k rows.
     """
     fields = {f: v for f, v in fields.items() if v and str(v).strip()}
     meta_preds = {f: v for f, v in fields.items() if f in METADATA_FIELDS}
+    ranges = {f: b for f, b in (ranges or {}).items()
+              if b is not None and (b[0] is not None or b[1] is not None)}
     content_q = fields.get("content", "")
     docmap = spark.read.parquet(IndexPaths(root).docmap)
     sess = session or QuerySession(spark, root, cache=False)
@@ -1497,6 +1627,11 @@ def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
     def apply_meta(df: DataFrame) -> DataFrame:
         for f, v in meta_preds.items():
             df = df.filter(F.lower(F.col(f)).contains(str(v).lower()))
+        for f, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(f) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(f) <= hi)
         return df
 
     def with_deletes(df: DataFrame) -> DataFrame:
@@ -1516,7 +1651,7 @@ def search_fields(spark: SparkSession, root: str, fields: dict[str, str],
                         "repo", "path", "commit", "lang")
                 .orderBy("doc_id").limit(k))
 
-    if not meta_preds:
+    if not meta_preds and not ranges:
         hits = sess.topk(content_q, k, mode)
         return (docmap.join(F.broadcast(hits), "doc_id")
                 .select(*out_cols)
@@ -1582,6 +1717,32 @@ def search_fields_whole_words(spark: SparkSession, root: str,
     return (docmap.join(F.broadcast(hits), "doc_id")
             .select("doc_id", "score", "repo", "path", "commit", "lang")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def browse_sorted(spark: SparkSession, root: str, field: str,
+                  k: int = 50, ascending: bool = False,
+                  query: str | None = None, mode: str = "and",
+                  session: QuerySession | None = None) -> DataFrame:
+    """Lucene ``Sort(SortField)``: results ordered by a stored field
+    instead of relevance. With ``query``, the FULL conjunctive/union match
+    set (``match_ids`` — tombstone-aware) is hydrated from the docmap and
+    ordered by (field, doc_id); without, the whole docmap browses in field
+    order. The order+limit compiles to TakeOrderedAndProject (per-partition
+    top-k then a k-row merge on the driver) — no global sort
+    materialization at any corpus size. Returns
+    (doc_id, <field>, repo, path, lang)."""
+    docmap = spark.read.parquet(IndexPaths(root).docmap)
+    sess = session or QuerySession(spark, root, cache=False)
+    if query is not None:
+        ids = sess.match_ids(query, mode=mode)
+        docmap = docmap.join(ids, "doc_id")
+    elif sess.del_rows is not None:
+        from ..ops.maintenance import read_deletes
+        docmap = docmap.join(F.broadcast(read_deletes(spark, root)),
+                             "doc_id", "left_anti")
+    key = F.asc(field) if ascending else F.desc(field)
+    return (docmap.select("doc_id", field, "repo", "path", "lang")
+            .orderBy(key, F.asc("doc_id")).limit(k))
 
 
 def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:

@@ -828,3 +828,226 @@ def test_more_like_this_matches_manual_expansion(built, spark):
     assert src not in [g[0] for g in got]
     # a nonexistent source doc yields an empty frame, not an error
     assert qs.more_like_this(10**9, k=5).count() == 0
+
+
+def test_span_near_slop_matches_naive(built, spark):
+    """SpanNearQuery (inOrder=true, slop): terms at strictly increasing
+    positions with total slack <= slop. Match sets must equal a naive
+    per-doc scan at every slop, grow monotonically with slop, and slop=0
+    must reproduce the exact-phrase path. Scores are the conjunctive BM25
+    of the terms over the match set (same definition the phrase scorer
+    pins)."""
+    from luceneindexer_spark.query.oracle import bm25_topk_oracle
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    toks_by_doc = {int(r.doc_id): tokenize_text(r.content) for r in
+                   docmap.select("doc_id", "content").collect()}
+
+    def naive_near(seq, slop):
+        match = set()
+        for d, toks in toks_by_doc.items():
+            pos = {}
+            for i, t in enumerate(toks):
+                pos.setdefault(t, []).append(i)
+            if any(t not in pos for t in seq):
+                continue
+            for s in pos[seq[0]]:
+                cur, ok = s, True
+                for t in seq[1:]:
+                    nxt = next((p for p in pos[t] if p > cur), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - s <= slop + len(seq) - 1:
+                    match.add(d)
+                    break
+        return match
+
+    # pick a 2-term query from a real doc: two terms ~3 positions apart
+    seq2 = None
+    for d, toks in sorted(toks_by_doc.items()):
+        if len(toks) > 8 and len({toks[2], toks[5]}) == 2:
+            seq2 = [toks[2], toks[5]]
+            break
+    assert seq2 is not None
+    ranking = {(int(r.doc_id)): round(float(r.score), 9) for r in
+               bm25_topk_oracle(docmap, " ".join(seq2), k=10 ** 6).collect()}
+
+    sets = []
+    for slop in (0, 1, 3, 8):
+        want_set = naive_near(seq2, slop)
+        sets.append(want_set)
+        want = sorted(((d, ranking[d]) for d in want_set),
+                      key=lambda x: (-x[1], x[0]))[:10]
+        got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+               qs.topk(" ".join(seq2), k=10, mode="phrase",
+                       slop=slop).collect()]
+        assert got == want, (seq2, slop)
+    assert sets[0] <= sets[1] <= sets[2] <= sets[3]
+    assert len(sets[3]) > len(sets[0])  # slop actually widens the match set
+
+    # slop=0 == exact PhraseQuery path, on a phrase known to occur
+    exact = [(int(r.doc_id), round(float(r.score), 9)) for r in
+             qs.topk(PHRASE, k=10, mode="phrase").collect()]
+    zero = [(int(r.doc_id), round(float(r.score), 9)) for r in
+            qs.topk(PHRASE, k=10, mode="phrase", slop=0).collect()]
+    assert exact == zero and len(exact) > 0
+
+    # 3-term chain: greedy earliest-next must equal the naive scan
+    seq3 = None
+    for d, toks in sorted(toks_by_doc.items()):
+        if len(toks) > 12 and len({toks[1], toks[4], toks[9]}) == 3:
+            seq3 = [toks[1], toks[4], toks[9]]
+            break
+    assert seq3 is not None
+    ranking3 = {int(r.doc_id): round(float(r.score), 9) for r in
+                bm25_topk_oracle(docmap, " ".join(seq3), k=10 ** 6).collect()}
+    for slop in (0, 2, 6):
+        want = sorted(((d, ranking3[d]) for d in naive_near(seq3, slop)),
+                      key=lambda x: (-x[1], x[0]))[:10]
+        got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+               qs.topk(" ".join(seq3), k=10, mode="phrase",
+                       slop=slop).collect()]
+        assert got == want, (seq3, slop)
+
+    # slop outside phrase mode is a loud error
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        qs.topk(HOT_TERM, mode="and", slop=2)
+
+
+def test_min_should_match_matches_naive(built, spark):
+    """BooleanQuery.setMinimumNumberShouldMatch: with m of n SHOULD terms
+    required, only docs containing >= m distinct query terms qualify, and
+    each qualifying doc's score still sums every present term. m=1 is plain
+    OR; m=n matches the AND ranking; m > n matches nothing."""
+    import collections
+
+    from luceneindexer_spark import BM25_B, BM25_K1
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built
+    meta = engine.load_meta(spark, root)
+    qs = engine.QuerySession(spark, root)
+
+    rows = docmap.select("doc_id", "content").collect()
+    toks = {int(r.doc_id): tokenize_text(r.content) for r in rows}
+    # three terms with a spread of document frequencies: the hot planted
+    # term plus two organic ones drawn from different docs
+    organic = sorted({t for tk in list(toks.values())[:20] for t in tk
+                      if t != HOT_TERM})
+    t2, t3 = organic[2], organic[-3]
+    terms = [HOT_TERM, t2, t3]
+    df = {t: sum(1 for v in toks.values() if t in set(v)) for t in terms}
+    assert all(df[t] > 0 for t in terms) and len(set(terms)) == 3
+
+    def naive(m, k=10):
+        scored = []
+        for d, tk in toks.items():
+            c = collections.Counter(tk)
+            present = [t for t in terms if c.get(t, 0)]
+            if len(present) < m:
+                continue
+            s = 0.0
+            for t in present:
+                tf = float(c[t])
+                s += (engine._idf(meta.n_docs, df[t]) * tf * (BM25_K1 + 1)
+                      / (tf + BM25_K1 * (1 - BM25_B
+                                         + BM25_B * len(tk) / meta.avgdl)))
+            scored.append((d, s))
+        return sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    q = " ".join(terms)
+    sizes = []
+    for m in (1, 2, 3):
+        want = naive(m)
+        got = [(int(r.doc_id), float(r.score)) for r in
+               qs.topk(q, k=10, mode="or", min_should_match=m).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want], m
+        np.testing.assert_allclose([g[1] for g in got],
+                                   [w[1] for w in want], rtol=0, atol=1e-9)
+        sizes.append(len({d for d, tk in toks.items()
+                          if sum(t in set(tk) for t in terms) >= m}))
+    assert sizes[0] > sizes[1] >= sizes[2]  # the constraint actually bites
+
+    # m = n must reproduce the AND ranking exactly
+    want_and = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                qs.topk(q, k=10, mode="and").collect()]
+    got_n = [(int(r.doc_id), round(float(r.score), 9)) for r in
+             qs.topk(q, k=10, mode="or", min_should_match=3).collect()]
+    assert got_n == want_and
+
+    # m > n (or > corpus-present terms) matches nothing; and-mode rejects m
+    assert qs.topk(q, k=10, mode="or", min_should_match=4).count() == 0
+    # absent terms never match their clause: requiring 2 of a query whose
+    # other 2 terms are not in the corpus can match nothing
+    assert qs.topk(f"{HOT_TERM} zzznope zzznope2", k=5, mode="or",
+                   min_should_match=2).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        qs.topk(q, mode="and", min_should_match=2)
+
+
+def test_range_query_and_sorted_browse(built, spark):
+    """Lucene range + sort surface: (a) a numeric range clause
+    (IntPoint.newRangeQuery) conjoined with a BM25 content clause stays
+    EXACT through the allowlist path; (b) a pure range browse needs no
+    content clause; (c) browse_sorted orders a match set by a stored field
+    (Sort(SortField)), not by relevance."""
+    from luceneindexer_spark.query.oracle import bm25_topk_oracle
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    rows = docmap.select("doc_id", "size", "lang").collect()
+    sizes = sorted(r.size for r in rows)
+    lo, hi = sizes[len(sizes) // 4], sizes[3 * len(sizes) // 4]
+    in_range = {int(r.doc_id) for r in rows if lo <= r.size <= hi}
+    assert 0 < len(in_range) < len(rows)
+
+    # (a) BM25 ∧ size range — expected = full ranking filtered to the range
+    ranking = [(int(r.doc_id), round(float(r.score), 9)) for r in
+               bm25_topk_oracle(docmap, HOT_TERM, k=10 ** 6).collect()]
+    want = [(d, s) for d, s in ranking if d in in_range][:10]
+    got = [(int(r.doc_id), round(float(r.score), 9)) for r in
+           engine.search_fields(spark, root, {"content": HOT_TERM}, k=10,
+                                session=qs,
+                                ranges={"size": (lo, hi)}).collect()]
+    assert got == want and len(got) == 10
+
+    # open-ended bound
+    want_open = [(d, s) for d, s in ranking
+                 if d in {int(r.doc_id) for r in rows if r.size >= hi}][:5]
+    got_open = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                engine.search_fields(spark, root, {"content": HOT_TERM},
+                                     k=5, session=qs,
+                                     ranges={"size": (hi, None)}).collect()]
+    assert got_open == want_open
+
+    # (b) pure range browse: doc_id order, zero scores
+    got_browse = [int(r.doc_id) for r in
+                  engine.search_fields(spark, root, {}, k=15, session=qs,
+                                       ranges={"size": (lo, hi)}).collect()]
+    assert got_browse == sorted(in_range)[:15]
+
+    # (c) sort-by-field over a match set, desc then asc
+    match = {int(r.doc_id) for r in qs.match_ids(HOT_TERM).collect()}
+    size_of = {int(r.doc_id): int(r.size) for r in rows}
+    want_desc = sorted(((size_of[d], d) for d in match),
+                       key=lambda x: (-x[0], x[1]))[:12]
+    got_desc = [(int(r.size), int(r.doc_id)) for r in
+                engine.browse_sorted(spark, root, "size", k=12,
+                                     query=HOT_TERM, session=qs).collect()]
+    assert got_desc == want_desc
+    want_asc = sorted((size_of[d], d) for d in match)[:12]
+    got_asc = [(int(r.size), int(r.doc_id)) for r in
+               engine.browse_sorted(spark, root, "size", k=12,
+                                    ascending=True, query=HOT_TERM,
+                                    session=qs).collect()]
+    assert got_asc == want_asc
+    # no query: whole docmap in field order
+    all_desc = [int(r.doc_id) for r in
+                engine.browse_sorted(spark, root, "size", k=5,
+                                     session=qs).collect()]
+    assert all_desc == [d for _, d in sorted(
+        ((s, d) for d, s in size_of.items()),
+        key=lambda x: (-x[0], x[1]))[:5]]
