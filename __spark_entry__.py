@@ -155,6 +155,17 @@ def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIZE_LO, SIZE_HI = 250, 420   # central band of the sf length distribution
 SORT_TERM = BM25_QUERY.split()[0]
+HL_QUERY = "spark window"     # 'spark' has the lower df at sf scales
+HL_RARE = "spark"
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene Highlighter analog: top-k with a deterministic snippet around
+    the first occurrence of the rarest query term (JVM locate/substr over
+    the k hydrated rows — no re-tokenize, no Python)."""
+    root = _index_root(spark, sf_dir)
+    r = engine.highlight_topk(spark, root, HL_QUERY, k=10)
+    return _round6(r, "score")
 
 
 def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm_topk": _q_bm25_msm,
         "range_search": _q_range_search,
         "sort_by_size": _q_sort_by_size,
+        "highlight_search": _q_highlight,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -732,7 +744,9 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               must_not: str | None = None,
               slop: int = 0,
               min_match: int = 1,
-              size_between: tuple | None = None) -> str:
+              size_between: tuple | None = None,
+              snippet_term: str | None = None,
+              snippet_width: int = 60) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
     to a lang, and/or with the global rank-1 doc excluded (the delete
@@ -775,6 +789,14 @@ phrase_docs AS (
 top1 AS (SELECT doc_id FROM scored WHERE nt = {len(terms)}
          ORDER BY score DESC, doc_id ASC LIMIT 1)"""
         restrict += " AND doc_id NOT IN (SELECT doc_id FROM top1)"
+    extra_col = ", lang" if with_lang_col else ""
+    need_docs = with_lang_col
+    if snippet_term is not None:
+        half = snippet_width // 2
+        extra_col += (f", substr(text, greatest(1, strpos(lower(text), "
+                      f"'{snippet_term}') - {half}), {snippet_width})"
+                      " AS snippet")
+        need_docs = True
     return f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
@@ -792,9 +814,8 @@ scored AS (
          count(*) AS nt
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id){phrase_cte}{top1}
-SELECT doc_id, round(score, 6)::DOUBLE AS score{
-    ", lang" if with_lang_col else ""}
-FROM scored{" JOIN documents USING (doc_id)" if with_lang_col else ""}
+SELECT doc_id, round(score, 6)::DOUBLE AS score{extra_col}
+FROM scored{" JOIN documents USING (doc_id)" if need_docs else ""}
 WHERE nt {f"= {len(terms)}" if conjunctive else f">= {min_match}"}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
@@ -1189,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         # numeric range clause conjoined with the BM25 content clause
         "range_search": _bm25_sql(SORT_TERM, 10,
                                   size_between=(SIZE_LO, SIZE_HI)),
+        # snippet = width chars around the rarest term's first occurrence
+        "highlight_search": _bm25_sql(HL_QUERY, 10, snippet_term=HL_RARE),
         # sort-by-stored-field over the full match set of one term
         "sort_by_size": f"""
 WITH tok AS ({_TOK})

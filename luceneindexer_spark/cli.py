@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--slop", type=int, default=0,
                    help="phrase mode: ordered span-near slack "
                         "(0 = exact phrase)")
+    q.add_argument("--min-should-match", type=int, default=1,
+                   help="or mode: require this many distinct terms")
+    q.add_argument("--snippet", action="store_true",
+                   help="return a highlight snippet per hit instead of "
+                        "hydrated fields (and/or modes)")
     q.add_argument("--facet", default=None,
                    help="instead of top-k, print per-value counts of this "
                         "docmap field over ALL matches")
@@ -129,10 +134,15 @@ def main(argv: list[str] | None = None) -> int:
                 out = qs.topk_fuzzy(args.query, k=args.k)
             elif args.mode == "wildcard":
                 out = qs.topk_wildcard(args.query, k=args.k)
+            elif args.snippet:
+                from .query.engine import highlight_topk
+                out = highlight_topk(spark, args.index, args.query,
+                                     k=args.k, mode=args.mode, session=qs)
             else:
                 out = qs.topk(args.query, k=args.k, mode=args.mode,
-                              must_not=args.must_not, slop=args.slop)
-            if args.hydrate and args.facet is None:
+                              must_not=args.must_not, slop=args.slop,
+                              min_should_match=args.min_should_match)
+            if args.hydrate and args.facet is None and not args.snippet:
                 out = hydrate(spark, args.index, out)
             for r in out.collect():
                 print(json.dumps(r.asDict(), default=str))

@@ -1745,6 +1745,43 @@ def browse_sorted(spark: SparkSession, root: str, field: str,
             .orderBy(key, F.asc("doc_id")).limit(k))
 
 
+def highlight_topk(spark: SparkSession, root: str, query: str, k: int = 10,
+                   mode: str = "and", width: int = 60,
+                   session: QuerySession | None = None) -> DataFrame:
+    """Lucene ``Highlighter``/``UnifiedHighlighter`` analog: top-k hits
+    with a deterministic snippet of ``width`` characters centered on the
+    first occurrence of the RAREST query term present in the doc (rarest =
+    lowest df, ties term-asc — the most informative term, same choice
+    Lucene's scorer-weighted fragmenter tends to make).
+
+    Entirely JVM-side columnar over the k hydrated rows (a broadcast join
+    plus locate/substr expressions — no Python in the loop, no re-tokenize):
+    every analyzer token is a contiguous substring of the LOWERCASED
+    original text (the code-aware tokenizer only inserts boundaries; it
+    never rewrites characters beyond lowercasing), so a case-insensitive
+    ``locate`` is guaranteed to find each present term. Returns
+    (doc_id, score, snippet) ordered (score desc, doc_id asc)."""
+    sess = session or QuerySession(spark, root, cache=False)
+    terms = query_terms(query)
+    df_by = sess._df_lookup(terms)
+    rarest = sorted((t for t in terms if t in df_by),
+                    key=lambda t: (df_by[t], t))
+    hits = sess.topk(query, k, mode)
+    docmap = spark.read.parquet(IndexPaths(root).docmap)
+    joined = docmap.join(F.broadcast(hits), "doc_id")
+    low = F.lower(F.col("content"))
+    pos = F.lit(1)
+    for t in reversed(rarest):   # rarest-first when-chain
+        p = F.locate(t, low)
+        pos = F.when(p > 0, p).otherwise(pos)
+    start = F.greatest(F.lit(1), pos - F.lit(width // 2))
+    return (joined
+            .select("doc_id", "score",
+                    F.col("content").substr(start,
+                                            F.lit(width)).alias("snippet"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:
     """Join top-k hits back to stored fields (analog of ``searcher.doc(id)`` →
     ``eDocument.from``, R:352-359) — broadcast the k rows, not the corpus."""

@@ -58,3 +58,28 @@ def test_cli_build_query_delete_wipe(spark, tmp_path):
 
     run("wipe", "--index", idx)
     assert not os.path.exists(os.path.join(idx, "postings"))
+
+
+def test_cli_snippet_and_msm(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    synth_corpus(spark, 80, partitions=2).write.parquet(corpus_dir)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "luceneindexer_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(line) for line in r.stdout.splitlines()
+                if line.startswith("{")]
+
+    run("build", "--input", corpus_dir, "--out", idx,
+        "--range-size", "64", "--buckets", "4")
+    snip = run("query", "--index", idx, HOT_TERM, "-k", "3", "--snippet")
+    assert len(snip) == 3 and all(
+        HOT_TERM in s["snippet"].lower() for s in snip)
+    msm = run("query", "--index", idx, f"{HOT_TERM} zzznope", "-k", "3",
+              "--mode", "or", "--min-should-match", "2")
+    assert msm == []

@@ -1051,3 +1051,41 @@ def test_range_query_and_sorted_browse(built, spark):
     assert all_desc == [d for _, d in sorted(
         ((s, d) for d, s in size_of.items()),
         key=lambda x: (-x[0], x[1]))[:5]]
+
+
+def test_highlight_topk_snippets(built, spark):
+    """Highlighter: snippets are width chars around the first occurrence of
+    the rarest PRESENT query term (case-insensitive locate on the stored
+    content), hits identical to plain topk."""
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    toks = {int(r.doc_id): r.content for r in
+            docmap.select("doc_id", "content").collect()}
+    from luceneindexer_spark.corpus import RARE_TERM
+    q = f"{HOT_TERM} {RARE_TERM}"
+    dfh = qs._df_lookup([HOT_TERM, RARE_TERM])
+    assert dfh[RARE_TERM] < dfh[HOT_TERM]
+
+    got = engine.highlight_topk(spark, root, q, k=5, width=40,
+                                session=qs).collect()
+    want = qs.topk(q, k=5, mode="and").collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == \
+           [(r.doc_id, round(r.score, 9)) for r in want]
+    for r in got:
+        content = toks[int(r.doc_id)]
+        pos = content.lower().find(RARE_TERM)  # AND mode: always present
+        start = max(0, pos - 20)
+        assert r.snippet == content[start:start + 40]
+        assert RARE_TERM in r.snippet.lower()
+
+    # OR mode: a doc lacking the rarest term snippets around the next one
+    or_hits = engine.highlight_topk(spark, root, q, k=10, mode="or",
+                                    width=40, session=qs).collect()
+    assert len(or_hits) == 10
+    for r in or_hits:
+        content = toks[int(r.doc_id)]
+        pos = content.lower().find(RARE_TERM)
+        t = RARE_TERM if pos >= 0 else HOT_TERM
+        p = content.lower().find(t)
+        start = max(0, p - 20)
+        assert r.snippet == content[start:start + 40]
