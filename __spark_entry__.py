@@ -44,6 +44,7 @@ INTERSECT_TERMS = ("table", "stream")
 MULTIFIELD_TERMS = ("merge", "spark")
 PHRASE = "batch batch batch"
 INDEX_PHRASE = "table hash"          # occurs consecutively in real sf docs
+NEAR_SLOP = 3                        # span-near slack for the ~N contracts
 MULTIFIELD_LANG = "en"
 DELETED_IDS = tuple(range(10))
 ANN_PROBES = 10
@@ -187,6 +188,29 @@ def _q_sort_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "size"))
 
 
+QS_PHRASE_QUERY = f'+stream "{INDEX_PHRASE}"~{NEAR_SLOP}'
+QS_MIXED_QUERY = "table AND stream -merge wind*"
+
+
+def _q_lucene_qs_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene classic query string through the parser+executor: a MUST term
+    riding a slop phrase — both compile into ONE whole-words cogroup pass
+    (the term is a 1-token clause)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_PHRASE_QUERY, k=10), "score")
+
+
+def _q_lucene_qs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query string mixing AND terms, MUST_NOT, and a prefix expansion:
+    executes as the SHOULD union of (MUST terms + expansion) restricted to
+    match_ids(MUST) via the exact allowlist, deny anti-joined in-scorer —
+    Lucene BooleanQuery scoring."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_MIXED_QUERY, k=10), "score")
+
+
 _COMPACT_ROOT_CACHE: dict[str, str] = {}
 
 
@@ -227,9 +251,6 @@ def _q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _index_root(spark, sf_dir)
     r = engine.bm25_topk(spark, root, INDEX_PHRASE, k=10, mode="phrase")
     return _round6(r, "score")
-
-
-NEAR_SLOP = 3
 
 
 def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search": _q_range_search,
         "sort_by_size": _q_sort_by_size,
         "highlight_search": _q_highlight,
+        "lucene_qs_phrase": _q_lucene_qs_phrase,
+        "lucene_qs_mixed": _q_lucene_qs_mixed,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -1212,6 +1235,41 @@ def oracle_sql() -> dict[str, str]:
                                   size_between=(SIZE_LO, SIZE_HI)),
         # snippet = width chars around the rarest term's first occurrence
         "highlight_search": _bm25_sql(HL_QUERY, 10, snippet_term=HL_RARE),
+        # query string '+stream "table hash"~N': conjunctive BM25 of all 3
+        # terms over docs matching the span-near AND containing 'stream'
+        "lucene_qs_phrase": _bm25_sql(f"stream {INDEX_PHRASE}", 10,
+                                      phrase=INDEX_PHRASE, slop=NEAR_SLOP),
+        # query string 'table AND stream -merge wind*': SHOULD union of
+        # MUST terms + prefix expansion over docs with every MUST, minus
+        # docs containing the deny term
+        "lucene_qs_mixed": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          GROUP BY term),
+exp AS (SELECT term FROM dfall WHERE term LIKE 'wind%'
+        ORDER BY df DESC, term ASC LIMIT 128),
+qt AS (SELECT DISTINCT term FROM (
+         SELECT 'table' AS term UNION ALL SELECT 'stream'
+         UNION ALL SELECT term FROM exp)),
+tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
+       JOIN qt USING (term) GROUP BY doc_id, tok.term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score
+  FROM tf JOIN dfall d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'table'
+                 INTERSECT SELECT doc_id FROM tok WHERE term = 'stream')
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         # sort-by-stored-field over the full match set of one term
         "sort_by_size": f"""
 WITH tok AS ({_TOK})

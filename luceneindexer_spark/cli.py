@@ -56,10 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode",
                    choices=("and", "or", "phrase", "prefix", "fuzzy",
-                            "wildcard"),
+                            "wildcard", "lucene"),
                    default="and",
                    help="and/or/phrase take query text; prefix/fuzzy/"
-                        "wildcard take a single term/pattern")
+                        "wildcard take a single term/pattern; lucene "
+                        "takes a classic query string "
+                        '(+a -b field:t "x y"~2 pre* fuz~1)')
     q.add_argument("--must-not", default=None,
                    help="MUST_NOT clause text (and/or modes)")
     q.add_argument("--slop", type=int, default=0,
@@ -134,6 +136,8 @@ def main(argv: list[str] | None = None) -> int:
                 out = qs.topk_fuzzy(args.query, k=args.k)
             elif args.mode == "wildcard":
                 out = qs.topk_wildcard(args.query, k=args.k)
+            elif args.mode == "lucene":
+                out = qs.query_string(args.query, k=args.k)
             elif args.snippet:
                 from .query.engine import highlight_topk
                 out = highlight_topk(spark, args.index, args.query,

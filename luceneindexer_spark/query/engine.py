@@ -770,7 +770,8 @@ PhraseClause = tuple[list[str], list[str], str, float]
 def _make_phrase_scorer(clauses: list[PhraseClause],
                         idf_by_term: dict[str, float], k: int,
                         k1: float = BM25_K1, b: float = BM25_B,
-                        allow: bool = False, slop: int = 0):
+                        allow: bool = False,
+                        slop: int | list[int] = 0):
     """cogroup fn for phrase ("whole words") mode — one PhraseQuery per
     field, MUST-conjoined, clause scores summed (reference ``BooleanQuery``
     of per-field ``PhraseQuery`` clauses, ``cLuceneIndexReader.java:
@@ -789,7 +790,12 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
     smallest admissible next position minimizes the end position, hence the
     span — so the greedy chain finds a witness iff one exists), vectorized
     as one ``searchsorted`` per query term over the packed
-    (doc-ordinal << 32 | position) keys."""
+    (doc-ordinal << 32 | position) keys. A list-valued ``slop`` sets a
+    per-clause slack (query-string mode: each quoted phrase carries its
+    own ``~N``)."""
+    slops = (list(slop) if isinstance(slop, (list, tuple))
+             else [slop] * len(clauses))
+    assert len(slops) == len(clauses)
     all_terms = list(dict.fromkeys(
         t for _, td, _, _ in clauses for t in td))
 
@@ -833,7 +839,8 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
             if cand.size == 0:
                 return empty
 
-        for seq, _td, _s, _a in clauses:
+        for ci, (seq, _td, _s, _a) in enumerate(clauses):
+            cl_slop = slops[ci]
             # per-term sorted (candidate-ordinal << 32 | position) keys
             keysets: dict[str, np.ndarray] = {}
             for t in set(seq):
@@ -850,7 +857,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                 dkey = np.repeat(
                     np.searchsorted(cand, d[m]).astype(np.int64), lens_c)
                 keysets[t] = dkey * _POS_SHIFT + p  # ascending by constr.
-            if slop == 0:
+            if cl_slop == 0:
                 live = keysets[seq[0]]
                 for i in range(1, len(seq)):
                     live = live[_in_sorted(live + np.int64(i),
@@ -870,7 +877,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                     cur = np.where(ok, nxt, cur)
                     if not ok.any():
                         return empty
-                ok &= (cur - start) <= np.int64(slop + len(seq) - 1)
+                ok &= (cur - start) <= np.int64(cl_slop + len(seq) - 1)
                 live = start[ok]
                 if live.size == 0:
                     return empty
@@ -1252,7 +1259,7 @@ class QuerySession:
     def _phrase_clauses_topk(self, clauses: list[PhraseClause],
                              idf_by_term: dict[str, float], k: int,
                              allow: DataFrame | None = None,
-                             slop: int = 0) -> DataFrame:
+                             slop: int | list[int] = 0) -> DataFrame:
         meta = self.meta
         spark = self.spark
         if not meta.positions:
@@ -1486,12 +1493,19 @@ class QuerySession:
         union, tombstone-aware, deny terms anti-joined — the substrate for
         faceting and match counting. One grouped-map over the term-filtered
         (bucket-pruned) postings; output stays distributed."""
-        empty = self.spark.createDataFrame([], "doc_id long")
         terms = query_terms(query)
         deny = query_terms(must_not) if must_not else []
+        return self._match_terms(terms, mode != "or", deny)
+
+    def _match_terms(self, terms: list[str], conjunctive: bool,
+                     deny: list[str] | None = None) -> DataFrame:
+        """match_ids over pre-analyzed (possibly namespaced) terms — the
+        query-string executor calls this directly so ``path:parse`` is not
+        re-analyzed into two content terms."""
+        empty = self.spark.createDataFrame([], "doc_id long")
+        deny = list(deny or [])
         if not terms:
             return empty
-        conjunctive = mode != "or"
         df_by_term = self._df_lookup(terms)
         if conjunctive:
             if any(t not in df_by_term for t in terms):
@@ -1554,6 +1568,133 @@ class QuerySession:
         scored = self._score_terms(terms, k + 1, conjunctive=False)
         return (scored.filter(F.col("doc_id") != int(doc_id))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+    def query_string(self, q: str, k: int = 10) -> DataFrame:
+        """Execute a Lucene classic query string (the syntax the reference
+        feeds to ``MultiFieldQueryParser``) — see ``query.parser`` for the
+        supported grammar. Compilation onto the existing scorers:
+
+        - MUST_NOT term clauses → scorer deny lists (anti-joined inside the
+          range scorers, never a post-filter).
+        - prefix/fuzzy/wildcard clauses → dictionary expansion; their terms
+          join the SHOULD union (Lucene's scoring-boolean rewrite). A MUST
+          expansion additionally restricts candidates to the expansion's
+          match set via the exact allowlist.
+        - quoted phrases (always MUST here — documented divergence) compile
+          to whole-words clauses with per-clause slop; bare MUST terms ride
+          along as 1-token clauses, so ``+table "stream window"~3`` is ONE
+          cogroup pass.
+        - mixed MUST + SHOULD terms: the SHOULD union scorer runs restricted
+          to ``match_ids(MUST)`` through the allowlist — score = sum of all
+          present terms over docs matching every MUST, which is exactly
+          Lucene's BooleanQuery scoring.
+
+        Unsupported (loud ValueError): MUST_NOT phrases/expansions, phrases
+        mixed with SHOULD terms, phrases with MUST_NOT terms, and
+        field-scoped fuzzy/wildcard (field-scoped prefix works — the
+        namespaced dictionary is prefix-ordered)."""
+        from ..tokenizer import tokenize_text
+        from .parser import parse_query_string
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        clauses = parse_query_string(q)
+        if not clauses:
+            return empty
+        must_terms: list[str] = []
+        should_terms: list[str] = []
+        deny_terms: list[str] = []
+        phrase_specs: list[tuple[str, list[str], int]] = []
+        allow_sets: list[DataFrame] = []
+        for c in clauses:
+            if c.field and c.field != "content":
+                def ns(t, _f=c.field):
+                    return f"{_f}:{t}"
+            else:
+                def ns(t):
+                    return t
+            if c.kind == "phrase":
+                if c.occur == "-":
+                    raise ValueError("MUST_NOT phrases are not supported")
+                toks = tokenize_text(c.text)
+                if toks:
+                    phrase_specs.append(
+                        (c.field, [ns(t) for t in toks], c.num))
+            elif c.kind == "term":
+                toks = [ns(t) for t in tokenize_text(c.text)]
+                if c.occur == "-":
+                    deny_terms += toks
+                elif c.occur == "+":
+                    must_terms += toks
+                else:
+                    should_terms += toks
+            else:
+                if c.occur == "-":
+                    raise ValueError(
+                        "MUST_NOT multi-term clauses are not supported")
+                if c.field and c.field != "content" and c.kind != "prefix":
+                    raise ValueError(
+                        f"field-scoped {c.kind} clauses are not supported "
+                        "(field prefix queries are)")
+                pat = ns(c.text.lower())
+                if c.kind == "prefix":
+                    exp = self.expand_prefix(pat)
+                elif c.kind == "wildcard":
+                    exp = self.expand_wildcard(pat)
+                else:
+                    exp = self.expand_fuzzy(pat, max_edits=c.num)
+                if not exp:
+                    if c.occur == "+":
+                        return empty  # a MUST clause that can match nothing
+                    continue
+                should_terms += exp
+                if c.occur == "+":
+                    allow_sets.append(
+                        self._match_terms(exp, conjunctive=False))
+        allow_df: DataFrame | None = None
+        for s in allow_sets:
+            allow_df = s if allow_df is None else allow_df.join(s, "doc_id")
+
+        if phrase_specs:
+            if should_terms:
+                raise ValueError(
+                    "phrases combine only with MUST clauses here")
+            if deny_terms:
+                raise ValueError("must_not is not supported in phrase mode")
+            raw = ([(f, seq, sl) for f, seq, sl in phrase_specs]
+                   + [("" if ":" not in t else t.split(":", 1)[0],
+                       [t], 0) for t in dict.fromkeys(must_terms)])
+            all_terms = list(dict.fromkeys(
+                t for _, seq, _ in raw for t in seq))
+            df_by_term = self._df_lookup(all_terms)
+            if any(t not in df_by_term for t in all_terms):
+                return empty
+            idf_by_term = {t: _idf(self.meta.n_docs, df_by_term[t])
+                           for t in all_terms}
+            sent_of = {f: (f + ":" if f and f != "content" else DOCLEN_TERM)
+                       for f, _, _ in raw}
+            avgdl_of = self._avgdl_by_sentinel(
+                sorted(set(sent_of.values())))
+            pclauses: list[PhraseClause] = [
+                (seq, list(dict.fromkeys(seq)), sent_of[f],
+                 avgdl_of[sent_of[f]]) for f, seq, _ in raw]
+            return self._phrase_clauses_topk(
+                pclauses, idf_by_term, k, allow_df,
+                slop=[sl for _, _, sl in raw])
+
+        must = list(dict.fromkeys(must_terms))
+        should = list(dict.fromkeys(should_terms))
+        if must and not should:
+            return self._score_terms(must, k, allow_df, conjunctive=True,
+                                     deny=deny_terms or None)
+        if should and not must:
+            return self._score_terms(should, k, allow_df, conjunctive=False,
+                                     deny=deny_terms or None)
+        if must and should:
+            m = self._match_terms(must, conjunctive=True)
+            allow_df = m if allow_df is None else allow_df.join(m, "doc_id")
+            both = list(dict.fromkeys(must + should))
+            return self._score_terms(both, k, allow_df, conjunctive=False,
+                                     deny=deny_terms or None)
+        return empty
 
     def facet_counts(self, query: str, field: str, mode: str = "and",
                      must_not: str | None = None) -> DataFrame:

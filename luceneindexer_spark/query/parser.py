@@ -1,0 +1,101 @@
+"""Lucene classic QueryParser (subset) — the syntax the reference feeds to
+``MultiFieldQueryParser`` (``cLuceneIndexReader.java:320-338``), parsed into
+typed clauses the engine executes on its own scorers.
+
+Supported grammar (documented subset of the Lucene classic syntax):
+
+- bare atoms are SHOULD (Lucene default operator OR)
+- ``+atom`` MUST, ``-atom`` MUST_NOT, ``NOT atom`` == ``-atom``
+- ``a AND b`` promotes both neighbors to MUST; ``OR`` keeps SHOULD
+- ``field:atom`` scopes the atom to a metadata field (``path:parseJson``),
+  including quoted phrases (``path:"file txt"``)
+- ``"a b"`` quoted phrase; ``"a b"~3`` span-near with slop 3
+- ``te*`` prefix, ``t?ble``/``ta*le`` wildcard, ``term~``/``term~1`` fuzzy
+
+Divergences (each pinned by tests): an analyzed multi-token atom
+contributes one clause per token with the same occur (Lucene's parser
+would auto-phrase them); quoted phrases always execute as MUST clauses.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+#: a clause token: ``[+-]?(field:)?"phrase"(~N)?`` or a bare atom
+_TOKEN_RE = re.compile(
+    r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?|\S+')
+_FIELD_RE = re.compile(r'^([A-Za-z_]\w*):(.+)$', re.S)
+_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+_FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
+
+
+@dataclass(frozen=True)
+class Clause:
+    occur: str       # "+" MUST | "" SHOULD | "-" MUST_NOT
+    field: str       # "" = content
+    kind: str        # term | phrase | prefix | wildcard | fuzzy
+    text: str        # raw atom text (unanalyzed)
+    num: int = 0     # phrase slop / fuzzy max edits
+
+
+def parse_query_string(q: str) -> list[Clause]:
+    """Parse a Lucene classic query string into clauses. Raises ValueError
+    on malformed input (unbalanced quote, empty field atom)."""
+    if q.count('"') % 2:
+        raise ValueError(f"unbalanced quote in query: {q!r}")
+    clauses: list[Clause] = []
+    pending_not = False
+    pending_and = False
+    for tok in _TOKEN_RE.findall(q):
+        up = tok.upper()
+        if up in ("AND", "&&"):
+            if clauses and clauses[-1].occur == "":
+                last = clauses[-1]
+                clauses[-1] = Clause("+", last.field, last.kind,
+                                     last.text, last.num)
+            pending_and = True
+            continue
+        if up in ("OR", "||"):
+            pending_and = False
+            continue
+        if up == "NOT":
+            pending_not = True
+            continue
+        occur = ""
+        if tok.startswith("+"):
+            occur, tok = "+", tok[1:]
+        elif tok.startswith("-"):
+            occur, tok = "-", tok[1:]
+        if pending_not:
+            occur = "-"
+            pending_not = False
+        if pending_and and occur == "":
+            occur = "+"
+        pending_and = False
+        if not tok:
+            raise ValueError("dangling +/- with no atom")
+        field = ""
+        if not tok.startswith('"'):
+            m = _FIELD_RE.match(tok)
+            if m:
+                field, tok = m.group(1), m.group(2)
+        m = _PHRASE_RE.match(tok)
+        if m is not None:
+            clauses.append(Clause(occur, field, "phrase",
+                                  m.group(1), int(m.group(2) or 0)))
+            continue
+        m = _FUZZY_RE.match(tok)
+        if m is not None and '"' not in tok:
+            clauses.append(Clause(occur, field, "fuzzy",
+                                  m.group(1), int(m.group(2) or 2)))
+            continue
+        if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+            if len(tok) < 2:
+                raise ValueError("bare * is not a query")
+            clauses.append(Clause(occur, field, "prefix", tok[:-1]))
+            continue
+        if "*" in tok or "?" in tok:
+            clauses.append(Clause(occur, field, "wildcard", tok))
+            continue
+        clauses.append(Clause(occur, field, "term", tok))
+    return clauses

@@ -1089,3 +1089,125 @@ def test_highlight_topk_snippets(built, spark):
         p = content.lower().find(t)
         start = max(0, p - 20)
         assert r.snippet == content[start:start + 40]
+
+
+@pytest.fixture(scope="module")
+def built_fields(spark, tmp_path_factory):
+    """n300 index WITH metadata fields indexed (namespaced terms) — the
+    substrate for query-string tests."""
+    root = str(tmp_path_factory.mktemp("idx_qs"))
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1,
+                positions=True, field_cols=("repo", "path", "lang"))
+    docmap = spark.read.parquet(f"{root}/docmap")
+    return root, docmap
+
+
+def _hits(df):
+    return [(int(r.doc_id), round(float(r.score), 9)) for r in df.collect()]
+
+
+def test_query_string_compiles_to_engine_calls(built_fields, spark):
+    """Lucene classic query strings execute identically to the equivalent
+    direct engine calls (which are themselves oracle-tested): AND/OR/NOT,
+    quoted phrases with slop, prefix expansion, field scoping, and the
+    mixed MUST+SHOULD allowlist path."""
+    import collections
+
+    from luceneindexer_spark import BM25_B, BM25_K1
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    meta = qs.meta
+
+    # pure conjunction / union / deny
+    assert _hits(qs.query_string(f"+{HOT_TERM} +{RARE_TERM}")) == \
+        _hits(qs.topk(f"{HOT_TERM} {RARE_TERM}", mode="and"))
+    assert _hits(qs.query_string(f"{HOT_TERM} {RARE_TERM}")) == \
+        _hits(qs.topk(f"{HOT_TERM} {RARE_TERM}", mode="or"))
+    assert _hits(qs.query_string(f"{HOT_TERM} AND {RARE_TERM}")) == \
+        _hits(qs.topk(f"{HOT_TERM} {RARE_TERM}", mode="and"))
+    assert _hits(qs.query_string(f"{HOT_TERM} OR {RARE_TERM} -getuser")) == \
+        _hits(qs.topk(f"{HOT_TERM} {RARE_TERM}", mode="or",
+                      must_not="getuser"))
+
+    # phrases: exact, with slop, and with a MUST term rider
+    assert _hits(qs.query_string(f'"{PHRASE}"')) == \
+        _hits(qs.topk(PHRASE, mode="phrase"))
+    toks0 = tokenize_text(
+        docmap.orderBy("doc_id").first().content)[:6]
+    nearq = f'"{toks0[1]} {toks0[4]}"~5'
+    assert _hits(qs.query_string(nearq)) == \
+        _hits(qs.topk(f"{toks0[1]} {toks0[4]}", mode="phrase", slop=5))
+
+    # prefix expansion, content + field-scoped
+    assert _hits(qs.query_string(f"{HOT_TERM[:6]}*")) == \
+        _hits(qs.topk_prefix(HOT_TERM[:6]))
+    exp_f = qs.expand_prefix("path:f")
+    assert exp_f, "synth paths must contain f<N> tokens"
+    assert _hits(qs.query_string("path:f*")) == \
+        _hits(qs._score_terms(exp_f, 10, conjunctive=False))
+
+    # field-scoped MUST terms == parsed multi-field conjunction
+    assert _hits(qs.query_string(f"+{HOT_TERM} +lang:python")) == \
+        _hits(qs.topk_parsed({"content": HOT_TERM, "lang": "python"}))
+
+    # mixed MUST + SHOULD: score sums all present terms over docs matching
+    # every MUST (naive recompute)
+    toks = {int(r.doc_id): tokenize_text(r.content) for r in
+            docmap.select("doc_id", "content").collect()}
+    t2 = next(t for t in tokenize_text(
+        docmap.orderBy("doc_id").first().content) if t != HOT_TERM)
+    terms = [HOT_TERM, t2]
+    dfm = {t: sum(1 for v in toks.values() if t in set(v)) for t in terms}
+    scored = []
+    for d, tk in toks.items():
+        c = collections.Counter(tk)
+        if not c.get(HOT_TERM):
+            continue
+        s = 0.0
+        for t in terms:
+            tf = float(c.get(t, 0))
+            if tf:
+                s += (engine._idf(meta.n_docs, dfm[t]) * tf * (BM25_K1 + 1)
+                      / (tf + BM25_K1 * (1 - BM25_B
+                                         + BM25_B * len(tk) / meta.avgdl)))
+        scored.append((d, round(s, 9)))
+    want = sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = _hits(qs.query_string(f"+{HOT_TERM} {t2}"))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                               rtol=0, atol=1e-6)
+
+    # phrase + MUST term rider: phrase docs ∩ HOT docs, clause scores sum
+    ph_all = {int(r.doc_id): float(r.score) for r in
+              qs.topk(PHRASE, mode="phrase", k=10 ** 6).collect()}
+    dfh = {HOT_TERM: sum(1 for v in toks.values() if HOT_TERM in set(v))}
+    rider = []
+    for d, base in ph_all.items():
+        c = collections.Counter(toks[d])
+        tf = float(c.get(HOT_TERM, 0))
+        if not tf:
+            continue
+        s = base + (engine._idf(meta.n_docs, dfh[HOT_TERM]) * tf
+                    * (BM25_K1 + 1)
+                    / (tf + BM25_K1 * (1 - BM25_B + BM25_B
+                                       * len(toks[d]) / meta.avgdl)))
+        rider.append((d, round(s, 9)))
+    want_r = sorted(rider, key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_r = _hits(qs.query_string(f'+{HOT_TERM} "{PHRASE}"'))
+    assert [g[0] for g in got_r] == [w[0] for w in want_r]
+    np.testing.assert_allclose([g[1] for g in got_r],
+                               [w[1] for w in want_r], rtol=0, atol=1e-6)
+
+    # loud errors for the documented unsupported shapes
+    import pytest as _pt
+    for bad in (f'-"{PHRASE}"', f'{HOT_TERM} "{PHRASE}" extra'.replace(
+                    "extra", RARE_TERM),
+                "lang:pyth~1", "path:t?ble"):
+        with _pt.raises(ValueError):
+            qs.query_string(bad)
+    # unbalanced quote
+    with _pt.raises(ValueError):
+        qs.query_string('"never closed')
