@@ -190,6 +190,9 @@ def _q_sort_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QS_PHRASE_QUERY = f'+stream "{INDEX_PHRASE}"~{NEAR_SLOP}'
 QS_MIXED_QUERY = "table AND stream -merge wind*"
+QS_BOOST_QUERY = "table^2 stream window^0.5"
+QS_BOOSTS = {"table": 2.0, "stream": 1.0, "window": 0.5}
+REGEXP_PAT = "st.*m"     # whole-term anchored; matches stream/...
 
 
 def _q_lucene_qs_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +202,25 @@ def _q_lucene_qs_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _index_root(spark, sf_dir)
     qs = engine.QuerySession(spark, root, cache=False)
     return _round6(qs.query_string(QS_PHRASE_QUERY, k=10), "score")
+
+
+def _q_lucene_qs_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ^boost through the parser+executor: per-term weights scale
+    idf (the WAND/MaxScore upper bounds ride along, so pruning stays
+    exact); score = sum of boost x BM25 term contributions over the
+    SHOULD union."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_BOOST_QUERY, k=10), "score")
+
+
+def _q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene RegexpQuery (``/st.*m/``): whole-term anchored regexp
+    expansion over the dictionary (df desc, term asc, cap 128), scored as
+    the MaxScore SHOULD union."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.topk_regexp(REGEXP_PAT, k=10), "score")
 
 
 def _q_lucene_qs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_search": _q_highlight,
         "lucene_qs_phrase": _q_lucene_qs_phrase,
         "lucene_qs_mixed": _q_lucene_qs_mixed,
+        "lucene_qs_boost": _q_lucene_qs_boost,
+        "regexp_search": _q_regexp_search,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -769,7 +793,8 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               min_match: int = 1,
               size_between: tuple | None = None,
               snippet_term: str | None = None,
-              snippet_width: int = 60) -> str:
+              snippet_width: int = 60,
+              boosts: dict | None = None) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
     to a lang, and/or with the global rank-1 doc excluded (the delete
@@ -812,6 +837,11 @@ phrase_docs AS (
 top1 AS (SELECT doc_id FROM scored WHERE nt = {len(terms)}
          ORDER BY score DESC, doc_id ASC LIMIT 1)"""
         restrict += " AND doc_id NOT IN (SELECT doc_id FROM top1)"
+    weight = ""
+    if boosts:
+        cases = " ".join(f"WHEN '{t}' THEN {float(w)}"
+                         for t, w in boosts.items())
+        weight = f"(CASE tf.term {cases} ELSE 1.0 END) * "
     extra_col = ", lang" if with_lang_col else ""
     need_docs = with_lang_col
     if snippet_term is not None:
@@ -831,7 +861,7 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         sum({weight}ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
              * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
                + {BM25_B} * dl.doclen / s.avgdl))) AS score,
          count(*) AS nt
@@ -1290,6 +1320,13 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         # WildcardQuery: anchored * / ? pattern over the dictionary
         "wildcard_search": _expansion_sql(
             f"regexp_matches(term, '{WILDCARD_RX}')",
+            "df DESC, term ASC", 128),
+        # ^boost: per-term weight = boost x idf, SHOULD union
+        "lucene_qs_boost": _bm25_sql(BM25_QUERY, 10, conjunctive=False,
+                                     boosts=QS_BOOSTS),
+        # RegexpQuery: whole-term anchored regexp over the dictionary
+        "regexp_search": _expansion_sql(
+            f"regexp_matches(term, '^(?:{REGEXP_PAT})$')",
             "df DESC, term ASC", 128),
         # MoreLikeThis: source doc's top tf·idf terms (df >= 2), source
         # excluded from the ranking

@@ -1129,7 +1129,8 @@ class QuerySession:
                      allow: DataFrame | None = None,
                      conjunctive: bool = True,
                      deny: list[str] | None = None,
-                     min_should_match: int = 1) -> DataFrame:
+                     min_should_match: int = 1,
+                     boosts: dict[str, float] | None = None) -> DataFrame:
         """Shared BM25 scorer over (possibly namespaced) terms:
         ``conjunctive`` picks MUST-intersection (WAND) vs SHOULD-union
         (MaxScore) semantics; ``deny`` terms (MUST_NOT) exclude any doc
@@ -1155,6 +1156,12 @@ class QuerySession:
             for t in terms}
         sentinels = sorted({sentinel_of[t] for t in terms})
         idf_by_term = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
+        if boosts:
+            # Lucene ^boost: scale the term's weight. The WAND / MaxScore
+            # upper bounds derive from idf_by_term, so pruning stays exact
+            # under boosted weights for free.
+            idf_by_term = {t: v * boosts.get(t, 1.0)
+                           for t, v in idf_by_term.items()}
         avgdl_of = self._avgdl_by_sentinel(sentinels)
         terms_by_rarity = sorted(terms, key=lambda t: (df_by_term[t], t))
 
@@ -1449,6 +1456,43 @@ class QuerySession:
                 .limit(max_expansions).collect())
         return [r["term"] for r in rows]
 
+    def expand_regexp(self, rx: str, max_expansions: int = 128
+                      ) -> list[str]:
+        """Lucene ``RegexpQuery`` expansion: the pattern is anchored both
+        ends (Lucene regexp semantics — it must match the WHOLE term),
+        ordered (df desc, term asc), capped. Same dictionary-scan
+        discipline as expand_prefix/expand_wildcard: vocabulary-sized, a
+        bounded control-plane lookup at any corpus scale."""
+        import re
+        rx = rx.strip()
+        if not rx:
+            return []
+        anchored = "^(?:" + rx + ")$"
+        crx = re.compile(anchored)   # raises re.error on a bad pattern
+        if self._stats_local is not None:
+            cands = [(-df, t) for t, (df, _) in self._stats_local.items()
+                     if t and ":" not in t and crx.match(t)]
+            cands.sort()
+            return [t for _, t in cands[:max_expansions]]
+        rows = (self.stats
+                .filter(F.col("term").rlike(anchored)
+                        & ~F.col("term").contains(":")
+                        & (F.col("term") != DOCLEN_TERM))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def topk_regexp(self, rx: str, k: int = 10,
+                    max_expansions: int = 128) -> DataFrame:
+        """Lucene ``RegexpQuery`` (``/pattern/``) with the scoring-boolean
+        rewrite: whole-term regexp expansion over the dictionary, scored
+        as a SHOULD union (MaxScore)."""
+        terms = self.expand_regexp(rx, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        return self._score_terms(terms, k, conjunctive=False)
+
     def topk_fuzzy(self, term: str, k: int = 10, max_edits: int = 2,
                    max_expansions: int = 50) -> DataFrame:
         """Lucene ``FuzzyQuery`` (``term~``) with the scoring-boolean
@@ -1589,10 +1633,17 @@ class QuerySession:
           present terms over docs matching every MUST, which is exactly
           Lucene's BooleanQuery scoring.
 
+        - ``atom^B`` boosts scale the clause's term weights (idf × boost),
+          which rides through the WAND / MaxScore bounds unchanged; when
+          any boost is present, duplicate clauses SUM their boosts
+          (Lucene's duplicate-clause scoring).
+        - ``/regex/`` clauses expand like wildcards (whole-term anchored
+          regexp over the dictionary) into the SHOULD union.
+
         Unsupported (loud ValueError): MUST_NOT phrases/expansions, phrases
-        mixed with SHOULD terms, phrases with MUST_NOT terms, and
-        field-scoped fuzzy/wildcard (field-scoped prefix works — the
-        namespaced dictionary is prefix-ordered)."""
+        mixed with SHOULD terms, phrases with MUST_NOT terms or boosts,
+        and field-scoped fuzzy/wildcard/regexp (field-scoped prefix works —
+        the namespaced dictionary is prefix-ordered)."""
         from ..tokenizer import tokenize_text
         from .parser import parse_query_string
         empty = self.spark.createDataFrame([], "doc_id long, score double")
@@ -1604,6 +1655,18 @@ class QuerySession:
         deny_terms: list[str] = []
         phrase_specs: list[tuple[str, list[str], int]] = []
         allow_sets: list[DataFrame] = []
+        # Lucene ^boost: when ANY clause carries a boost, per-term weights
+        # are the SUM of the owning clauses' boosts (Lucene scores each
+        # duplicate SHOULD clause, which sums). Without boosts, duplicate
+        # terms stay deduped (pre-boost behavior, pinned by contract
+        # hashes) and no weights are passed.
+        has_boost = any(c.boost != 1.0 for c in clauses)
+        boost_acc: dict[str, float] = {}
+
+        def add_boost(toks: list[str], b: float) -> None:
+            for t in toks:
+                boost_acc[t] = boost_acc.get(t, 0.0) + b
+
         for c in clauses:
             if c.field and c.field != "content":
                 def ns(t, _f=c.field):
@@ -1614,6 +1677,8 @@ class QuerySession:
             if c.kind == "phrase":
                 if c.occur == "-":
                     raise ValueError("MUST_NOT phrases are not supported")
+                if c.boost != 1.0:
+                    raise ValueError("phrase boosts are not supported")
                 toks = tokenize_text(c.text)
                 if toks:
                     phrase_specs.append(
@@ -1624,8 +1689,10 @@ class QuerySession:
                     deny_terms += toks
                 elif c.occur == "+":
                     must_terms += toks
+                    add_boost(toks, c.boost)
                 else:
                     should_terms += toks
+                    add_boost(toks, c.boost)
             else:
                 if c.occur == "-":
                     raise ValueError(
@@ -1634,18 +1701,22 @@ class QuerySession:
                     raise ValueError(
                         f"field-scoped {c.kind} clauses are not supported "
                         "(field prefix queries are)")
-                pat = ns(c.text.lower())
-                if c.kind == "prefix":
-                    exp = self.expand_prefix(pat)
-                elif c.kind == "wildcard":
-                    exp = self.expand_wildcard(pat)
+                if c.kind == "regexp":
+                    exp = self.expand_regexp(c.text)
                 else:
-                    exp = self.expand_fuzzy(pat, max_edits=c.num)
+                    pat = ns(c.text.lower())
+                    if c.kind == "prefix":
+                        exp = self.expand_prefix(pat)
+                    elif c.kind == "wildcard":
+                        exp = self.expand_wildcard(pat)
+                    else:
+                        exp = self.expand_fuzzy(pat, max_edits=c.num)
                 if not exp:
                     if c.occur == "+":
                         return empty  # a MUST clause that can match nothing
                     continue
                 should_terms += exp
+                add_boost(exp, c.boost)
                 if c.occur == "+":
                     allow_sets.append(
                         self._match_terms(exp, conjunctive=False))
@@ -1659,6 +1730,9 @@ class QuerySession:
                     "phrases combine only with MUST clauses here")
             if deny_terms:
                 raise ValueError("must_not is not supported in phrase mode")
+            if has_boost:
+                raise ValueError(
+                    "boosts are not supported in phrase mode")
             raw = ([(f, seq, sl) for f, seq, sl in phrase_specs]
                    + [("" if ":" not in t else t.split(":", 1)[0],
                        [t], 0) for t in dict.fromkeys(must_terms)])
@@ -1682,18 +1756,19 @@ class QuerySession:
 
         must = list(dict.fromkeys(must_terms))
         should = list(dict.fromkeys(should_terms))
+        boosts = boost_acc if has_boost else None
         if must and not should:
             return self._score_terms(must, k, allow_df, conjunctive=True,
-                                     deny=deny_terms or None)
+                                     deny=deny_terms or None, boosts=boosts)
         if should and not must:
             return self._score_terms(should, k, allow_df, conjunctive=False,
-                                     deny=deny_terms or None)
+                                     deny=deny_terms or None, boosts=boosts)
         if must and should:
             m = self._match_terms(must, conjunctive=True)
             allow_df = m if allow_df is None else allow_df.join(m, "doc_id")
             both = list(dict.fromkeys(must + should))
             return self._score_terms(both, k, allow_df, conjunctive=False,
-                                     deny=deny_terms or None)
+                                     deny=deny_terms or None, boosts=boosts)
         return empty
 
     def facet_counts(self, query: str, field: str, mode: str = "and",

@@ -11,6 +11,10 @@ Supported grammar (documented subset of the Lucene classic syntax):
   including quoted phrases (``path:"file txt"``)
 - ``"a b"`` quoted phrase; ``"a b"~3`` span-near with slop 3
 - ``te*`` prefix, ``t?ble``/``ta*le`` wildcard, ``term~``/``term~1`` fuzzy
+- ``/regex/`` RegexpQuery (anchored, Lucene ``RegexpQuery``; whitespace
+  inside the pattern is not supported — atoms split on whitespace)
+- ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
+  phrases, and multi-term atoms; parsed outermost (``term~1^2``)
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser
@@ -21,21 +25,24 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-#: a clause token: ``[+-]?(field:)?"phrase"(~N)?`` or a bare atom
+#: a clause token: ``[+-]?(field:)?"phrase"(~N)?(^B)?`` or a bare atom
 _TOKEN_RE = re.compile(
-    r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?|\S+')
+    r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+')
 _FIELD_RE = re.compile(r'^([A-Za-z_]\w*):(.+)$', re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
 _FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
+_BOOST_RE = re.compile(r'^(.+?)\^(\d+(?:\.\d+)?)$')
+_REGEX_RE = re.compile(r'^/(.+)/$', re.S)
 
 
 @dataclass(frozen=True)
 class Clause:
     occur: str       # "+" MUST | "" SHOULD | "-" MUST_NOT
     field: str       # "" = content
-    kind: str        # term | phrase | prefix | wildcard | fuzzy
+    kind: str        # term | phrase | prefix | wildcard | fuzzy | regexp
     text: str        # raw atom text (unanalyzed)
     num: int = 0     # phrase slop / fuzzy max edits
+    boost: float = 1.0  # Lucene ^boost (multiplies the clause's score)
 
 
 def parse_query_string(q: str) -> list[Clause]:
@@ -52,7 +59,7 @@ def parse_query_string(q: str) -> list[Clause]:
             if clauses and clauses[-1].occur == "":
                 last = clauses[-1]
                 clauses[-1] = Clause("+", last.field, last.kind,
-                                     last.text, last.num)
+                                     last.text, last.num, last.boost)
             pending_and = True
             continue
         if up in ("OR", "||"):
@@ -74,28 +81,43 @@ def parse_query_string(q: str) -> list[Clause]:
         pending_and = False
         if not tok:
             raise ValueError("dangling +/- with no atom")
+        boost = 1.0
+        m = _BOOST_RE.match(tok)
+        if m is not None and not tok.endswith('"'):
+            tok, boost = m.group(1), float(m.group(2))
+            if not tok:
+                raise ValueError("dangling ^boost with no atom")
         field = ""
-        if not tok.startswith('"'):
+        if not tok.startswith(('"', '/')):
             m = _FIELD_RE.match(tok)
             if m:
                 field, tok = m.group(1), m.group(2)
         m = _PHRASE_RE.match(tok)
         if m is not None:
             clauses.append(Clause(occur, field, "phrase",
-                                  m.group(1), int(m.group(2) or 0)))
+                                  m.group(1), int(m.group(2) or 0),
+                                  boost))
+            continue
+        m = _REGEX_RE.match(tok)
+        if m is not None:
+            clauses.append(Clause(occur, field, "regexp", m.group(1),
+                                  boost=boost))
             continue
         m = _FUZZY_RE.match(tok)
         if m is not None and '"' not in tok:
             clauses.append(Clause(occur, field, "fuzzy",
-                                  m.group(1), int(m.group(2) or 2)))
+                                  m.group(1), int(m.group(2) or 2),
+                                  boost))
             continue
         if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
             if len(tok) < 2:
                 raise ValueError("bare * is not a query")
-            clauses.append(Clause(occur, field, "prefix", tok[:-1]))
+            clauses.append(Clause(occur, field, "prefix", tok[:-1],
+                                  boost=boost))
             continue
         if "*" in tok or "?" in tok:
-            clauses.append(Clause(occur, field, "wildcard", tok))
+            clauses.append(Clause(occur, field, "wildcard", tok,
+                                  boost=boost))
             continue
-        clauses.append(Clause(occur, field, "term", tok))
+        clauses.append(Clause(occur, field, "term", tok, boost=boost))
     return clauses

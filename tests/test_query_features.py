@@ -1211,3 +1211,82 @@ def test_query_string_compiles_to_engine_calls(built_fields, spark):
     # unbalanced quote
     with _pt.raises(ValueError):
         qs.query_string('"never closed')
+
+
+def test_query_string_boosts_and_regexp(built_fields, spark):
+    """Lucene ^boost scales per-term weights (idf x boost), duplicate
+    boosted clauses SUM their boosts, and /regex/ clauses expand over the
+    dictionary into the SHOULD union — all checked against a naive
+    recompute / the direct expansion calls."""
+    import collections
+
+    from luceneindexer_spark import BM25_B, BM25_K1
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    meta = qs.meta
+
+    toks = {int(r.doc_id): tokenize_text(r.content) for r in
+            docmap.select("doc_id", "content").collect()}
+    t2 = next(t for t in tokenize_text(
+        docmap.orderBy("doc_id").first().content) if t != HOT_TERM)
+
+    def naive_or(weights: dict[str, float], k=10):
+        dfm = {t: sum(1 for v in toks.values() if t in set(v))
+               for t in weights}
+        scored = []
+        for d, tk in toks.items():
+            c = collections.Counter(tk)
+            s = 0.0
+            hit = False
+            for t, w in weights.items():
+                tf = float(c.get(t, 0))
+                if tf:
+                    hit = True
+                    s += (w * engine._idf(meta.n_docs, dfm[t]) * tf
+                          * (BM25_K1 + 1)
+                          / (tf + BM25_K1 * (1 - BM25_B + BM25_B
+                                             * len(tk) / meta.avgdl)))
+            if hit:
+                scored.append((d, s))
+        return sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def check(q, weights):
+        got = _hits(qs.query_string(q))
+        want = naive_or(weights)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        np.testing.assert_allclose([g[1] for g in got],
+                                   [w[1] for w in want],
+                                   rtol=0, atol=1e-6, err_msg=q)
+
+    # boosted SHOULD union
+    check(f"{HOT_TERM}^2 {t2}", {HOT_TERM: 2.0, t2: 1.0})
+    # fractional boost
+    check(f"{HOT_TERM}^0.25 {t2}", {HOT_TERM: 0.25, t2: 1.0})
+    # duplicate boosted clauses sum (Lucene duplicate-clause scoring)
+    check(f"{HOT_TERM}^2 {HOT_TERM} {t2}", {HOT_TERM: 3.0, t2: 1.0})
+    # boost on a MUST conjunction: same match set as unboosted AND,
+    # rescored with the boosted weight
+    got = _hits(qs.query_string(f"+{HOT_TERM}^2 +{RARE_TERM}"))
+    base = {d: s for d, s in _hits(qs.topk(
+        f"{HOT_TERM} {RARE_TERM}", mode="and", k=10 ** 6))}
+    assert got and all(d in base for d, _ in got)
+
+    # regexp expansion == the equivalent anchored dictionary scan
+    rx = HOT_TERM[:4] + ".*"
+    exp = qs.expand_regexp(rx)
+    assert HOT_TERM in exp
+    assert _hits(qs.query_string(f"/{rx}/")) == \
+        _hits(qs.topk_regexp(rx))
+    assert _hits(qs.topk_regexp(rx)) == \
+        _hits(qs._score_terms(exp, 10, conjunctive=False))
+    # regexp == wildcard when the pattern is a star-glob
+    assert qs.expand_regexp("s.*am") == qs.expand_wildcard("s*am")
+
+    # loud errors: phrase boost, boost in phrase mode, field-scoped regexp
+    import pytest as _pt
+    for bad in (f'"{PHRASE}"^2', f'+{HOT_TERM}^2 "{PHRASE}"',
+                "lang:/pyth.n/"):
+        with _pt.raises(ValueError):
+            qs.query_string(bad)
