@@ -223,6 +223,14 @@ def _q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.topk_regexp(REGEXP_PAT, k=10), "score")
 
 
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IndexReader stats (numDocs / Terms.size / getSumDocFreq /
+    getSumTotalTermFreq) + avgdl, read off the published index's term_stats
+    — one vocabulary-sized agg, no postings decode."""
+    root = _index_root(spark, sf_dir)
+    return engine.index_stats(spark, root)
+
+
 def _q_lucene_qs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query string mixing AND terms, MUST_NOT, and a prefix expansion:
     executes as the SHOULD union of (MUST terms + expansion) restricted to
@@ -424,6 +432,18 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(pairs, "jaccard")
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs (min-label
+    propagation, one shuffle per round) — the pairs→keep-one-per-group
+    step of a dedup pipeline. Oracle: recursive-CTE transitive closure
+    over the identical pair list."""
+    pairs = D.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                  threshold=0.5)
+    return (D.dedup_components(pairs)
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("component").cast("long").alias("component")))
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = D.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text",
                               max_hamming=3)
@@ -580,6 +600,21 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by tf x ln(N/df) (simple tokenizer, df >= 2),
+    rank window per doc — the standard keyword extractor for curation."""
+    return (T.tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text",
+                              k=3, min_df=2)
+            .withColumnRenamed("id", "doc_id"))
+
+
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 adjacent-token collocations by PMI (min pair count 5)
+    — phrase mining over the documents table, pure Catalyst."""
+    return T.collocations(_docs(spark, sf_dir), "doc_id", "text",
+                          min_count=5, k=20)
+
+
 LANG_FAMILY = (("en", "germanic"), ("de", "germanic"), ("es", "romance"),
                ("fr", "romance"), ("zh", "sinitic"))
 
@@ -721,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_mixed": _q_lucene_qs_mixed,
         "lucene_qs_boost": _q_lucene_qs_boost,
         "regexp_search": _q_regexp_search,
+        "index_stats": _q_index_stats,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -738,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig4": _q_minhash,
         "simhash60": _q_simhash,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "dedup_components": _q_dedup_components,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "embedding_cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -746,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "collocations_pmi": _q_collocations,
         "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
@@ -963,6 +1002,27 @@ FROM common m
 JOIN sizes na ON na.doc_id = m.id_a
 JOIN sizes nb ON nb.doc_id = m.id_b
 WHERE m.c::DOUBLE / (na.n + nb.n - m.c) >= {threshold}
+"""
+
+
+def _dedup_components_sql(threshold: float) -> str:
+    """Transitive closure (recursive CTE) over the SAME pair list as
+    _minhash_pairs_sql: component = min reachable doc id."""
+    pairs = _minhash_pairs_sql(threshold).strip()
+    assert pairs.startswith("WITH ")
+    body = pairs[len("WITH "):]
+    head, final = body.rsplit("\nSELECT ", 1)
+    return f"""
+WITH RECURSIVE {head},
+pairs AS (SELECT {final}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
+SELECT id::BIGINT AS id, min(lbl)::BIGINT AS component
+FROM reach GROUP BY id
 """
 
 
@@ -1328,6 +1388,17 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         "regexp_search": _expansion_sql(
             f"regexp_matches(term, '^(?:{REGEXP_PAT})$')",
             "df DESC, term ASC", 128),
+        # IndexReader stats: numDocs / vocab / sumDocFreq / sumTotalTermFreq
+        "index_stats": f"""
+WITH tok AS ({_TOK})
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS vocab_size,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))
+         ::BIGINT AS sum_doc_freq,
+       (SELECT count(*) FROM tok)::BIGINT AS sum_total_term_freq,
+       round((SELECT count(*) FROM tok)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl
+""",
         # MoreLikeThis: source doc's top tf·idf terms (df >= 2), source
         # excluded from the ranking
         "more_like_this": _expansion_sql(
@@ -1376,6 +1447,7 @@ FROM x GROUP BY doc_id
 """,
         "simhash60": _SIMHASH_SQL,
         "minhash_dedup_pairs": _minhash_pairs_sql(0.5),
+        "dedup_components": _dedup_components_sql(0.5),
         "simhash_dedup_pairs": _simhash_pairs_sql(3),
         "embedding_cosine_topk": _COSINE_SQL,
         # ann_lsh_topk: at this sf the adaptive sketch width + radius-2
@@ -1437,6 +1509,44 @@ FROM ranked WHERE rk <= 3
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_summary": _fingerprint_sql(),
+        # per-doc top-3 keywords by tf x ln(N/df), rank window per doc
+        "tfidf_top_terms": f"""
+WITH tok AS ({_SIMPLE_TOK.replace('AS tok', 'AS term')}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+        HAVING count(*) >= 2),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (SELECT doc_id, tf.term,
+                  round(tf.tf * ln(n.n_docs / dfq.df), 6) AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+           FROM scored)
+SELECT doc_id, term, tfidf, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+        # corpus top-20 adjacent-token collocations by PMI (min count 5)
+        "collocations_pmi": """
+WITH ts AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents),
+big AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1]))
+          AS bigram
+        FROM ts WHERE len(ts) >= 2),
+pc AS (SELECT bigram, count(*)::BIGINT AS n_pair FROM big GROUP BY bigram),
+uni AS (SELECT unnest(ts) AS tok FROM ts),
+uc AS (SELECT tok, count(*)::DOUBLE AS n_tok FROM uni GROUP BY tok),
+tot AS (SELECT sum(n_pair)::DOUBLE AS t_pairs FROM pc)
+SELECT pc.bigram, pc.n_pair,
+       round(ln(pc.n_pair * tot.t_pairs / (x.n_tok * y.n_tok)), 6) AS pmi
+FROM pc
+JOIN uc x ON x.tok = split_part(pc.bigram, ' ', 1)
+JOIN uc y ON y.tok = split_part(pc.bigram, ' ', 2)
+CROSS JOIN tot
+WHERE pc.n_pair >= 5
+ORDER BY pmi DESC, pc.bigram ASC LIMIT 20
+""",
         "category_counts": f"""
 WITH dim(lang, family) AS (VALUES {", ".join(f"('{l}', '{f}')" for l, f in LANG_FAMILY)})
 SELECT coalesce(dim.family, 'other') AS family,

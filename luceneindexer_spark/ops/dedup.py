@@ -292,3 +292,66 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str, vec_col: str,
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# connected components over duplicate pairs (canonical-doc assignment)
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(id, component) — connected components over an undirected pair list
+    (``id_a``/``id_b``), component = the minimum doc id reachable. This is
+    the step that turns near-dup PAIRS (MinHash/SimHash/embedding verify
+    output) into keep-one-per-group decisions in a training pipeline.
+
+    Algorithm: min-label propagation. Each round every node adopts the
+    smallest label in its closed neighborhood; a round is one shuffle
+    (edge join + groupBy-min). Converges in O(diameter) rounds — dup
+    components are near-cliques (diameter ~2 after LSH banding), so this
+    terminates in 2-4 rounds in practice; ``max_iters`` bounds the
+    adversarial chain-graph case and raises loudly rather than returning a
+    half-merged labeling. The driver loop carries only the convergence
+    flag (one count per round), never data; every labeled row stays
+    distributed. At 100 TB the edge list is the dedup-verify output —
+    orders of magnitude smaller than the corpus — and each round shuffles
+    the edge list once, the standard Spark CC recipe (cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14)."""
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .union(pairs.select(F.col("id_b").alias("a"),
+                                 F.col("id_a").alias("b")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iters):
+        # candidate labels: own + every neighbor's current label
+        nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+               .select(F.col("a").alias("id"), "component"))
+        new = (labels.unionByName(nbr)
+               .groupBy("id").agg(F.min("component").alias("component"))
+               .persist())
+        changed = (new.join(labels.withColumnRenamed("component", "_old"),
+                            "id")
+                   .filter(F.col("component") != F.col("_old")).count())
+        labels.unpersist()   # no-op on the (uncached) first-round labels
+        labels = new
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iters} rounds "
+        "(pathological chain graph?) — raise max_iters")
+
+
+def dedup_keep_list(df: DataFrame, id_col: str, pairs: DataFrame
+                    ) -> DataFrame:
+    """The keep-one-per-component filter: every doc OUTSIDE any dup pair
+    survives; inside a component only the minimum id survives. Returns the
+    surviving ids as (id) — anti-join the corpus against the drops."""
+    comp = dedup_components(pairs)
+    drops = comp.filter(F.col("id") != F.col("component")).select("id")
+    return (df.select(F.col(id_col).alias("id"))
+            .join(drops, "id", "left_anti"))

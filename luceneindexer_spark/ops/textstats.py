@@ -197,3 +197,81 @@ def fingerprint_summary(df: DataFrame, id_col: str, text_col: str,
                  F.min("fp").alias("min_fp"),
                  F.max("fp").alias("max_fp"),
                  F.bit_xor("fp").alias("xor_fp")))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5, min_df: int = 1) -> DataFrame:
+    """(id, term, tfidf, rank): the per-document top-``k`` terms by
+    tf x ln(N/df) over the pinned simple tokenizer — the standard keyword /
+    topic-signal extractor for training-data curation.
+
+    Plan: one explode + (id, term) count (map-side partial agg), a
+    vocabulary-sized df agg joined back on term, a single-row N broadcast
+    cross join, and a per-document window (partitionBy id — never a global
+    sort). Every stage is partition-parallel; the per-doc window holds at
+    most that doc's distinct terms. Scores round to 6dp for cross-engine
+    comparability; ties break term asc (deterministic)."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(simple_tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .filter(F.col("df") >= min_df))
+    n = df.select(F.count("*").cast("double").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "term", "tfidf",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# bigram collocations (PMI)
+# ---------------------------------------------------------------------------
+
+
+def collocations(df: DataFrame, id_col: str, text_col: str,
+                 min_count: int = 3, k: int = 20) -> DataFrame:
+    """(bigram, n_pair, pmi): the corpus's top-``k`` adjacent-token
+    collocations by pointwise mutual information, ln(c_xy * T / (c_x *
+    c_y)) with T = total bigram count, restricted to pairs seen at least
+    ``min_count`` times — the classic phrase-mining signal (Church & Hanks
+    1990). Pure Catalyst: bigrams come from zip_with(tokens, shifted
+    tokens) inside the row (no positional self-join), then two corpus aggs
+    (pair + unigram counts) and one broadcast of the scalar totals. Ties
+    break bigram asc; pmi rounds to 6dp."""
+    ts = simple_tokens_col(text_col)
+    pairs = F.zip_with(ts, F.slice(ts, 2, F.greatest(F.size(ts) - 1,
+                                                     F.lit(0))),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with null and concat_ws drops nulls,
+    # so the trailing element is a lone token — keep real pairs only
+    pairs = F.filter(pairs, lambda p: p.contains(" "))
+    big = df.select(F.explode(pairs).alias("bigram"))
+    pair_cnt = big.groupBy("bigram").agg(F.count("*").alias("n_pair"))
+    uni = (df.select(F.explode(ts).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("n_tok")))
+    tot = pair_cnt.agg(F.sum("n_pair").cast("double").alias("t_pairs"))
+    lhs = F.split(F.col("bigram"), " ").getItem(0)
+    rhs = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (pair_cnt.filter(F.col("n_pair") >= min_count)
+              .withColumn("_x", lhs).withColumn("_y", rhs)
+              .join(uni.withColumnRenamed("tok", "_x")
+                    .withColumnRenamed("n_tok", "c_x"), "_x")
+              .join(uni.withColumnRenamed("tok", "_y")
+                    .withColumnRenamed("n_tok", "c_y"), "_y")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("pmi", F.round(F.log(
+                  F.col("n_pair") * F.col("t_pairs")
+                  / (F.col("c_x") * F.col("c_y"))), 6)))
+    return (scored.select("bigram", "n_pair", "pmi")
+            .orderBy(F.desc("pmi"), F.asc("bigram")).limit(k))

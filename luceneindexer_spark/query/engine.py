@@ -2006,3 +2006,22 @@ def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:
             .select("doc_id", "score", "repo", "path", "commit", "lang",
                     "size", "content_sha256")
             .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def index_stats(spark: SparkSession, root: str) -> DataFrame:
+    """Lucene ``IndexReader`` corpus statistics (``numDocs`` /
+    ``Terms.size`` / ``getSumDocFreq`` / ``getSumTotalTermFreq``) read off
+    the published index — one vocabulary-sized agg over term_stats, no
+    postings decode. Content terms only: namespaced ``field:`` terms and
+    the DOCLEN sentinel are bookkeeping, not user vocabulary. ``avgdl``
+    rounds to 6dp for cross-engine comparability."""
+    meta = load_meta(spark, root)
+    st = spark.read.parquet(IndexPaths(root).term_stats)
+    return (st.filter(~F.col("term").contains(":"))
+            .agg(F.count("*").alias("vocab_size"),
+                 F.sum("df").cast("long").alias("sum_doc_freq"),
+                 F.sum("cf").cast("long").alias("sum_total_term_freq"))
+            .withColumn("n_docs", F.lit(int(meta.n_docs)).cast("long"))
+            .withColumn("avgdl", F.round(F.lit(float(meta.avgdl)), 6))
+            .select("n_docs", "vocab_size", "sum_doc_freq",
+                    "sum_total_term_freq", "avgdl"))

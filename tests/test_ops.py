@@ -383,3 +383,109 @@ def test_ivf_empty_cells_keep_position(spark):
     cent = IVF.train_kmeans(emb, 2, max_iters=4)
     assert cent.shape == (2, 2)
     assert not np.isnan(cent).any()
+
+
+def test_tfidf_top_terms_matches_naive(spark):
+    """Per-doc top-k tf·idf keywords reproduce a Python recompute exactly:
+    same term sets, same rounded scores, same rank order (tie term asc)."""
+    import math
+    import re
+
+    from luceneindexer_spark.ops import textstats as T
+    docs = [(0, "alpha beta beta gamma"),
+            (1, "beta gamma gamma gamma delta"),
+            (2, "alpha alpha delta epsilon"),
+            (3, "zeta zeta zeta beta alpha")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(int(r.id), r.term): (float(r.tfidf), int(r.rank))
+           for r in T.tfidf_top_terms(df, "doc_id", "text",
+                                      k=2, min_df=2).collect()}
+    toks = {d: re.findall("[a-z0-9]+", t.lower()) for d, t in docs}
+    n = float(len(docs))
+    dfm: dict[str, int] = {}
+    for tk in toks.values():
+        for t in set(tk):
+            dfm[t] = dfm.get(t, 0) + 1
+    want = {}
+    for d, tk in toks.items():
+        scored = sorted(
+            ((round(tk.count(t) * math.log(n / dfm[t]), 6), t)
+             for t in set(tk) if dfm[t] >= 2),
+            key=lambda st: (-st[0], st[1]))[:2]
+        for i, (s, t) in enumerate(scored, 1):
+            want[(d, t)] = (s, i)
+    assert got == want
+
+
+def test_collocations_pmi_matches_naive(spark):
+    """Corpus bigram PMI reproduces a Python recompute: pair counts from
+    adjacent tokens only (no cross-doc pairs), PMI = ln(c_xy*T/(c_x*c_y))."""
+    import collections
+    import math
+    import re
+    from luceneindexer_spark.ops import textstats as T
+    docs = [(0, "new york new york city"),
+            (1, "new york is a big city"),
+            (2, "a big apple in new york"),
+            (3, "city of new york")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = T.collocations(df, "doc_id", "text", min_count=2, k=10).collect()
+    got = [(r.bigram, int(r.n_pair), float(r.pmi)) for r in rows]
+    pair = collections.Counter()
+    uni = collections.Counter()
+    for _, t in docs:
+        tk = re.findall("[a-z0-9]+", t.lower())
+        uni.update(tk)
+        pair.update(" ".join(p) for p in zip(tk, tk[1:]))
+    tot = float(sum(pair.values()))
+    want = sorted(
+        ((b, c, round(math.log(c * tot / (uni[b.split()[0]]
+                                          * uni[b.split()[1]])), 6))
+         for b, c in pair.items() if c >= 2),
+        key=lambda x: (-x[2], x[0]))[:10]
+    assert got == want
+    assert ("new york", 5) in {(b, c) for b, c, _ in got}
+    # single-token docs produce no bigrams (zip_with null-pad is filtered)
+    one = spark.createDataFrame([(9, "solo"), (10, "")],
+                                "doc_id long, text string")
+    assert T.collocations(one, "doc_id", "text", 1, 5).count() == 0
+
+
+def test_dedup_components_matches_union_find(spark):
+    """Min-label propagation reproduces a naive union-find on a graph with
+    a chain (transitive merge), a clique, and an isolated pair."""
+    edges = [(1, 2), (2, 3), (3, 4),          # chain -> component 1
+             (10, 11), (10, 12), (11, 12),    # clique -> component 10
+             (20, 21)]                        # pair  -> component 20
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {int(r.id): int(r.component)
+           for r in D.dedup_components(pairs).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[4] == 1 and got[12] == 10 and got[21] == 20
+
+    # keep list: corpus 0..25 -> drops every non-min member
+    docs = spark.createDataFrame([(i,) for i in range(26)], "doc_id long")
+    keep = {int(r.id) for r in
+            D.dedup_keep_list(docs, "doc_id", pairs).collect()}
+    assert keep == set(range(26)) - {2, 3, 4, 11, 12, 21}
+
+    # bounded non-convergence raises loudly instead of returning a
+    # half-merged labeling (chain diameter > max_iters)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        D.dedup_components(chain, max_iters=2)
