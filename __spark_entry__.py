@@ -223,6 +223,18 @@ def _q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.topk_regexp(REGEXP_PAT, k=10), "score")
 
 
+QS_GROUP_QUERY = "+(table stream) window"
+
+
+def _q_lucene_qs_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized MUST group: +(table stream) window — docs must match
+    at least one group term (allowlist on the union), score sums every
+    present term (Lucene MUST-of-SHOULDs BooleanQuery scoring)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_GROUP_QUERY, k=10), "score")
+
+
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene IndexReader stats (numDocs / Terms.size / getSumDocFreq /
     getSumTotalTermFreq) + avgdl, read off the published index's term_stats
@@ -756,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_mixed": _q_lucene_qs_mixed,
         "lucene_qs_boost": _q_lucene_qs_boost,
         "regexp_search": _q_regexp_search,
+        "lucene_qs_group": _q_lucene_qs_group,
         "index_stats": _q_index_stats,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
@@ -833,7 +846,8 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               size_between: tuple | None = None,
               snippet_term: str | None = None,
               snippet_width: int = 60,
-              boosts: dict | None = None) -> str:
+              boosts: dict | None = None,
+              any_of: list | None = None) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
     to a lang, and/or with the global rank-1 doc excluded (the delete
@@ -870,6 +884,10 @@ phrase_docs AS (
                               for t in query_terms(must_not))
         restrict += (" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok"
                      f" WHERE term IN ({deny_list}))")
+    if any_of:
+        grp = ", ".join("'" + t + "'" for t in any_of)
+        restrict += (" AND doc_id IN (SELECT DISTINCT doc_id FROM tok"
+                     f" WHERE term IN ({grp}))")
     top1 = ""
     if exclude_rank1:
         top1 = f""",
@@ -1384,6 +1402,10 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         # ^boost: per-term weight = boost x idf, SHOULD union
         "lucene_qs_boost": _bm25_sql(BM25_QUERY, 10, conjunctive=False,
                                      boosts=QS_BOOSTS),
+        # +(table stream) window: union scoring over all three terms,
+        # restricted to docs containing table or stream
+        "lucene_qs_group": _bm25_sql(BM25_QUERY, 10, conjunctive=False,
+                                     any_of=["table", "stream"]),
         # RegexpQuery: whole-term anchored regexp over the dictionary
         "regexp_search": _expansion_sql(
             f"regexp_matches(term, '^(?:{REGEXP_PAT})$')",

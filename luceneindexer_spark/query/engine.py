@@ -1639,6 +1639,10 @@ class QuerySession:
           (Lucene's duplicate-clause scoring).
         - ``/regex/`` clauses expand like wildcards (whole-term anchored
           regexp over the dictionary) into the SHOULD union.
+        - ``(a b)`` groups: ``+(a b)`` restricts candidates to the group's
+          match union via the allowlist (Lucene MUST-of-SHOULDs scoring),
+          ``-(a b)`` denies every group term (De Morgan), ``(a b)^2``
+          boosts each group term.
 
         Unsupported (loud ValueError): MUST_NOT phrases/expansions, phrases
         mixed with SHOULD terms, phrases with MUST_NOT terms or boosts,
@@ -1693,6 +1697,25 @@ class QuerySession:
                 else:
                     should_terms += toks
                     add_boost(toks, c.boost)
+            elif c.kind == "group":
+                # (a b) = SHOULD subquery of plain terms. +group: the doc
+                # must match >= 1 group term (allowlist on the union —
+                # exactly Lucene's MUST BooleanQuery-of-SHOULDs scoring);
+                # -group: the doc must match none (De Morgan: deny each).
+                toks = list(dict.fromkeys(tokenize_text(c.text)))
+                if not toks:
+                    continue
+                if c.occur == "-":
+                    deny_terms += toks
+                    continue
+                exist = [t for t in toks if t in self._df_lookup(toks)]
+                should_terms += exist
+                add_boost(exist, c.boost)
+                if c.occur == "+":
+                    if not exist:
+                        return empty  # MUST group matching nothing
+                    allow_sets.append(
+                        self._match_terms(exist, conjunctive=False))
             else:
                 if c.occur == "-":
                     raise ValueError(

@@ -15,6 +15,10 @@ Supported grammar (documented subset of the Lucene classic syntax):
   inside the pattern is not supported — atoms split on whitespace)
 - ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
+- ``(a b)`` parenthesized SHOULD group of plain terms: ``+(a b)`` MUST
+  (doc must match at least one group term), ``-(a b)`` MUST_NOT (doc must
+  match none), ``(a b)^2`` boosts every group term. Groups may contain
+  only plain terms (no nesting, phrases, or wildcards — loud ValueError)
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser
@@ -25,9 +29,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-#: a clause token: ``[+-]?(field:)?"phrase"(~N)?(^B)?`` or a bare atom
+#: a clause token: ``[+-]?(field:)?"phrase"(~N)?(^B)?``, a paren group
+#: ``[+-]?(...)(^B)?``, or a bare atom
 _TOKEN_RE = re.compile(
-    r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+')
+    r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+    r'|[+\-]?\([^()]*\)(?:\^\d+(?:\.\d+)?)?'
+    r'|\S+')
 _FIELD_RE = re.compile(r'^([A-Za-z_]\w*):(.+)$', re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
 _FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
@@ -40,6 +47,7 @@ class Clause:
     occur: str       # "+" MUST | "" SHOULD | "-" MUST_NOT
     field: str       # "" = content
     kind: str        # term | phrase | prefix | wildcard | fuzzy | regexp
+                     #      | group (text = space-separated plain terms)
     text: str        # raw atom text (unanalyzed)
     num: int = 0     # phrase slop / fuzzy max edits
     boost: float = 1.0  # Lucene ^boost (multiplies the clause's score)
@@ -87,6 +95,17 @@ def parse_query_string(q: str) -> list[Clause]:
             tok, boost = m.group(1), float(m.group(2))
             if not tok:
                 raise ValueError("dangling ^boost with no atom")
+        if tok.startswith("(") and tok.endswith(")"):
+            inner = tok[1:-1].strip()
+            if not inner:
+                raise ValueError("empty () group")
+            if any(ch in inner for ch in '"*?~/^(') or ":" in inner:
+                raise ValueError(
+                    "() groups may contain only plain terms: " + tok)
+            clauses.append(Clause(occur, "", "group", inner, boost=boost))
+            continue
+        if "(" in tok or ")" in tok:
+            raise ValueError(f"unbalanced or nested parens in atom: {tok!r}")
         field = ""
         if not tok.startswith(('"', '/')):
             m = _FIELD_RE.match(tok)

@@ -1290,3 +1290,41 @@ def test_query_string_boosts_and_regexp(built_fields, spark):
                 "lang:/pyth.n/"):
         with _pt.raises(ValueError):
             qs.query_string(bad)
+
+
+def test_query_string_paren_groups(built_fields, spark):
+    """(a b) groups: +group = allowlist on the union (Lucene
+    MUST-of-SHOULDs), -group = deny all, group^B boosts each member —
+    each checked against the equivalent direct engine calls / naive
+    recompute."""
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+
+    t2 = next(t for t in tokenize_text(
+        docmap.orderBy("doc_id").first().content)
+        if t not in (HOT_TERM, RARE_TERM))
+
+    # +(a b) c == SHOULD union of {a,b,c} restricted to match(a OR b)
+    allow = qs._match_terms([HOT_TERM, RARE_TERM], conjunctive=False)
+    want = _hits(qs._score_terms([HOT_TERM, RARE_TERM, t2], 10, allow,
+                                 conjunctive=False))
+    got = _hits(qs.query_string(f"+({HOT_TERM} {RARE_TERM}) {t2}"))
+    assert got == want
+
+    # -(a b) c == c minus docs containing a or b
+    want2 = _hits(qs.topk(t2, mode="or",
+                          must_not=f"{HOT_TERM} {RARE_TERM}"))
+    got2 = _hits(qs.query_string(f"-({HOT_TERM} {RARE_TERM}) {t2}"))
+    assert got2 == want2
+
+    # (a b)^2 == boosted union
+    want3 = _hits(qs._score_terms(
+        [HOT_TERM, t2], 10, conjunctive=False,
+        boosts={HOT_TERM: 2.0, t2: 2.0}))
+    got3 = _hits(qs.query_string(f"({HOT_TERM} {t2})^2"))
+    assert got3 == want3
+
+    # a MUST group with no indexed term matches nothing
+    assert qs.query_string(f"+(zzqqxx{HOT_TERM}zz) {t2}").count() == 0
