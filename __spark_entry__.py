@@ -243,6 +243,34 @@ def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.index_stats(spark, root)
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IndexSearcher.explain analog: per-(hit, term) BM25 breakdown
+    (tf, doclen, df, idf, contrib) for the top-10 of the flagship query,
+    decoded off the compressed index with bucket/range/block pruning."""
+    root = _index_root(spark, sf_dir)
+    return engine.explain_topk(spark, root, BM25_QUERY, k=10)
+
+
+SUGGEST_TYPO = "lin"     # nearest dictionary terms: line(1), join/big(2)
+
+
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene DirectSpellChecker analog: dictionary terms within edit
+    distance 2 of a typo, ranked (dist asc, df desc, term asc) — the
+    distance runs JVM-side over the vocabulary-sized term_stats scan."""
+    root = _index_root(spark, sf_dir)
+    return engine.spell_suggest(spark, root, SUGGEST_TYPO, n=5)
+
+
+def _q_check_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene CheckIndex analog: full distributed decode audit of every
+    postings row + term_stats cross-check; the summary must equal the
+    DuckDB recomputation from the raw corpus with zero violations."""
+    from luceneindexer_spark.index.check import check_index
+    root = _index_root(spark, sf_dir)
+    return check_index(spark, root)
+
+
 def _q_lucene_qs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query string mixing AND terms, MUST_NOT, and a prefix expansion:
     executes as the SHOULD union of (MUST terms + expansion) restricted to
@@ -770,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_search": _q_regexp_search,
         "lucene_qs_group": _q_lucene_qs_group,
         "index_stats": _q_index_stats,
+        "explain_search": _q_explain,
+        "spell_suggest": _q_spell_suggest,
+        "check_index": _q_check_index,
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
@@ -928,6 +959,40 @@ SELECT doc_id, round(score, 6)::DOUBLE AS score{extra_col}
 FROM scored{" JOIN documents USING (doc_id)" if need_docs else ""}
 WHERE nt {f"= {len(terms)}" if conjunctive else f">= {min_match}"}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _explain_sql(query: str, k: int) -> str:
+    """Per-(hit, term) BM25 explanation for the conjunctive top-k: the same
+    scored CTE as the bm25 oracles picks the hits; the outer select re-joins
+    tf/dl/df to expose every Explanation component, rounded like the
+    engine."""
+    terms = query_terms(query)
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    idf = "ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))"
+    contrib = (f"{idf} * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}"
+               f" + {BM25_B} * dl.doclen / s.avgdl))")
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, sum({contrib}) AS score, count(*) AS nt
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id FROM scored WHERE nt = {len(terms)}
+         ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dl.doclen::BIGINT AS doclen,
+       dfq.df::BIGINT AS df, round({idf}, 6)::DOUBLE AS idf,
+       round({contrib}, 6)::DOUBLE AS contrib
+FROM tf JOIN topk USING (doc_id) JOIN dfq USING (term) JOIN dl USING (doc_id)
+CROSS JOIN stats s
+ORDER BY doc_id ASC, term ASC
 """
 
 
@@ -1449,6 +1514,35 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC
 WITH tok AS ({_TOK})
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""",
+        # IndexSearcher.explain: per-(hit, term) BM25 component breakdown
+        # for the conjunctive top-10 — same scored CTE as the bm25 oracles,
+        # re-joined to expose tf/doclen/df/idf/contrib per term
+        "explain_search": _explain_sql(BM25_QUERY, 10),
+        # DirectSpellChecker: dictionary terms at levenshtein 1..2 of the
+        # typo, ranked (dist asc, df desc, suggestion asc)
+        "spell_suggest": f"""
+WITH tok AS ({_TOK}),
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+         GROUP BY term)
+SELECT term AS suggestion, levenshtein(term, '{SUGGEST_TYPO}')::INT AS dist,
+       df
+FROM dict
+WHERE levenshtein(term, '{SUGGEST_TYPO}') BETWEEN 1 AND 2
+ORDER BY dist ASC, df DESC, suggestion ASC LIMIT 5
+""",
+        # CheckIndex: the audited index summary must equal the corpus-derived
+        # truth — vocabulary size, Σdf (distinct doc-term pairs), Σcf (total
+        # tokens) — with zero structural violations or stats mismatches
+        "check_index": f"""
+WITH tok AS ({_TOK})
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS vocab_size,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))::BIGINT
+           AS sum_doc_freq,
+       (SELECT count(*) FROM tok)::BIGINT AS sum_total_term_freq,
+       0::BIGINT AS structural_violations,
+       0::BIGINT AS stats_mismatches
 """,
         "corpus_stats": f"""
 WITH tok AS ({_TOK}),

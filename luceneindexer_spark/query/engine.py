@@ -47,7 +47,7 @@ from .. import BM25_B, BM25_K1
 from ..codecs import (EncodedPostings, decode_block, decode_blocks_overlapping,
                       decode_postings, encode_postings, positions_decode)
 from ..index.build import DOCLEN_TERM, POSTINGS_SCHEMA, IndexPaths
-from .oracle import query_terms
+from .oracle import bm25_score_expr, query_terms
 
 #: pseudo-term carrying a per-range candidate allowlist (exact multi-field
 #: conjunction): the tokenizer emits only [a-z0-9]+ and the norms sentinel is
@@ -1808,6 +1808,113 @@ class QuerySession:
                 .groupBy(field).agg(F.count("*").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc(field)))
 
+    def explain(self, query: str, k: int = 10) -> DataFrame:
+        """Lucene ``IndexSearcher.explain`` analog: the per-(doc, term) BM25
+        score breakdown for the top-k hits of a conjunctive content query —
+        one row per (hit, query term) with every quantity Lucene's
+        ``Explanation`` tree reports (tf, doclen, df, idf, and the term's
+        score contribution; the hit's score is the sum of its contribs).
+
+        Distributed shape: the k hit ids are control-plane (k rows); the
+        breakdown re-reads ONLY the postings rows of the query terms + the
+        DOCLEN norms sentinel in the hits' ranges (bucket + range pruned —
+        parquet partition pruning on disk, filter on the cached relation),
+        decodes ONLY blocks overlapping the hit ids (skip-list jump), and
+        emits (doc_id, term, tf) rows from one mapInPandas pass. df/idf are
+        dictionary lookups; the contribution is a Catalyst expression over
+        the joined columns — no Python in the arithmetic.
+
+        Returns (doc_id, term, tf, doclen, df, idf, contrib) ordered
+        (doc_id asc, term asc); idf/contrib rounded to 6dp."""
+        terms = query_terms(query)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, term string, tf long, doclen long, "
+                "df long, idf double, contrib double")
+        if not terms:
+            return empty
+        docs = sorted(int(r["doc_id"])
+                      for r in self.topk(query, k).select("doc_id").collect())
+        stats = self._stats_lookup(terms)
+        if not docs or any(t not in stats for t in terms):
+            return empty
+        meta = self.meta
+        ranges = sorted({d // meta.range_size for d in docs})
+        fetch = terms + [DOCLEN_TERM]
+        if self._cached:
+            post = self.post.filter(F.col("term").isin(fetch)
+                                    & F.col("range_id").isin(ranges))
+        else:
+            bmap = _buckets_of(fetch, meta.n_buckets, self.spark)
+            post = self.post.filter(
+                F.col("bucket").isin(sorted({bmap[t] for t in fetch}))
+                & F.col("term").isin(fetch)
+                & F.col("range_id").isin(ranges))
+        allow = np.asarray(docs, dtype=np.int64)
+        lo, hi = int(allow[0]), int(allow[-1])
+
+        def gen(batches):
+            for pdf in batches:
+                od, ot, otf = [], [], []
+                for row in pdf.itertuples(index=False):
+                    d, t = decode_blocks_overlapping(
+                        _ep_from_row(row), lo, hi)
+                    m = _in_sorted(d, allow)
+                    if m.any():
+                        od.append(d[m])
+                        otf.append(t[m])
+                        ot.extend([row.term] * int(m.sum()))
+                if od:
+                    yield pd.DataFrame({"doc_id": np.concatenate(od),
+                                        "term": ot,
+                                        "tf": np.concatenate(otf)})
+
+        raw = post.select(*SCORER_COLS).mapInPandas(
+            gen, "doc_id long, term string, tf long")
+        dl = (raw.filter(F.col("term") == DOCLEN_TERM)
+              .select("doc_id", F.col("tf").alias("doclen")))
+        tdf = self.spark.createDataFrame(
+            [(t, stats[t][0]) for t in sorted(set(terms))],
+            "term string, df long")
+        return (raw.filter(F.col("term") != DOCLEN_TERM)
+                .join(F.broadcast(dl), "doc_id")
+                .join(F.broadcast(tdf), "term")
+                .withColumn("n_docs", F.lit(float(meta.n_docs)))
+                .withColumn("avgdl", F.lit(float(meta.avgdl)))
+                .withColumn("idf", F.round(F.log1p(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)), 6))
+                .withColumn("contrib", F.round(bm25_score_expr(), 6))
+                .select("doc_id", "term", "tf", "doclen", "df",
+                        "idf", "contrib")
+                .orderBy(F.asc("doc_id"), F.asc("term")))
+
+    def suggest(self, term: str, n: int = 5, max_edits: int = 2) -> DataFrame:
+        """Lucene ``DirectSpellChecker`` analog (did-you-mean): dictionary
+        terms within Levenshtein distance ``max_edits`` of ``term`` (never
+        the term itself), ranked (distance asc, df desc, suggestion asc),
+        top ``n``. The scan is vocabulary-sized with the length-band
+        pushdown (|len(t) − len(q)| ≤ max_edits) reaching the term_stats
+        parquet scan; the distance runs JVM-side (``F.levenshtein``) — no
+        Python anywhere. Namespaced ``field:`` terms and sentinels are never
+        suggestions. Returns (suggestion, dist, df)."""
+        term = term.strip().lower()
+        if not term:
+            return self.spark.createDataFrame(
+                [], "suggestion string, dist int, df long")
+        return (self.stats
+                .filter((F.length("term") >= F.lit(len(term) - max_edits))
+                        & (F.length("term") <= F.lit(len(term) + max_edits))
+                        & ~F.col("term").contains(":")
+                        & (F.col("term") != DOCLEN_TERM))
+                .withColumn("dist",
+                            F.levenshtein(F.col("term"), F.lit(term)))
+                .filter((F.col("dist") >= 1) & (F.col("dist") <= max_edits))
+                .select(F.col("term").alias("suggestion"),
+                        F.col("dist").cast("int").alias("dist"),
+                        F.col("df").cast("long").alias("df"))
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("suggestion"))
+                .limit(n))
+
 
 def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
               mode: str = "and", slop: int = 0,
@@ -2019,6 +2126,21 @@ def highlight_topk(spark: SparkSession, root: str, query: str, k: int = 10,
                     F.col("content").substr(start,
                                             F.lit(width)).alias("snippet"))
             .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def explain_topk(spark: SparkSession, root: str, query: str, k: int = 10,
+                 session: QuerySession | None = None) -> DataFrame:
+    """One-shot ``QuerySession.explain`` (Lucene ``IndexSearcher.explain``)."""
+    sess = session or QuerySession(spark, root, cache=False)
+    return sess.explain(query, k)
+
+
+def spell_suggest(spark: SparkSession, root: str, term: str, n: int = 5,
+                  max_edits: int = 2,
+                  session: QuerySession | None = None) -> DataFrame:
+    """One-shot ``QuerySession.suggest`` (Lucene ``DirectSpellChecker``)."""
+    sess = session or QuerySession(spark, root, cache=False)
+    return sess.suggest(term, n, max_edits)
 
 
 def hydrate(spark: SparkSession, root: str, topk: DataFrame) -> DataFrame:
