@@ -401,6 +401,31 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, recall_ge_090 boolean")
 
 
+def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ correctness signal: recall@10 of the product-quantized ADC
+    search (full probe at this sf; codes are 8 small ints per vector — the
+    ~32x compression that makes a 10^9-vector scan feasible) + exact refine,
+    vs the oracle-checked exact brute force, over ANN_PROBES probe vectors.
+    The oracle pins recall >= 0.9; exact-rank behavior under full probe +
+    wide refine is pinned by test_ivfpq_full_probe_high_refine."""
+    emb = _emb(spark, sf_dir)
+    idx = IVF.build_ivfpq_index(emb, m_subspaces=8, n_codes=64)
+    idx.codes.persist().count()
+    probes = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+              for r in emb.filter(F.col("vec_id") < ANN_PROBES).collect()}
+    hits = 0
+    for _vid, qv in sorted(probes.items()):
+        ann = {r["id"] for r in
+               IVF.ivfpq_topk(idx, emb, qv, k=10, refine=8).collect()}
+        exact = {r["id"] for r in S.cosine_topk(emb, qv, k=10).collect()}
+        hits += len(ann & exact)
+    idx.codes.unpersist()
+    recall = hits / (10.0 * len(probes))
+    return spark.createDataFrame(
+        [(len(probes), bool(recall >= 0.9))],
+        "n_queries long, recall_ge_090 boolean")
+
+
 BATCH_QUERIES = {"qa": BM25_QUERY, "qb": "merge spark"}
 
 
@@ -640,6 +665,17 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-span pairs (exact-substring overlap signal)
+    over a bounded doc slice, uncapped exact join — hash-checked against
+    the same winnowing CTE self-joined in DuckDB. Cap behavior (hot
+    boilerplate fingerprints -> star pairs) is pinned by
+    test_shared_span_pathological_bucket."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SPAN_DOC_LIMIT)
+    return T.shared_span_pairs(docs, "doc_id", "text",
+                               min_common=SPAN_MIN_COMMON, max_bucket=None)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by tf x ln(N/df) (simple tokenizer, df >= 2),
     rank window per doc — the standard keyword extractor for curation."""
@@ -823,10 +859,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
+        "ivfpq_recall_check": _q_ivfpq_recall,
         "lang_id": _q_lang_id,
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
+        "shared_span_pairs": _q_shared_spans,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
         "category_counts": _q_category_counts,
@@ -1222,11 +1260,12 @@ FROM documents
 """
 
 
-def _fingerprint_sql(k: int = 5, w: int = 4) -> str:
+def _fps_ctes(k: int = 5, w: int = 4) -> str:
+    """Winnowing-fingerprint CTE chain ending in ``fps (doc_id, fp)`` —
+    shared by the per-doc summary and the cross-doc shared-span oracles."""
     h_gram = h60_sql(f"substring(t, i, {k})")
     h_all = h60_sql("t")
-    return f"""
-WITH base AS (SELECT doc_id, lower(text) AS t, length(text) AS n
+    return f"""base AS (SELECT doc_id, lower(text) AS t, length(text) AS n
               FROM documents),
 g0 AS (SELECT doc_id, t,
               unnest(generate_series(1, n - {k - 1})) AS i
@@ -1246,10 +1285,30 @@ shorts AS (SELECT doc_id, {h_all} AS fp
            FROM base WHERE n < {k} AND n > 0),
 fps AS (SELECT DISTINCT doc_id, fp FROM (
           SELECT * FROM fullw UNION ALL SELECT * FROM small
-          UNION ALL SELECT * FROM shorts))
+          UNION ALL SELECT * FROM shorts))"""
+
+
+def _fingerprint_sql(k: int = 5, w: int = 4) -> str:
+    return f"""
+WITH {_fps_ctes(k, w)}
 SELECT doc_id, count(*)::BIGINT AS n_fp,
        min(fp) AS min_fp, max(fp) AS max_fp, bit_xor(fp) AS xor_fp
 FROM fps GROUP BY doc_id
+"""
+
+
+SPAN_DOC_LIMIT = 40      # bounded slice: the uncapped exact join is the
+SPAN_MIN_COMMON = 2      # oracle mode; cap behavior has its own test
+
+
+def _shared_span_sql(k: int = 5, w: int = 4) -> str:
+    return f"""
+WITH {_fps_ctes(k, w)},
+sub AS (SELECT doc_id, fp FROM fps WHERE doc_id < {SPAN_DOC_LIMIT})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+FROM sub a JOIN sub b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {SPAN_MIN_COMMON}
+ORDER BY n_common DESC, id_a ASC, id_b ASC
 """
 
 
@@ -1577,6 +1636,8 @@ FROM x GROUP BY doc_id
         "ivf_topk": _COSINE_SQL,
         "ann_recall_check":
             f"SELECT {ANN_PROBES}::BIGINT AS n_queries, true AS recall_ge_090",
+        "ivfpq_recall_check":
+            f"SELECT {ANN_PROBES}::BIGINT AS n_queries, true AS recall_ge_090",
         "bm25_batch_serving": f"""
 SELECT 'qa' AS query_id, doc_id, score FROM ({_bm25_sql(BATCH_QUERIES['qa'], 10)})
 UNION ALL
@@ -1625,6 +1686,7 @@ FROM ranked WHERE rk <= 3
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_summary": _fingerprint_sql(),
+        "shared_span_pairs": _shared_span_sql(),
         # per-doc top-3 keywords by tf x ln(N/df), rank window per doc
         "tfidf_top_terms": f"""
 WITH tok AS ({_SIMPLE_TOK.replace('AS tok', 'AS term')}),

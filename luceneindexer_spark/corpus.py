@@ -168,7 +168,10 @@ def assign_dense_ids(df: DataFrame, partitions: int, start_id: int = 0
     offset — never a single-partition window, so the numbering scales to
     any input size. Returns (numbered_df, persisted_intermediate); the
     caller unpersists the intermediate after materializing (it is persisted
-    so the boundary-sampling pass and the count pass see the same rows)."""
+    so the boundary-sampling pass and the count pass see the same rows).
+    The exact row count lands on ``numbered_df._dense_total`` (known for
+    free from the offset pass — callers size balanced output files off it
+    without paying a count job)."""
     sorted_df = (
         df.repartitionByRange(partitions, *DOC_ORDER)
         .sortWithinPartitions(*DOC_ORDER)
@@ -193,6 +196,7 @@ def assign_dense_ids(df: DataFrame, partitions: int, start_id: int = 0
                     .cast("long"))
         .drop("_pid", "_local")
     )
+    numbered._dense_total = acc - start_id
     return numbered, sorted_df
 
 
@@ -221,6 +225,7 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
     )
 
     docmap, sorted_df = assign_dense_ids(latest, partitions)
+    n_total = getattr(docmap, "_dense_total", 0)
     docmap = (
         docmap
         .withColumn("size", F.length("content").cast("long"))
@@ -232,8 +237,20 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
         # already range-partitioned AND sorted by doc_id: doc_id is the dense
         # rank over the (repo, path, commit) order that defined the range
         # partitioning — writing as-is gives doc_id-clustered row groups for
-        # per-wave predicate pushdown with NO extra shuffle/sampling pass
-        docmap.write.mode("overwrite").parquet(write_path)
+        # per-wave predicate pushdown with NO extra shuffle/sampling pass.
+        # maxRecordsPerFile caps every output file at ceil(N/partitions)
+        # rows: the RangePartitioner's sampled boundaries can land 2x off
+        # (observed: one partition with twice the rows even at 100x the
+        # sample size), and a 2x file is a 2x straggler task for every
+        # downstream docmap scan — the tokenize stage above all. The cap
+        # restores near-equal major files (plus negligible row-remainder
+        # tails) with NO extra shuffle, keeping doc_id clustering intact.
+        writer = docmap.write.mode("overwrite")
+        if n_total:
+            writer = writer.option(
+                "maxRecordsPerFile",
+                max(1, -(-int(n_total) // max(1, partitions))))
+        writer.parquet(write_path)
         sorted_df.unpersist()
         latest.unpersist()
         return spark.read.parquet(write_path)

@@ -669,7 +669,8 @@ def build_index(
     # docmap has too few files (e.g. a foreign docmap on resume); the merge
     # handles interleaved runs either way.
     import glob as _glob
-    n_files = len(_glob.glob(os.path.join(paths.docmap, "*.parquet")))
+    dm_files = _glob.glob(os.path.join(paths.docmap, "*.parquet"))
+    n_files = len(dm_files)
     scan_split = n_files >= max(2, merge_partitions // 2)
     conf = spark.conf
     saved = {k: conf.get(k) for k in (
@@ -678,21 +679,35 @@ def build_index(
         "spark.sql.files.minPartitionNum",
         "spark.sql.execution.arrow.maxRecordsPerBatch")}
     if scan_split:
-        db_bytes = mf.dir_bytes(paths.docmap)
+        sizes = sorted(os.path.getsize(f) for f in dm_files)
+        data_bytes = sum(sizes)
         if scan_parallelism:
-            # exact split-count target (bench throttling): without this,
-            # spark.sql.files.minPartitionNum defaults to defaultParallelism
-            # and maxSplitBytes = min(maxPartitionBytes, bytes/minPartitionNum)
-            # — the scan silently runs defaultParallelism-wide no matter how
-            # large maxPartitionBytes is set
+            # exact, BALANCED split-count target (bench throttling).
+            # Spark's split planner slices files into pieces of
+            # maxSplitBytes = min(maxPartitionBytes, max(openCost,
+            # bytes/minPartitionNum)) and greedily bins the pieces, so two
+            # things go wrong with a naive "dir_bytes / P" setting: (a)
+            # minPartitionNum defaults to defaultParallelism, whose
+            # bytes/minPartitionNum term silently wins the min() and the
+            # scan runs defaultParallelism-wide; (b) with one docmap file
+            # per target split, any file a few bytes over the average is
+            # sliced in two and the spill piece becomes a (P+1)-th split —
+            # a full extra task WAVE at throttled parallelism (measured:
+            # +40% core time at 8-way from a 9th straggler split).
+            # minPartitionNum=1 hands control to maxPartitionBytes alone;
+            # capacity = max(biggest file, data/P) * 1.02 packs the
+            # near-equal major files one-per-bin (build_docmap's
+            # maxRecordsPerFile guarantees them) into P balanced splits;
+            # row-remainder tail files land in small extra bins whose tasks
+            # are negligible second-wave work, never a half-file straggler.
+            cap = max(sizes[-1],
+                      math.ceil(data_bytes / scan_parallelism))
             conf.set("spark.sql.files.maxPartitionBytes",
-                     str(max(1 << 20,
-                             int(db_bytes / scan_parallelism * 1.02) + 1)))
-            conf.set("spark.sql.files.minPartitionNum",
-                     str(scan_parallelism))
+                     str(int(cap * 1.02) + 1))
+            conf.set("spark.sql.files.minPartitionNum", "1")
         else:
             conf.set("spark.sql.files.maxPartitionBytes",
-                     str(max(1 << 20, db_bytes // (2 * merge_partitions))))
+                     str(max(1 << 20, data_bytes // (2 * merge_partitions))))
         conf.set("spark.sql.files.openCostInBytes", "0")
     if arrow_batch_rows:
         # bound each worker's tokenize batch so the working set (~12x the

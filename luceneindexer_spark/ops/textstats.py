@@ -275,3 +275,45 @@ def collocations(df: DataFrame, id_col: str, text_col: str,
                   / (F.col("c_x") * F.col("c_y"))), 6)))
     return (scored.select("bigram", "n_pair", "pmi")
             .orderBy(F.desc("pmi"), F.asc("bigram")).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# cross-document shared spans (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def shared_span_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = FP_K, w: int = FP_W,
+                      min_common: int = 2,
+                      max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b, n_common): document pairs sharing >= ``min_common``
+    winnowing fingerprints — the cross-document exact-substring overlap
+    signal of training-data dedup pipelines (any shared substring of length
+    >= w+k-1 chars is guaranteed a shared fingerprint, Schleimer et al.
+    SIGMOD'03), complementary to the token-set MinHash path: it catches a
+    copied paragraph inside otherwise-different documents, which Jaccard
+    over whole-document shingle sets dilutes away.
+
+    Plan: the per-doc fingerprint pass (``fingerprints`` — one mapInPandas,
+    no gram shuffle) feeds ONE self-join keyed on fp. At scale every hot
+    fingerprint (license boilerplate, generated headers) is a degenerate
+    bucket, so the join goes through ``dedup.capped_bucket_pairs``: buckets
+    over ``max_bucket`` emit O(N) star pairs instead of O(N²), preserving
+    overlap GROUPS (every member still meets the representative). Pass
+    ``max_bucket=None`` for the exact (uncapped) join on bounded inputs —
+    the oracle-checkable mode. Output ordered (n_common desc, id_a, id_b).
+    """
+    from .dedup import capped_bucket_pairs
+    fp = fingerprints(df, id_col, text_col, k, w)
+    if max_bucket is None:
+        a, b = fp.alias("a"), fp.alias("b")
+        pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                        & (F.col("a.id") < F.col("b.id")))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b")))
+    else:
+        pairs = capped_bucket_pairs(fp, ["fp"], max_bucket)
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_common)
+            .orderBy(F.desc("n_common"), F.asc("id_a"), F.asc("id_b")))

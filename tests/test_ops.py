@@ -489,3 +489,139 @@ def test_dedup_components_matches_union_find(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         D.dedup_components(chain, max_iters=2)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization + ADC) — ops.ivf
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_full_probe_high_refine_matches_brute_force(spark, emb_df):
+    """Probing every cell with a large refine window must reproduce the
+    exact brute-force top-10: ADC only needs to RANK the true neighbors
+    into the refine window; the refine re-score is exact."""
+    from luceneindexer_spark.ops import ivf as IVF
+    rows = emb_df.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    want = [int(rows[i].vec_id) for i in order]
+    idx = IVF.build_ivfpq_index(emb_df, m_subspaces=8, n_codes=16)
+    got = [r.id for r in
+           IVF.ivfpq_topk(idx, emb_df, q.tolist(), k=10,
+                          nprobe=idx.centroids.shape[0],
+                          refine=20).collect()]
+    assert got == want
+
+
+def test_ivfpq_codes_shape_and_determinism(spark, emb_df):
+    from luceneindexer_spark.ops import ivf as IVF
+    b1 = IVF.train_pq(emb_df, m_subspaces=8, n_codes=16)
+    b2 = IVF.train_pq(emb_df, m_subspaces=8, n_codes=16)
+    assert np.array_equal(b1.sub_centroids, b2.sub_centroids)
+    assert b1.sub_centroids.shape == (8, 16, 8)   # dim 64 / M 8
+    idx = IVF.build_ivfpq_index(emb_df, m_subspaces=8, n_codes=16)
+    row = idx.codes.first()
+    assert len(row.codes) == 8                    # 8 small ints per vector
+    assert all(0 <= c < 16 for c in row.codes)
+    assert idx.codes.count() == emb_df.count()
+
+
+def test_ivfpq_narrow_probe_recall_on_clustered_data(spark):
+    """Four orthogonal clusters, nprobe=1: the coarse quantizer must route
+    the query to its own cluster, and with the refine window sized to the
+    cell (k·refine >= cell population) the exact re-score makes the result
+    EXACTLY the brute-force top-10 — all of which live in the probed cell.
+    (A narrow refine window cannot rank near-identical in-cell vectors:
+    they quantize to the same PQ codes, an inherent ADC property — which is
+    exactly why the refine step exists.)"""
+    from luceneindexer_spark.ops import ivf as IVF
+    base = np.eye(16, dtype=np.float64)[:4]
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = base[c] + 0.01 * np.array(
+            [((i * 2654435761 + j * 40503) % 1000) / 1000.0 - 0.5
+             for j in range(16)])
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IVF.build_ivfpq_index(emb, n_centroids=4, m_subspaces=4,
+                                n_codes=16)
+    q = [float(x) for x in base[2]]
+    got = [r.id for r in
+           IVF.ivfpq_topk(idx, emb, q, k=10, nprobe=1, refine=10).collect()]
+    mat = np.array([r[1] for r in rows])
+    sims = mat @ np.asarray(q) / (np.linalg.norm(mat, axis=1)
+                                  * np.linalg.norm(np.asarray(q)))
+    want = [int(rows[i][0])
+            for i in np.lexsort((np.arange(len(sims)), -sims))[:10]]
+    assert got == want
+    assert all(i % 4 == 2 for i in got)   # routed to the right cluster
+
+
+# ---------------------------------------------------------------------------
+# shared spans (cross-doc exact-substring overlap) — ops.textstats
+# ---------------------------------------------------------------------------
+
+def test_shared_span_pairs_matches_naive(spark):
+    """Uncapped mode == a naive per-doc winnow + python self-join: pairs,
+    membership, and the n_common counts all agree."""
+    import hashlib
+    from luceneindexer_spark.ops import textstats as T
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox leaps over a sleepy cat"),
+        (2, "completely unrelated text about spark executors"),
+        (3, "the quick brown fox jumps over the lazy dog indeed"),
+        (4, "zzzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k, w = 5, 4
+
+    def winnow(s):
+        s = s.lower()
+        if len(s) == 0:
+            return set()
+        if len(s) < k:
+            return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16)}
+        hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+              for i in range(len(s) - k + 1)]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    fps = {d: winnow(t) for d, t in docs}
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(fps[a] & fps[b])
+            if c >= 2:
+                want[(a, b)] = c
+    got = {(r.id_a, r.id_b): r.n_common for r in
+           T.shared_span_pairs(df, "doc_id", "text",
+                               min_common=2, max_bucket=None).collect()}
+    assert got == want
+    assert (0, 3) in got          # near-identical docs share many spans
+    assert all(2 not in p for p in got)   # unrelated doc pairs with nobody
+
+
+def test_shared_span_pathological_bucket(spark):
+    """500 docs all containing one boilerplate license line: the capped
+    mode keeps candidate generation linear (star pairs per hot
+    fingerprint), and every clone still meets the representative."""
+    from luceneindexer_spark.ops import textstats as T
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("licensed under the apache license version two "),
+                 F.format_string("unique tail %d", F.col("id")))
+        .alias("text"))
+    pairs = T.shared_span_pairs(df, "doc_id", "text",
+                                min_common=2, max_bucket=64)
+    rows = pairs.collect()
+    # star topology: every doc pairs with the representative (doc 0), and
+    # the candidate count stays O(N), not ~N^2/2
+    assert 0 < len(rows) < 3 * n
+    partners = {r.id_b for r in rows if r.id_a == 0}
+    assert len(partners) == n - 1
