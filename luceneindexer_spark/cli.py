@@ -91,6 +91,20 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--doc-id", type=int, required=True)
     m.add_argument("-k", type=int, default=10)
 
+    e = sub.add_parser("explain", help="per-term BM25 score breakdown")
+    e.add_argument("--index", required=True)
+    e.add_argument("query")
+    e.add_argument("-k", type=int, default=10)
+
+    g = sub.add_parser("suggest", help="did-you-mean term suggestions")
+    g.add_argument("--index", required=True)
+    g.add_argument("term")
+    g.add_argument("-n", type=int, default=5)
+    g.add_argument("--max-edits", type=int, default=2)
+
+    c = sub.add_parser("check", help="audit index integrity (CheckIndex)")
+    c.add_argument("--index", required=True)
+
     d = sub.add_parser("delete", help="tombstone doc ids")
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", required=True,
@@ -162,6 +176,22 @@ def main(argv: list[str] | None = None) -> int:
             qs = QuerySession(spark, args.index)
             for r in qs.more_like_this(args.doc_id, k=args.k).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "explain":
+            from .query.engine import explain_topk
+            for r in explain_topk(spark, args.index, args.query,
+                                  k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "suggest":
+            from .query.engine import spell_suggest
+            for r in spell_suggest(spark, args.index, args.term, n=args.n,
+                                   max_edits=args.max_edits).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "check":
+            from .index.check import check_index
+            row = check_index(spark, args.index).collect()[0]
+            print(json.dumps(row.asDict(), default=str))
+            if row.structural_violations or row.stats_mismatches:
+                return 1
         elif args.cmd == "delete":
             from .ops.maintenance import append_deletes
             ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]

@@ -297,22 +297,36 @@ def shared_span_pairs(df: DataFrame, id_col: str, text_col: str,
     Plan: the per-doc fingerprint pass (``fingerprints`` — one mapInPandas,
     no gram shuffle) feeds ONE self-join keyed on fp. At scale every hot
     fingerprint (license boilerplate, generated headers) is a degenerate
-    bucket, so the join goes through ``dedup.capped_bucket_pairs``: buckets
-    over ``max_bucket`` emit O(N) star pairs instead of O(N²), preserving
-    overlap GROUPS (every member still meets the representative). Pass
-    ``max_bucket=None`` for the exact (uncapped) join on bounded inputs —
+    bucket, so oversized buckets emit O(N) star pairs (every member against
+    the bucket's min id) instead of O(N²) — same guard as
+    ``dedup.capped_bucket_pairs`` but WITH per-fp multiplicity kept (its
+    trailing distinct() would collapse ``n_common`` to 1): each fp a pair
+    co-occurs under contributes one row, so the count is the number of
+    shared fingerprints (capped buckets: of star pairs). Pass
+    ``max_bucket=None`` for the exact uncapped join on bounded inputs —
     the oracle-checkable mode. Output ordered (n_common desc, id_a, id_b).
     """
-    from .dedup import capped_bucket_pairs
     fp = fingerprints(df, id_col, text_col, k, w)
     if max_bucket is None:
-        a, b = fp.alias("a"), fp.alias("b")
-        pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                        & (F.col("a.id") < F.col("b.id")))
-                 .select(F.col("a.id").alias("id_a"),
-                         F.col("b.id").alias("id_b")))
+        small = fp
+        star = None
     else:
-        pairs = capped_bucket_pairs(fp, ["fp"], max_bucket)
+        # bucket-count window shuffles on fp, same key as the join below
+        wfp = Window.partitionBy("fp")
+        b = (fp.withColumn("_cnt", F.count("*").over(wfp))
+               .withColumn("_rep", F.min("id").over(wfp)))
+        small = b.filter(F.col("_cnt") <= max_bucket).select("id", "fp")
+        star = (b.filter((F.col("_cnt") > max_bucket)
+                         & (F.col("id") > F.col("_rep")))
+                .select(F.col("_rep").alias("id_a"),
+                        F.col("id").alias("id_b")))
+    a, c = small.alias("a"), small.alias("b")
+    pairs = (a.join(c, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_common"))
             .filter(F.col("n_common") >= min_common)

@@ -83,3 +83,34 @@ def test_cli_snippet_and_msm(spark, tmp_path):
     msm = run("query", "--index", idx, f"{HOT_TERM} zzznope", "-k", "3",
               "--mode", "or", "--min-should-match", "2")
     assert msm == []
+
+
+def test_cli_explain_suggest_check(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    synth_corpus(spark, 120, partitions=2).write.parquet(corpus_dir)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "luceneindexer_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(line) for line in r.stdout.splitlines()
+                if line.startswith("{")]
+
+    run("build", "--input", corpus_dir, "--out", idx,
+        "--range-size", "64", "--buckets", "4")
+
+    ex = run("explain", "--index", idx, HOT_TERM, "-k", "3")
+    assert len(ex) == 3
+    assert {"doc_id", "term", "tf", "doclen", "df", "idf",
+            "contrib"} <= set(ex[0])
+
+    sg = run("suggest", "--index", idx, HOT_TERM[:-1] + "x")
+    assert any(s["suggestion"] == HOT_TERM.lower() for s in sg)
+
+    chk = run("check", "--index", idx)
+    assert chk[0]["structural_violations"] == 0
+    assert chk[0]["stats_mismatches"] == 0

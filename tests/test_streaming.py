@@ -208,3 +208,45 @@ def test_watch_corpus_ingests_backlog(spark, tmp_path):
     assert docmap.count() == 112
     got = engine.bm25_topk(spark, root, "incrementalToken", k=20).collect()
     assert len(got) == 12
+
+
+def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: keys replayed in a LATER
+    micro-batch are dropped (state store carries seen-keys across batches);
+    within-batch duplicates collapse to one row with the right count."""
+    import json as _json
+    import time as _time
+
+    from luceneindexer_spark.streaming.stateful import first_seen
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        # one json file per micro-batch (maxFilesPerTrigger=1)
+        with open(os.path.join(src, name), "w") as f:
+            for k, ts in rows:
+                f.write(_json.dumps({"k": k, "ts": ts}) + "\n")
+
+    # batch 1: a twice, b once     batch 2: a replayed, c new
+    write_batch("b1.json", [("a", 100), ("a", 101), ("b", 200)])
+    _time.sleep(0.05)
+    write_batch("b2.json", [("a", 300), ("c", 400)])
+
+    events = (spark.readStream.schema("k string, ts long")
+              .option("maxFilesPerTrigger", "1").json(src))
+    out = first_seen(events, "k")
+    q = (out.writeStream.format("memory").queryName("first_seen_t")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {r.key: (r.first_ts, r.n_events)
+            for r in spark.sql("SELECT * FROM first_seen_t").collect()}
+    # every key exactly once, from its FIRST batch, with that batch's count
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"] == (100, 2)     # two in-batch occurrences collapsed
+    assert rows["b"] == (200, 1)
+    assert rows["c"] == (400, 1)     # later-batch new key still emitted
