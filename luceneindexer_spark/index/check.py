@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import decode_blocks_overlapping
+from ..codecs import (decode_blocks_overlapping, positions_decode,
+                      positions_encode)
 from .build import DOCLEN_TERM, IndexPaths
 
 AUDIT_SCHEMA = "term string, range_id long, df long, cf long, violations long"
@@ -68,6 +69,26 @@ def _audit_generator(range_size: int):
                     v += 1                      # header cf vs decoded sum
                 if n and int(tfs.max()) != int(row.max_tf):
                     v += 1                      # header max_tf
+                if row.pos_enc is not None:
+                    # positional payload: exactly tf positions per posting,
+                    # strictly increasing within each doc, and the buffer
+                    # round-trips (re-encode == stored bytes, so there are
+                    # no trailing/garbage bytes the decoder never touched)
+                    buf = bytes(row.pos_enc)
+                    starts = np.cumsum(tfs) - tfs
+                    try:
+                        flat = positions_decode(buf, tfs)
+                    except Exception:
+                        v += 1
+                    else:
+                        ok_mono = True
+                        if flat.size > 1:
+                            okd = np.diff(flat) > 0
+                            okd[starts[1:] - 1] = True   # doc boundaries
+                            ok_mono = bool(okd.all())
+                        if (not ok_mono or (flat < 0).any()
+                                or positions_encode(flat, starts)[0] != buf):
+                            v += 1
                 bn = np.asarray(row.block_n, dtype=np.int64)
                 if int(bn.sum()) != n or (bn < 1).any():
                     v += 1                      # block layout covers postings
