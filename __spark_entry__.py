@@ -796,6 +796,14 @@ def _q_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_stream_agg(spark, sf_dir)
 
 
+def _q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState first-occurrence dedup over the events stream
+    (single availableNow batch — SQL-equivalent; cross-batch state pinned
+    by test_first_seen_dedups_across_micro_batches)."""
+    from luceneindexer_spark.streaming.stateful import first_seen_events
+    return first_seen_events(spark, sf_dir)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synth_media(_docs(spark, sf_dir), "doc_id", "text")
     feats = MM.extract_features(media)
@@ -878,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_join": _q_topk_orders,
         "events_window": _q_events_window,
         "events_stream_agg": _q_events_stream,
+        "stateful_first_seen": _q_first_seen,
         "media_features": _q_media_features,
         "frame_sample_plan": _q_frame_plan,
     }
@@ -1783,6 +1792,15 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 SELECT event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 4)::DOUBLE AS total_value
 FROM events GROUP BY event_type
+""",
+        # applyInPandasWithState first-occurrence dedup, single availableNow
+        # batch == plain per-key aggregate (Spark casts timestamp -> long as
+        # floored epoch seconds)
+        "stateful_first_seen": """
+SELECT user_id::VARCHAR AS key,
+       min(floor(epoch(ts)))::BIGINT AS first_ts,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
 """,
         "media_features": _media_features_sql(),
         "frame_sample_plan": """

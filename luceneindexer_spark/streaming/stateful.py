@@ -57,10 +57,46 @@ def first_seen(events: DataFrame, key_col: str) -> DataFrame:
         yield pd.DataFrame({"key": [key[0]], "first_ts": [int(ts_min)],
                             "n_events": [n_new]})
 
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+    ts_type = events.schema["ts"].dataType
+    # TIMESTAMP(_NTZ) -> epoch seconds (Spark 4 forbids a direct long cast);
+    # numeric ts columns cast straight through
+    ts_col = (F.col("ts").cast("timestamp").cast("long")
+              if isinstance(ts_type, (TimestampType, TimestampNTZType))
+              else F.col("ts").cast("long"))
     return (events
-            .selectExpr(f"cast({key_col} as string) as key",
-                        "cast(ts as long) as ts")
+            .select(F.col(key_col).cast("string").alias("key"),
+                    ts_col.alias("ts"))
             .groupBy("key")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def first_seen_events(spark, sf_dir: str) -> DataFrame:
+    """Contract wrapper: run ``first_seen`` keyed on user_id over the
+    driver's events table as ONE availableNow micro-batch → append-mode
+    memory sink. With a single batch the result is SQL-expressible
+    (min ts + count per key), which puts the applyInPandasWithState
+    operator itself under the hash-checked DuckDB oracle; the cross-batch
+    state behavior is pinned by test_first_seen_dedups_across_micro_batches.
+    """
+    import os
+    import tempfile
+    import time
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="events_state_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    name = f"first_seen_{int(time.time() * 1000) % 10 ** 9}"
+    events = spark.readStream.schema(schema).parquet(stage)
+    q = (first_seen(events, "user_id")
+         .writeStream.outputMode("append").format("memory")
+         .option("checkpointLocation", os.path.join(stage, "ckpt"))
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
