@@ -235,6 +235,17 @@ def _q_lucene_qs_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_GROUP_QUERY, k=10), "score")
 
 
+def _q_lucene_qs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query string with a Lucene range clause: 'term size:[lo TO hi]' —
+    the range compiles to a docmap predicate joined into the exact
+    allowlist (same oracle as range_search, exercised through the classic
+    parser path)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(
+        f"+{SORT_TERM} size:[{SIZE_LO} TO {SIZE_HI}]", k=10), "score")
+
+
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene IndexReader stats (numDocs / Terms.size / getSumDocFreq /
     getSumTotalTermFreq) + avgdl, read off the published index's term_stats
@@ -841,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_boost": _q_lucene_qs_boost,
         "regexp_search": _q_regexp_search,
         "lucene_qs_group": _q_lucene_qs_group,
+        "lucene_qs_range": _q_lucene_qs_range,
         "index_stats": _q_index_stats,
         "explain_search": _q_explain,
         "spell_suggest": _q_spell_suggest,
@@ -1474,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
         # numeric range clause conjoined with the BM25 content clause
         "range_search": _bm25_sql(SORT_TERM, 10,
                                   size_between=(SIZE_LO, SIZE_HI)),
+        # same truth through the classic-parser path ('term size:[lo TO hi]')
+        "lucene_qs_range": _bm25_sql(SORT_TERM, 10,
+                                     size_between=(SIZE_LO, SIZE_HI)),
         # snippet = width chars around the rarest term's first occurrence
         "highlight_search": _bm25_sql(HL_QUERY, 10, snippet_term=HL_RARE),
         # query string '+stream "table hash"~N': conjunctive BM25 of all 3

@@ -1639,6 +1639,9 @@ class QuerySession:
           (Lucene's duplicate-clause scoring).
         - ``/regex/`` clauses expand like wildcards (whole-term anchored
           regexp over the dictionary) into the SHOULD union.
+        - ``field:[lo TO hi]`` ranges compile to a docmap-scan predicate
+          whose doc ids join the exact allowlist — a non-scoring MUST
+          filter (Lucene constant-score rewrite divergence, see parser).
         - ``(a b)`` groups: ``+(a b)`` restricts candidates to the group's
           match union via the allowlist (Lucene MUST-of-SHOULDs scoring),
           ``-(a b)`` denies every group term (De Morgan), ``(a b)^2``
@@ -1678,6 +1681,30 @@ class QuerySession:
             else:
                 def ns(t):
                     return t
+            if c.kind == "range":
+                # field:[lo TO hi] — a non-scoring MUST filter (Lucene's
+                # constant-score rewrite adds a flat 1.0; documented
+                # divergence). Pushed to the docmap parquet scan as a
+                # comparison predicate; numeric when both bounds parse.
+                if c.occur == "-":
+                    raise ValueError(
+                        "MUST_NOT range clauses are not supported")
+                if c.boost != 1.0:
+                    raise ValueError("range boosts are not supported")
+                lo_s, hi_s = c.text.split(" TO ", 1)
+                import os as _os
+                dm = self.spark.read.parquet(
+                    _os.path.join(self.root, "docmap"))
+                if c.field not in dm.columns:
+                    raise ValueError(f"unknown range field: {c.field!r}")
+                col = F.col(c.field)
+                try:
+                    pred = col.cast("double").between(
+                        float(lo_s), float(hi_s))
+                except ValueError:
+                    pred = col.between(lo_s, hi_s)   # lexicographic
+                allow_sets.append(dm.filter(pred).select("doc_id"))
+                continue
             if c.kind == "phrase":
                 if c.occur == "-":
                     raise ValueError("MUST_NOT phrases are not supported")
@@ -1746,6 +1773,11 @@ class QuerySession:
         allow_df: DataFrame | None = None
         for s in allow_sets:
             allow_df = s if allow_df is None else allow_df.join(s, "doc_id")
+        if (allow_df is not None and not phrase_specs
+                and not must_terms and not should_terms):
+            raise ValueError(
+                "query has only non-scoring filter clauses (range/group); "
+                "add a scoring term or use search_fields/browse_sorted")
 
         if phrase_specs:
             if should_terms:

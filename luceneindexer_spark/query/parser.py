@@ -13,6 +13,11 @@ Supported grammar (documented subset of the Lucene classic syntax):
 - ``te*`` prefix, ``t?ble``/``ta*le`` wildcard, ``term~``/``term~1`` fuzzy
 - ``/regex/`` RegexpQuery (anchored, Lucene ``RegexpQuery``; whitespace
   inside the pattern is not supported — atoms split on whitespace)
+- ``field:[lo TO hi]`` inclusive range (Lucene ``TermRangeQuery`` /
+  ``IntPoint.newRangeQuery``): numeric compare when both bounds parse as
+  numbers, else lexicographic; executes as a non-scoring MUST filter
+  (Lucene's constant-score rewrite contributes a flat 1.0 — documented
+  divergence); exclusive ``{lo TO hi}`` bounds raise loudly
 - ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
 - ``(a b)`` parenthesized SHOULD group of plain terms: ``+(a b)`` MUST
@@ -34,12 +39,15 @@ from dataclasses import dataclass
 _TOKEN_RE = re.compile(
     r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
     r'|[+\-]?\([^()]*\)(?:\^\d+(?:\.\d+)?)?'
+    r'|[+\-]?(?:[A-Za-z_]\w*:)?\[[^\]]*\]'
+    r'|[+\-]?(?:[A-Za-z_]\w*:)?\{[^}]*\}'
     r'|\S+')
 _FIELD_RE = re.compile(r'^([A-Za-z_]\w*):(.+)$', re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
 _FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
 _BOOST_RE = re.compile(r'^(.+?)\^(\d+(?:\.\d+)?)$')
 _REGEX_RE = re.compile(r'^/(.+)/$', re.S)
+_RANGE_RE = re.compile(r'^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$', re.I)
 
 
 @dataclass(frozen=True)
@@ -48,6 +56,7 @@ class Clause:
     field: str       # "" = content
     kind: str        # term | phrase | prefix | wildcard | fuzzy | regexp
                      #      | group (text = space-separated plain terms)
+                     #      | range (text = "lo TO hi", inclusive)
     text: str        # raw atom text (unanalyzed)
     num: int = 0     # phrase slop / fuzzy max edits
     boost: float = 1.0  # Lucene ^boost (multiplies the clause's score)
@@ -111,6 +120,19 @@ def parse_query_string(q: str) -> list[Clause]:
             m = _FIELD_RE.match(tok)
             if m:
                 field, tok = m.group(1), m.group(2)
+        m = _RANGE_RE.match(tok)
+        if m is not None:
+            if not field:
+                raise ValueError(
+                    f"range clause needs a field: {tok!r}")
+            clauses.append(Clause(occur, field, "range",
+                                  f"{m.group(1)} TO {m.group(2)}",
+                                  boost=boost))
+            continue
+        if tok.startswith("{") and tok.endswith("}"):
+            raise ValueError(
+                "exclusive {lo TO hi} ranges are not supported; "
+                "use inclusive [lo TO hi]")
         m = _PHRASE_RE.match(tok)
         if m is not None:
             clauses.append(Clause(occur, field, "phrase",

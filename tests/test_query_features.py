@@ -1328,3 +1328,34 @@ def test_query_string_paren_groups(built_fields, spark):
 
     # a MUST group with no indexed term matches nothing
     assert qs.query_string(f"+(zzqqxx{HOT_TERM}zz) {t2}").count() == 0
+
+
+def test_query_string_range_clause(built, spark):
+    """field:[lo TO hi] compiles to a docmap predicate joined into the
+    exact allowlist: parity vs the direct allow-restricted topk; malformed
+    and filter-only shapes raise loudly."""
+    from luceneindexer_spark.query.parser import parse_query_string
+
+    cs = parse_query_string("+sharedlogger size:[250 TO 800]")
+    assert [(c.kind, c.field) for c in cs] == [("term", ""),
+                                              ("range", "size")]
+    assert cs[1].text == "250 TO 800"
+
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    lo, hi = 250, 800
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(f"+{HOT_TERM} size:[{lo} TO {hi}]",
+                           k=10).collect()]
+    allow = docmap.filter(F.col("size").between(lo, hi)).select("doc_id")
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            qs.topk(HOT_TERM, k=10, allow=allow).collect()]
+    assert got == want and got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="only non-scoring"):
+        qs.query_string(f"size:[{lo} TO {hi}]")
+    with _pytest.raises(ValueError, match="exclusive"):
+        parse_query_string("size:{1 TO 2}")
+    with _pytest.raises(ValueError, match="needs a field"):
+        parse_query_string("[1 TO 2]")
