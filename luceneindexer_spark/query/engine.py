@@ -1840,9 +1840,13 @@ class QuerySession:
                 .groupBy(field).agg(F.count("*").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc(field)))
 
-    def explain(self, query: str, k: int = 10) -> DataFrame:
+    def explain(self, query: str, k: int = 10,
+                mode: str = "and") -> DataFrame:
         """Lucene ``IndexSearcher.explain`` analog: the per-(doc, term) BM25
-        score breakdown for the top-k hits of a conjunctive content query —
+        score breakdown for the top-k hits of a content query (``mode``
+        "and"/"or" selects the hit set; the breakdown itself lists every
+        query term PRESENT in the doc either way, and a hit's score is the
+        sum of its rows' contribs in both modes) —
         one row per (hit, query term) with every quantity Lucene's
         ``Explanation`` tree reports (tf, doclen, df, idf, and the term's
         score contribution; the hit's score is the sum of its contribs).
@@ -1864,11 +1868,14 @@ class QuerySession:
                 "df long, idf double, contrib double")
         if not terms:
             return empty
-        docs = sorted(int(r["doc_id"])
-                      for r in self.topk(query, k).select("doc_id").collect())
+        docs = sorted(int(r["doc_id"]) for r in
+                      self.topk(query, k, mode).select("doc_id").collect())
         stats = self._stats_lookup(terms)
-        if not docs or any(t not in stats for t in terms):
+        terms = [t for t in terms if t in stats]
+        if not docs or not terms:
             return empty
+        if mode == "and" and len(terms) < len(set(query_terms(query))):
+            return empty  # a MUST term absent from the corpus
         meta = self.meta
         ranges = sorted({d // meta.range_size for d in docs})
         fetch = terms + [DOCLEN_TERM]
@@ -2161,10 +2168,11 @@ def highlight_topk(spark: SparkSession, root: str, query: str, k: int = 10,
 
 
 def explain_topk(spark: SparkSession, root: str, query: str, k: int = 10,
+                 mode: str = "and",
                  session: QuerySession | None = None) -> DataFrame:
     """One-shot ``QuerySession.explain`` (Lucene ``IndexSearcher.explain``)."""
     sess = session or QuerySession(spark, root, cache=False)
-    return sess.explain(query, k)
+    return sess.explain(query, k, mode)
 
 
 def spell_suggest(spark: SparkSession, root: str, term: str, n: int = 5,

@@ -47,6 +47,18 @@ def test_explain_components_reproduce_scores(built, spark):
     for d, s in hits.items():
         assert abs(by_doc[d] - s) < 5e-6
 
+    # or-mode: the breakdown covers the disjunctive hit set and still sums
+    # to the or-mode scores (docs may carry 1 or 2 term rows)
+    or_hits = {int(r.doc_id): float(r.score)
+               for r in sess.topk(query, k=8, mode="or").collect()}
+    or_rows = sess.explain(query, k=8, mode="or").collect()
+    assert {int(r.doc_id) for r in or_rows} == set(or_hits)
+    acc: dict[int, float] = {}
+    for r in or_rows:
+        acc[int(r.doc_id)] = acc.get(int(r.doc_id), 0.0) + r.contrib
+    for d, s in or_hits.items():
+        assert abs(acc[d] - s) < 5e-6
+
     # (c) tf / doclen / df vs a naive recompute over the raw content
     toks = with_tokens(docmap.select("doc_id", "content"), "content")
     naive = (toks.select("doc_id", "doclen",
