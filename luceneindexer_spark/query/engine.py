@@ -1697,11 +1697,23 @@ class QuerySession:
                     _os.path.join(self.root, "docmap"))
                 if c.field not in dm.columns:
                     raise ValueError(f"unknown range field: {c.field!r}")
+                from pyspark.sql.types import NumericType
                 col = F.col(c.field)
-                try:
-                    pred = col.cast("double").between(
-                        float(lo_s), float(hi_s))
-                except ValueError:
+                if isinstance(dm.schema[c.field].dataType, NumericType):
+                    # typed literals, never a column cast: a cast would
+                    # block parquet predicate pushdown on the docmap scan
+                    # (pinned by test_plan_audit)
+                    try:
+                        lo_n = (int(lo_s) if float(lo_s).is_integer()
+                                else float(lo_s))
+                        hi_n = (int(hi_s) if float(hi_s).is_integer()
+                                else float(hi_s))
+                    except ValueError:
+                        raise ValueError(
+                            f"non-numeric bounds for numeric field "
+                            f"{c.field!r}: {c.text!r}")
+                    pred = col.between(lo_n, hi_n)
+                else:
                     pred = col.between(lo_s, hi_s)   # lexicographic
                 allow_sets.append(dm.filter(pred).select("doc_id"))
                 continue

@@ -1,0 +1,69 @@
+"""Physical-plan audits: the pruning and pushdown the scale story claims
+must actually appear in the executed plans — bucket partition pruning +
+term pushdown on the postings scan, and comparison-predicate pushdown on
+the docmap scan (brief: "a scan that reads all columns for a 2-column
+projection is wrong"; `.explain` is the check, these tests pin it)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from luceneindexer_spark.corpus import HOT_TERM, synth_corpus
+from luceneindexer_spark.index.build import build_index
+from luceneindexer_spark.query import engine
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_plan"))
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=1)
+    return root
+
+
+def _scans(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for m in re.finditer(r"FileScan parquet [^\n]*", plan):
+        seg = m.group(0)
+        pf = re.search(r"PartitionFilters: \[([^\]]*)", seg)
+        pu = re.search(r"PushedFilters: \[([^\]]*)", seg)
+        rs = re.search(r"ReadSchema: ([^\n]*)", seg)
+        out.append((seg, pf.group(1) if pf else "",
+                    pu.group(1) if pu else "", rs.group(1) if rs else ""))
+    return out
+
+
+def test_topk_prunes_buckets_and_pushes_terms(built, spark):
+    qs = engine.QuerySession(spark, built)
+    scans = _scans(qs.topk(f"{HOT_TERM} mergeSegments", k=10))
+    post_scans = [s for s in scans if "docs_enc" in s[0]]
+    assert post_scans, "no postings scan in the plan"
+    # every postings scan is partition-pruned on bucket, and the terms scan
+    # carries the In(term, ...) pushdown to the parquet reader
+    assert all("bucket" in pf for _, pf, _, _ in post_scans)
+    assert any("In(term" in pu for _, _, pu, _ in post_scans)
+
+
+def test_docmap_scan_pushes_range_predicate_and_prunes_columns(built, spark):
+    qs = engine.QuerySession(spark, built)
+    df = qs.query_string(f"+{HOT_TERM} size:[250 TO 800]", k=10)
+    dm_scans = [s for s in _scans(df)
+                if "docs_enc" not in s[0] and "size" in s[3]]
+    assert dm_scans, "no docmap scan in the plan"
+    # the [lo TO hi] clause reaches the parquet reader as comparison
+    # pushdowns, not a post-scan filter (a column cast would block them)
+    assert any("GreaterThanOrEqual(size,250" in pu
+               and "LessThanOrEqual(size,800" in pu
+               for _, _, pu, _ in dm_scans)
+    # column pruning: the doc-id/size projection never drags content along
+    assert all("content" not in rs for _, _, _, rs in dm_scans)
+
+
+def test_hydrate_broadcasts_topk_not_corpus(built, spark):
+    qs = engine.QuerySession(spark, built)
+    top = qs.topk(HOT_TERM, k=5)
+    plan = (engine.hydrate(spark, built, top)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
