@@ -235,6 +235,42 @@ def _q_lucene_qs_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_GROUP_QUERY, k=10), "score")
 
 
+def _q_phrase_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Lucene PhraseQuery scoring (tf = per-doc phrase occurrences,
+    idf = summed term idfs) over the planted consecutive phrase — closes
+    the round-1 documented phrase-scoring deviation as an opt-in mode."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.topk(INDEX_PHRASE, k=10, mode="phrase",
+                           phrase_scoring="phrase_freq"), "score")
+
+
+def _phrase_freq_sql(phrase: str, k: int) -> str:
+    a, b = query_terms(phrase)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+        WHERE term IN ('{a}', '{b}') GROUP BY term),
+idfsum AS (SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS v
+           FROM dfq CROSS JOIN stats s),
+tokp AS ({_TOKP}),
+pf AS (SELECT x.doc_id, count(*)::DOUBLE AS pf FROM tokp x JOIN tokp y
+       ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+       WHERE x.term = '{a}' AND y.term = '{b}' GROUP BY x.doc_id)
+SELECT pf.doc_id,
+       round(i.v * pf.pf * {K1_1} / (pf.pf + {BM25_K1} * (1 - {BM25_B}
+             + {BM25_B} * dl.doclen / s.avgdl)), 6)::DOUBLE AS score
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN idfsum i
+ORDER BY i.v * pf.pf * {K1_1} / (pf.pf + {BM25_K1} * (1 - {BM25_B}
+         + {BM25_B} * dl.doclen / s.avgdl)) DESC, pf.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _q_lucene_qs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query string with a Lucene range clause: 'term size:[lo TO hi]' —
     the range compiles to a docmap predicate joined into the exact
@@ -853,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_search": _q_regexp_search,
         "lucene_qs_group": _q_lucene_qs_group,
         "lucene_qs_range": _q_lucene_qs_range,
+        "phrase_freq_search": _q_phrase_freq,
         "index_stats": _q_index_stats,
         "explain_search": _q_explain,
         "spell_suggest": _q_spell_suggest,
@@ -1489,6 +1526,8 @@ def oracle_sql() -> dict[str, str]:
         # same truth through the classic-parser path ('term size:[lo TO hi]')
         "lucene_qs_range": _bm25_sql(SORT_TERM, 10,
                                      size_between=(SIZE_LO, SIZE_HI)),
+        # true Lucene PhraseQuery scoring: tf = phrase occurrences
+        "phrase_freq_search": _phrase_freq_sql(INDEX_PHRASE, 10),
         # snippet = width chars around the rarest term's first occurrence
         "highlight_search": _bm25_sql(HL_QUERY, 10, snippet_term=HL_RARE),
         # query string '+stream "table hash"~N': conjunctive BM25 of all 3

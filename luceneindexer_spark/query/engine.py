@@ -771,7 +771,8 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                         idf_by_term: dict[str, float], k: int,
                         k1: float = BM25_K1, b: float = BM25_B,
                         allow: bool = False,
-                        slop: int | list[int] = 0):
+                        slop: int | list[int] = 0,
+                        phrase_freq: bool = False):
     """cogroup fn for phrase ("whole words") mode — one PhraseQuery per
     field, MUST-conjoined, clause scores summed (reference ``BooleanQuery``
     of per-field ``PhraseQuery`` clauses, ``cLuceneIndexReader.java:
@@ -792,10 +793,20 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
     as one ``searchsorted`` per query term over the packed
     (doc-ordinal << 32 | position) keys. A list-valued ``slop`` sets a
     per-clause slack (query-string mode: each quoted phrase carries its
-    own ``~N``)."""
+    own ``~N``).
+
+    ``phrase_freq=True`` switches to TRUE Lucene ``PhraseQuery`` scoring:
+    each clause scores with tf = its per-doc phrase OCCURRENCE count (the
+    number of distinct start positions completing the full chain) and
+    idf = the sum of its unique terms' idfs (Lucene ``PhraseWeight``) —
+    closing the round-1 documented deviation. Exact phrases only (slop=0;
+    Lucene's sloppyFreq weighting is a different formula — loud error)."""
     slops = (list(slop) if isinstance(slop, (list, tuple))
              else [slop] * len(clauses))
     assert len(slops) == len(clauses)
+    if phrase_freq and any(s != 0 for s in slops):
+        raise ValueError("phrase_freq scoring supports exact phrases only "
+                         "(slop=0)")
     all_terms = list(dict.fromkeys(
         t for _, td, _, _ in clauses for t in td))
 
@@ -839,6 +850,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
             if cand.size == 0:
                 return empty
 
+        pf_maps: list[tuple[np.ndarray, np.ndarray]] = []
         for ci, (seq, _td, _s, _a) in enumerate(clauses):
             cl_slop = slops[ci]
             # per-term sorted (candidate-ordinal << 32 | position) keys
@@ -881,20 +893,32 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                 live = start[ok]
                 if live.size == 0:
                     return empty
-            cand = cand[np.unique(live // _POS_SHIFT)]
+            ords, pf = np.unique(live // _POS_SHIFT, return_counts=True)
+            pf_maps.append((cand[ords], pf.astype(np.float64)))
+            cand = cand[ords]
         match_docs = cand
 
         score = np.zeros(match_docs.size, dtype=np.float64)
-        for _seq, terms_dedup, sentinel, avgdl in clauses:
+        for ci, (_seq, terms_dedup, sentinel, avgdl) in enumerate(clauses):
             nep = _ep_from_row(nrows[sentinel])
             nd, ntf = decode_blocks_overlapping(
                 nep, int(match_docs[0]), int(match_docs[-1]))
             dl = ntf[np.searchsorted(nd, match_docs)].astype(np.float64)
             norm = k1 * (1.0 - b + b * dl / avgdl)
-            for t in sorted(terms_dedup):
-                d, tf, _ = dec[t]
-                tfv = tf[np.searchsorted(d, match_docs)].astype(np.float64)
-                score += idf_by_term[t] * tfv * (k1 + 1.0) / (tfv + norm)
+            if phrase_freq:
+                # Lucene PhraseWeight: tf = phrase occurrences, idf = Σ of
+                # the clause's unique terms' idfs
+                docs_m, pf = pf_maps[ci]
+                tfv = pf[np.searchsorted(docs_m, match_docs)]
+                idf_cl = sum(idf_by_term[t] for t in sorted(set(terms_dedup)))
+                score += idf_cl * tfv * (k1 + 1.0) / (tfv + norm)
+            else:
+                for t in sorted(terms_dedup):
+                    d, tf, _ = dec[t]
+                    tfv = tf[np.searchsorted(d, match_docs)
+                             ].astype(np.float64)
+                    score += (idf_by_term[t] * tfv * (k1 + 1.0)
+                              / (tfv + norm))
 
         return _topk_frame(match_docs, score, k)
 
@@ -1047,7 +1071,8 @@ class QuerySession:
     def topk(self, query: str, k: int = 10, mode: str = "and",
              allow: DataFrame | None = None,
              must_not: str | None = None, slop: int = 0,
-             min_should_match: int = 1) -> DataFrame:
+             min_should_match: int = 1,
+             phrase_scoring: str = "terms") -> DataFrame:
         """Top-k BM25. ``mode``: "and" (MUST intersection, block-max WAND),
         "or" (SHOULD union, MaxScore — any doc matching ≥1 term competes;
         Lucene-parser default, beyond the reference wrapper's MUST-only
@@ -1064,7 +1089,11 @@ class QuerySession:
         only, Lucene ``BooleanQuery.setMinimumNumberShouldMatch``): only
         docs containing at least that many distinct query terms qualify;
         more terms than exist in the corpus-present query can match
-        nothing."""
+        nothing. ``phrase_scoring`` (phrase mode only): "terms" scores the
+        phrase's constituent terms conjunctively (round-1 documented
+        deviation, kept as the default the oracles pin); "phrase_freq" is
+        TRUE Lucene PhraseQuery scoring — tf = per-doc phrase occurrence
+        count, idf = the summed term idfs (slop=0 only)."""
         terms = query_terms(query)
         deny = query_terms(must_not) if must_not else []
         if not terms:
@@ -1075,6 +1104,10 @@ class QuerySession:
             raise ValueError("slop applies to phrase mode only")
         if min_should_match > 1 and mode != "or":
             raise ValueError("min_should_match applies to or mode only")
+        if phrase_scoring not in ("terms", "phrase_freq"):
+            raise ValueError(f"unknown phrase_scoring: {phrase_scoring!r}")
+        if phrase_scoring != "terms" and mode != "phrase":
+            raise ValueError("phrase_scoring applies to phrase mode only")
         if min_should_match > len(set(terms)):
             return self.spark.createDataFrame([], "doc_id long, score double")
         if deny and mode != "or" and set(terms) & set(deny):
@@ -1092,7 +1125,9 @@ class QuerySession:
                 return self.spark.createDataFrame(
                     [], "doc_id long, score double")
             idf = {t: _idf(self.meta.n_docs, df_by_term[t]) for t in terms}
-            return self._phrase_topk(query, terms, idf, k, allow, slop=slop)
+            return self._phrase_topk(
+                query, terms, idf, k, allow, slop=slop,
+                phrase_freq=(phrase_scoring == "phrase_freq"))
         return self._score_terms(terms, k, allow,
                                  conjunctive=(mode != "or"),
                                  deny=deny or None,
@@ -1213,7 +1248,8 @@ class QuerySession:
     def _phrase_topk(self, query: str, terms_dedup: list[str],
                      idf_by_term: dict[str, float], k: int,
                      allow: DataFrame | None = None,
-                     slop: int = 0) -> DataFrame:
+                     slop: int = 0,
+                     phrase_freq: bool = False) -> DataFrame:
         """Content-field phrase mode — one clause of the general whole-words
         path (positions live IN the postings rows — no second table, no
         corpus-wide doclen decode: the scorer touches only ranges containing
@@ -1226,7 +1262,8 @@ class QuerySession:
         clause: PhraseClause = (seq, terms_dedup, DOCLEN_TERM,
                                 self.meta.avgdl)
         return self._phrase_clauses_topk([clause], idf_by_term, k, allow,
-                                         slop=slop)
+                                         slop=slop,
+                                         phrase_freq=phrase_freq)
 
     def topk_whole_words(self, field_texts: dict[str, str], k: int = 10,
                          allow: DataFrame | None = None) -> DataFrame:
@@ -1266,7 +1303,8 @@ class QuerySession:
     def _phrase_clauses_topk(self, clauses: list[PhraseClause],
                              idf_by_term: dict[str, float], k: int,
                              allow: DataFrame | None = None,
-                             slop: int | list[int] = 0) -> DataFrame:
+                             slop: int | list[int] = 0,
+                             phrase_freq: bool = False) -> DataFrame:
         meta = self.meta
         spark = self.spark
         if not meta.positions:
@@ -1289,7 +1327,8 @@ class QuerySession:
                   .applyInPandas(
                       _make_phrase_scorer(clauses, idf_by_term, k,
                                           allow=allow is not None,
-                                          slop=slop),
+                                          slop=slop,
+                                          phrase_freq=phrase_freq),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -1577,6 +1616,15 @@ class QuerySession:
                 .applyInPandas(
                     _make_range_matcher(terms, conjunctive, deny or None),
                     "doc_id long"))
+
+    def count(self, query: str, mode: str = "and",
+              must_not: str | None = None) -> int:
+        """Lucene ``IndexSearcher.count`` analog: the number of documents
+        matching the query — the full match set's cardinality, not a top-k
+        artifact. The grouped-map matcher emits (doc_id) rows per range and
+        the count is one distributed agg; no scores are computed and no
+        norms are decoded anywhere."""
+        return self.match_ids(query, mode=mode, must_not=must_not).count()
 
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_query_terms: int = 25,
