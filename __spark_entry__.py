@@ -235,6 +235,15 @@ def _q_lucene_qs_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_GROUP_QUERY, k=10), "score")
 
 
+def _q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IndexSearcher.count analog: cardinality of the FULL
+    conjunctive match set (grouped-map matcher, no scoring, no norms)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return spark.createDataFrame([(int(qs.count(BM25_QUERY)),)],
+                                 "n_matches long")
+
+
 def _q_phrase_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Lucene PhraseQuery scoring (tf = per-doc phrase occurrences,
     idf = summed term idfs) over the planted consecutive phrase — closes
@@ -890,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_group": _q_lucene_qs_group,
         "lucene_qs_range": _q_lucene_qs_range,
         "phrase_freq_search": _q_phrase_freq,
+        "match_count": _q_match_count,
         "index_stats": _q_index_stats,
         "explain_search": _q_explain,
         "spell_suggest": _q_spell_suggest,
@@ -1528,6 +1538,16 @@ def oracle_sql() -> dict[str, str]:
                                      size_between=(SIZE_LO, SIZE_HI)),
         # true Lucene PhraseQuery scoring: tf = phrase occurrences
         "phrase_freq_search": _phrase_freq_sql(INDEX_PHRASE, 10),
+        # IndexSearcher.count: full conjunctive match-set cardinality
+        "match_count": f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT doc_id FROM tok
+      WHERE term IN ({", ".join("'" + t + "'"
+                                for t in query_terms(BM25_QUERY))})
+      GROUP BY doc_id
+      HAVING count(DISTINCT term) = {len(query_terms(BM25_QUERY))})
+SELECT count(*)::BIGINT AS n_matches FROM m
+""",
         # snippet = width chars around the rarest term's first occurrence
         "highlight_search": _bm25_sql(HL_QUERY, 10, snippet_term=HL_RARE),
         # query string '+stream "table hash"~N': conjunctive BM25 of all 3
