@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--doc-id", type=int, required=True)
     m.add_argument("-k", type=int, default=10)
 
+    n = sub.add_parser("count", help="full match-set cardinality")
+    n.add_argument("--index", required=True)
+    n.add_argument("query")
+    n.add_argument("--mode", choices=("and", "or"), default="and")
+
     e = sub.add_parser("explain", help="per-term BM25 score breakdown")
     e.add_argument("--index", required=True)
     e.add_argument("query")
@@ -176,6 +181,12 @@ def main(argv: list[str] | None = None) -> int:
             qs = QuerySession(spark, args.index)
             for r in qs.more_like_this(args.doc_id, k=args.k).collect():
                 print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "count":
+            from .query.engine import QuerySession
+            qs = QuerySession(spark, args.index)
+            print(json.dumps({"query": args.query,
+                              "n_matches": qs.count(args.query,
+                                                    mode=args.mode)}))
         elif args.cmd == "explain":
             from .query.engine import explain_topk
             for r in explain_topk(spark, args.index, args.query,

@@ -111,6 +111,9 @@ def test_cli_explain_suggest_check(spark, tmp_path):
     sg = run("suggest", "--index", idx, HOT_TERM[:-1] + "x")
     assert any(s["suggestion"] == HOT_TERM.lower() for s in sg)
 
+    cnt = run("count", "--index", idx, HOT_TERM)
+    assert cnt[0]["n_matches"] > 0
+
     chk = run("check", "--index", idx)
     assert chk[0]["structural_violations"] == 0
     assert chk[0]["stats_mismatches"] == 0
