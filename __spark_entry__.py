@@ -307,6 +307,13 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.explain_topk(spark, root, BM25_QUERY, k=10)
 
 
+def _q_explain_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explain over the DISJUNCTIVE hit set (MaxScore top-10): per-(hit,
+    present-term) BM25 components; a hit may carry 1..n term rows."""
+    root = _index_root(spark, sf_dir)
+    return engine.explain_topk(spark, root, BM25_QUERY, k=10, mode="or")
+
+
 SUGGEST_TYPO = "lin"     # nearest dictionary terms: line(1), join/big(2)
 
 
@@ -902,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count": _q_match_count,
         "index_stats": _q_index_stats,
         "explain_search": _q_explain,
+        "explain_or_search": _q_explain_or,
         "spell_suggest": _q_spell_suggest,
         "check_index": _q_check_index,
         "facet_lang_counts": _q_facet_lang,
@@ -1068,13 +1076,14 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
-def _explain_sql(query: str, k: int) -> str:
-    """Per-(hit, term) BM25 explanation for the conjunctive top-k: the same
-    scored CTE as the bm25 oracles picks the hits; the outer select re-joins
-    tf/dl/df to expose every Explanation component, rounded like the
-    engine."""
+def _explain_sql(query: str, k: int, conjunctive: bool = True) -> str:
+    """Per-(hit, term) BM25 explanation for the top-k (conjunctive or
+    disjunctive hit set): the same scored CTE as the bm25 oracles picks the
+    hits; the outer select re-joins tf/dl/df to expose every Explanation
+    component, rounded like the engine."""
     terms = query_terms(query)
     in_list = ", ".join("'" + t + "'" for t in terms)
+    nt_cond = f"nt = {len(terms)}" if conjunctive else "nt >= 1"
     idf = "ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))"
     contrib = (f"{idf} * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}"
                f" + {BM25_B} * dl.doclen / s.avgdl))")
@@ -1091,7 +1100,7 @@ scored AS (
   SELECT tf.doc_id, sum({contrib}) AS score, count(*) AS nt
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id),
-topk AS (SELECT doc_id FROM scored WHERE nt = {len(terms)}
+topk AS (SELECT doc_id FROM scored WHERE {nt_cond}
          ORDER BY score DESC, doc_id ASC LIMIT {k})
 SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dl.doclen::BIGINT AS doclen,
        dfq.df::BIGINT AS df, round({idf}, 6)::DOUBLE AS idf,
@@ -1661,6 +1670,7 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
         # for the conjunctive top-10 — same scored CTE as the bm25 oracles,
         # re-joined to expose tf/doclen/df/idf/contrib per term
         "explain_search": _explain_sql(BM25_QUERY, 10),
+        "explain_or_search": _explain_sql(BM25_QUERY, 10, conjunctive=False),
         # DirectSpellChecker: dictionary terms at levenshtein 1..2 of the
         # typo, ranked (dist asc, df desc, suggestion asc)
         "spell_suggest": f"""
