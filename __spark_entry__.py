@@ -728,6 +728,23 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id"))
 
 
+BENCH_SET_MAX_ID = 5      # docs 0..4 play the "evaluation set"
+CONTAM_MIN_COMMON = 2
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination flags: corpus docs (id >= 5) sharing >=
+    CONTAM_MIN_COMMON distinct word-3-gram shingles with an eval item
+    (docs 0..4) — eval side broadcast, matched sliver aggregated."""
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col("doc_id") < BENCH_SET_MAX_ID)
+             .select(F.col("doc_id").alias("bid"), F.col("text").alias("bt")))
+    corpus = docs.filter(F.col("doc_id") >= BENCH_SET_MAX_ID)
+    return D.contamination_flags(corpus, bench, "doc_id", "text",
+                                 "bid", "bt",
+                                 min_common=CONTAM_MIN_COMMON)
+
+
 def _q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document shared-span pairs (exact-substring overlap signal)
     over a bounded doc slice, uncapped exact join — hash-checked against
@@ -940,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
         "shared_span_pairs": _q_shared_spans,
+        "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
         "category_counts": _q_category_counts,
@@ -1780,6 +1798,19 @@ FROM ranked WHERE rk <= 3
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint_summary": _fingerprint_sql(),
         "shared_span_pairs": _shared_span_sql(),
+        # decontamination: corpus docs vs the doc_id<5 "eval set", counted
+        # over distinct shared word-3-gram shingles
+        "contamination_flags": f"""
+WITH sh AS ({_SHINGLES}),
+b AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM sh
+      WHERE doc_id < {BENCH_SET_MAX_ID}),
+c AS (SELECT DISTINCT doc_id AS id, shingle FROM sh
+      WHERE doc_id >= {BENCH_SET_MAX_ID})
+SELECT c.id, b.bench_id, count(*)::BIGINT AS n_common
+FROM c JOIN b USING (shingle)
+GROUP BY c.id, b.bench_id HAVING count(*) >= {CONTAM_MIN_COMMON}
+ORDER BY n_common DESC, id ASC, bench_id ASC
+""",
         # per-doc top-3 keywords by tf x ln(N/df), rank window per doc
         "tfidf_top_terms": f"""
 WITH tok AS ({_SIMPLE_TOK.replace('AS tok', 'AS term')}),

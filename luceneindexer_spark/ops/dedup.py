@@ -355,3 +355,36 @@ def dedup_keep_list(df: DataFrame, id_col: str, pairs: DataFrame
     drops = comp.filter(F.col("id") != F.col("component")).select("id")
     return (df.select(F.col(id_col).alias("id"))
             .join(drops, "id", "left_anti"))
+
+
+def contamination_flags(corpus: DataFrame, bench: DataFrame,
+                        id_col: str, text_col: str,
+                        bench_id_col: str, bench_text_col: str,
+                        k: int = SHINGLE_K,
+                        min_common: int = 2) -> DataFrame:
+    """(id, bench_id, n_common): corpus documents sharing >= ``min_common``
+    distinct word-``k``-gram shingles with a benchmark/eval item — the
+    DECONTAMINATION flag of LLM training pipelines (evaluation data leaking
+    into the training set), distinct from dedup: the comparison is against
+    a designated eval set, not corpus-internal.
+
+    Scale shape: the benchmark side is an eval set — control-plane sized —
+    so its distinct shingles BROADCAST and the corpus-side shingle explode
+    joins map-side with no corpus-wide shuffle; the only shuffle aggregates
+    the MATCHED (id, bench_id, shingle) rows (the contaminated sliver),
+    where ``count_distinct`` yields the distinct shared-shingle count.
+    """
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.explode(shingles_col(text_col, k)).alias("shingle"))
+    b = (bench.select(F.col(bench_id_col).alias("bench_id"),
+                      F.explode(shingles_col(bench_text_col, k))
+                      .alias("shingle"))
+         .dropDuplicates(["bench_id", "shingle"]))
+    # the corpus side is deliberately NOT deduped (that would be a
+    # corpus-wide shuffle); countDistinct over the matched rows gives the
+    # distinct shared-shingle count and only ships the contaminated sliver
+    return (c.join(F.broadcast(b), "shingle")
+            .groupBy("id", "bench_id")
+            .agg(F.count_distinct("shingle").alias("n_common"))
+            .filter(F.col("n_common") >= min_common)
+            .orderBy(F.desc("n_common"), F.asc("id"), F.asc("bench_id")))

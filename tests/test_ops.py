@@ -625,3 +625,40 @@ def test_shared_span_pathological_bucket(spark):
     assert 0 < len(rows) < 3 * n
     partners = {r.id_b for r in rows if r.id_a == 0}
     assert len(partners) == n - 1
+
+
+# ---------------------------------------------------------------------------
+# decontamination (eval-set n-gram overlap) — ops.dedup
+# ---------------------------------------------------------------------------
+
+def test_contamination_flags_planted_leak(spark):
+    """A corpus doc containing a verbatim benchmark passage is flagged with
+    the full shared-shingle count; near-miss docs (shuffled words, disjoint
+    vocab) stay below the threshold; the count equals a python recompute."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "pack my box with five dozen liquor jugs")],
+        "bid long, bt string")
+    corpus = spark.createDataFrame(
+        [(10, "intro text then the quick brown fox jumps over the "
+              "lazy dog today and more prose"),       # verbatim leak of 0
+         (11, "dog lazy the over jumps fox brown quick the"),  # shuffled
+         (12, "completely unrelated spark executor telemetry rows"),
+         (13, "pack my box with five dozen liquor jugs")],     # exact = 1
+        "doc_id long, text string")
+    from luceneindexer_spark.ops import dedup as DD
+    got = {(r.id, r.bench_id): r.n_common for r in
+           DD.contamination_flags(corpus, bench, "doc_id", "text",
+                                  "bid", "bt", min_common=3).collect()}
+
+    def sh(s):
+        t = s.lower().split()
+        return ({" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+                if len(t) >= 3 else {" ".join(t)})
+
+    b0, b1 = sh(bench.collect()[0].bt), sh(bench.collect()[1].bt)
+    assert got[(10, 0)] == len(sh("the quick brown fox jumps over the "
+                                  "lazy dog today") & b0) == 8
+    assert got[(13, 1)] == len(b1)        # exact copy: every shingle
+    assert (11, 0) not in got             # shuffled words: chains broken
+    assert (12, 0) not in got and (12, 1) not in got
