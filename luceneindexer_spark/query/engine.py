@@ -1332,12 +1332,18 @@ class QuerySession:
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def topk_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
-        """Score a BATCH of conjunctive queries in ONE distributed pass:
-        returns (query_id, doc_id, score, rank<=k). Amortizes job overhead
-        across queries — the throughput-oriented serving path (single-query
-        p50 in local mode is dominated by fixed job costs; a real deployment
-        batches the query stream exactly like this)."""
+    def topk_batch(self, queries: dict[str, str], k: int = 10,
+                   mode: str = "and") -> DataFrame:
+        """Score a BATCH of queries in ONE distributed pass: returns
+        (query_id, doc_id, score, rank<=k). Amortizes job overhead across
+        queries — the throughput-oriented serving path (single-query p50 in
+        local mode is dominated by fixed job costs; a real deployment
+        batches the query stream exactly like this). ``mode`` "and" runs
+        every query as a MUST conjunction (block-max WAND); "or" as a
+        SHOULD union (MaxScore) — one mode per pass, mirroring
+        ``topk``."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"unknown batch mode: {mode!r}")
         spark = self.spark
         meta = self.meta
         all_terms = sorted({t for q in queries.values()
@@ -1346,11 +1352,17 @@ class QuerySession:
         if not all_terms:
             return spark.createDataFrame([], out_schema + ", rank int")
         df_by_term = self._df_lookup(all_terms)
+        conj = mode == "and"
         plans = []  # (qid, terms_by_rarity, idf_by_term)
         for qid, q in queries.items():
             terms = query_terms(q)
-            if not terms or any(t not in df_by_term for t in terms):
-                continue
+            if conj:
+                if not terms or any(t not in df_by_term for t in terms):
+                    continue
+            else:
+                terms = [t for t in terms if t in df_by_term]
+                if not terms:
+                    continue
             idf = {t: _idf(meta.n_docs, df_by_term[t]) for t in terms}
             plans.append((qid, sorted(terms, key=lambda t: (df_by_term[t], t)),
                           idf))
@@ -1372,8 +1384,9 @@ class QuerySession:
         def score_ranges(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                          ) -> pd.DataFrame:
             out = []
+            factory = _make_range_scorer if conj else _make_or_range_scorer
             scorers = {
-                qid: _make_range_scorer(ts, idf, avgdl, kk)
+                qid: factory(ts, idf, avgdl, kk)
                 for qid, ts, idf in plans}
             is_del = post_pdf["term"] == DEL_TERM
             for qid, ts, idf in plans:

@@ -248,6 +248,20 @@ def test_topk_batch_matches_single(spark, tmp_path_factory):
                   enumerate(qs.topk(q, k=10).collect())]
         got = sorted(by_q.get(qid, []))
         assert got == single, qid
+
+    # or-mode batch == per-query MaxScore union (incl. partially-absent
+    # term sets, which conjunctive batch would drop)
+    or_queries = {"a": "sharedlogger getUserName",
+                  "b": "xyzzyplugh nosuchterm",
+                  "c": "queryParser scoreDocs sharedlogger"}
+    or_batch = qs.topk_batch(or_queries, k=10, mode="or").collect()
+    by_q2 = {}
+    for r in or_batch:
+        by_q2.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in or_queries.items():
+        single = [(i + 1, r.doc_id, r.score) for i, r in
+                  enumerate(qs.topk(q, k=10, mode="or").collect())]
+        assert sorted(by_q2.get(qid, [])) == single, qid
     qs.close()
 
 
