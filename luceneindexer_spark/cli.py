@@ -167,8 +167,21 @@ def main(argv: list[str] | None = None) -> int:
                               min_should_match=args.min_should_match)
             if args.hydrate and args.facet is None and not args.snippet:
                 out = hydrate(spark, args.index, out)
-            for r in out.collect():
+            rows = out.collect()
+            for r in rows:
                 print(json.dumps(r.asDict(), default=str))
+            if not rows and args.facet is None and args.mode in ("and", "or"):
+                # did-you-mean on a zero-hit query (DirectSpellChecker)
+                from .query.oracle import query_terms
+                sugg = {}
+                for t in query_terms(args.query):
+                    alts = [r.suggestion for r in
+                            qs.suggest(t, n=3).collect()]
+                    if alts:
+                        sugg[t] = alts
+                if sugg:
+                    print(json.dumps({"no_hits": args.query,
+                                      "did_you_mean": sugg}))
         elif args.cmd == "search":
             from .query.engine import search_fields
             fields = {f: getattr(args, f) for f in

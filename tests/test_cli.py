@@ -114,6 +114,11 @@ def test_cli_explain_suggest_check(spark, tmp_path):
     cnt = run("count", "--index", idx, HOT_TERM)
     assert cnt[0]["n_matches"] > 0
 
+    dym = run("query", "--index", idx, HOT_TERM[:-1] + "x")
+    assert dym and "did_you_mean" in dym[-1]
+    assert HOT_TERM.lower() in dym[-1]["did_you_mean"].get(
+        HOT_TERM.lower()[:-1] + "x", [])
+
     chk = run("check", "--index", idx)
     assert chk[0]["structural_violations"] == 0
     assert chk[0]["stats_mismatches"] == 0

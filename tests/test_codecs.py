@@ -91,3 +91,20 @@ def test_encode_rejects_bad_input():
         encode_postings(np.array([1, 2], dtype=np.int64), np.array([0, 1]))
     with pytest.raises(ValueError):
         encode_postings(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 1 << 20), min_size=1, max_size=30,
+                         unique=True),
+                min_size=1, max_size=20))
+def test_positions_roundtrip_property(doc_positions):
+    """positions_encode/decode round-trips arbitrary per-doc sorted
+    position lists (the per-doc delta reset is the tricky part)."""
+    from luceneindexer_spark.codecs import positions_decode, positions_encode
+    doc_positions = [sorted(p) for p in doc_positions]
+    lens = np.array([len(p) for p in doc_positions], dtype=np.int64)
+    flat = np.array([x for p in doc_positions for x in p], dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    buf, _offs = positions_encode(flat, starts)
+    out = positions_decode(buf, lens)
+    assert np.array_equal(out, flat)
