@@ -4,7 +4,9 @@
 Usage on a cluster (the package zip ships with the job, no install step):
 
     zip -r li_spark.zip luceneindexer_spark
-    spark-submit --py-files li_spark.zip -m luceneindexer_spark.cli ...
+    spark-submit --py-files li_spark.zip submit_cli.py ...
+    (cli.py uses package-relative imports, so the shipped main file is the
+    repo-root submit_cli.py launcher — pinned by tests/test_spark_submit.py)
 
 or locally:
 
