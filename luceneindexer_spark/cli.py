@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--slop", type=int, default=0,
                    help="phrase mode: ordered span-near slack "
                         "(0 = exact phrase)")
+    q.add_argument("--phrase-scoring", choices=("terms", "phrase_freq"),
+                   default="terms",
+                   help="phrase mode: 'terms' = conjunctive term scoring "
+                        "(default), 'phrase_freq' = true Lucene "
+                        "PhraseQuery scoring (tf = phrase occurrences)")
     q.add_argument("--min-should-match", type=int, default=1,
                    help="or mode: require this many distinct terms")
     q.add_argument("--snippet", action="store_true",
@@ -102,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--index", required=True)
     e.add_argument("query")
     e.add_argument("-k", type=int, default=10)
+    e.add_argument("--mode", choices=("and", "or"), default="and")
 
     g = sub.add_parser("suggest", help="did-you-mean term suggestions")
     g.add_argument("--index", required=True)
@@ -166,7 +172,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = qs.topk(args.query, k=args.k, mode=args.mode,
                               must_not=args.must_not, slop=args.slop,
-                              min_should_match=args.min_should_match)
+                              min_should_match=args.min_should_match,
+                              phrase_scoring=args.phrase_scoring)
             if args.hydrate and args.facet is None and not args.snippet:
                 out = hydrate(spark, args.index, out)
             rows = out.collect()
@@ -205,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "explain":
             from .query.engine import explain_topk
             for r in explain_topk(spark, args.index, args.query,
-                                  k=args.k).collect():
+                                  k=args.k, mode=args.mode).collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "suggest":
             from .query.engine import spell_suggest
