@@ -413,26 +413,39 @@ def main() -> None:
 
         levels = (tiny, small, CPUS)
 
+        def full_best(par):
+            """Best DIRECTLY-MEASURED full build (docmap + postings in one
+            uninterrupted run) — never a composite; apples-to-apples with
+            rounds 1-2's e2e numbers."""
+            fulls = [r["build_s"] for r in runs[par] if not r["resumed"]]
+            return min(fulls) if fulls else best(par, "build_s")
+
         def e2e_best(par):
-            """Clean-run e2e estimate: best FULL build's docmap + best
+            """Clean-run e2e ESTIMATE: best FULL build's docmap + best
             postings wall over ALL rounds (full or resume), floored by the
             best directly-measured full build. Composing the two minima is
             sound for the same reason the per-level minimum is (host noise
             is strictly additive and the stages are independent jobs); it
-            keeps one slow-phase docmap sample from anchoring the level."""
+            keeps one slow-phase docmap sample from anchoring the level.
+            Emitted under the *_est keys; the directly-measured full build
+            is emitted separately (ADVICE r3: resume rounds start from a
+            warmer JVM/page cache than any cold full build, so the composite
+            is an estimate, not an observation)."""
             dm = min((r["docmap_s"] for r in runs[par]
                       if not r["resumed"]), default=0.0)
             return min(best(par, "build_s"),
                        dm + best(par, "wall_s"))
 
-        thr = {par: N_DOCS / e2e_best(par) for par in levels}
+        thr = {par: N_DOCS / full_best(par) for par in levels}
+        thr_est = {par: N_DOCS / e2e_best(par) for par in levels}
         thr_core = {par: N_DOCS / best(par, "core_s") for par in levels}
         # primary pair: tiny → small (true 4x silicon, see cpu_ceiling)
-        eff = (e2e_best(tiny) / e2e_best(small)) / (small / tiny)
+        eff = (full_best(tiny) / full_best(small)) / (small / tiny)
+        eff_est = (e2e_best(tiny) / e2e_best(small)) / (small / tiny)
         eff_core = core_eff(tiny, small)
         # secondary pair: small → big (hypervisor-capped; reported raw and
         # against the same-run pure-int ceiling)
-        eff_s = (e2e_best(small) / e2e_best(CPUS)) / (CPUS / small)
+        eff_s = (full_best(small) / full_best(CPUS)) / (CPUS / small)
         eff_s_core = core_eff(small, CPUS)
 
         # query serving on the last full-parallelism index
@@ -517,9 +530,24 @@ def main() -> None:
             "n_docs": N_DOCS,
             "rounds": rep,
             "build": {
-                f"par{tiny}": round(e2e_best(tiny), 3),
-                f"par{small}": round(e2e_best(small), 3),
-                f"par{CPUS}": round(e2e_best(CPUS), 3),
+                # par{N} = best DIRECTLY-MEASURED full build (comparable to
+                # r1/r2); par{N}_est = the composite clean-run estimate
+                # (docmap+wall minima, see e2e_best docstring)
+                f"par{tiny}": round(full_best(tiny), 3),
+                f"par{small}": round(full_best(small), 3),
+                f"par{CPUS}": round(full_best(CPUS), 3),
+                f"par{tiny}_est": round(e2e_best(tiny), 3),
+                f"par{small}_est": round(e2e_best(small), 3),
+                f"par{CPUS}_est": round(e2e_best(CPUS), 3),
+                "e2e_methodology": (
+                    "par{N} = fastest uninterrupted full build; par{N}_est "
+                    "composes the fastest full-build docmap with the "
+                    "fastest postings wall (full or resume rounds) — an "
+                    "estimate of the clean run, justified by strictly "
+                    "additive host noise; resume rounds run from a warmer "
+                    "JVM/page cache, so _est can be optimistic vs a cold "
+                    "full build. Throughput/scaling keys marked _est derive "
+                    "from the estimate; unmarked e2e keys from par{N}."),
                 f"core_par{tiny}": best(tiny, "core_s"),
                 f"core_par{small}": best(small, "core_s"),
                 f"core_par{CPUS}": best(CPUS, "core_s"),
@@ -527,6 +555,8 @@ def main() -> None:
                 f"files_per_sec_core_tiny": round(thr_core[tiny], 1),
                 "files_per_sec_small": round(thr[small], 1),
                 "files_per_sec_big": round(thr[CPUS], 1),
+                "files_per_sec_small_est": round(thr_est[small], 1),
+                "files_per_sec_big_est": round(thr_est[CPUS], 1),
                 "files_per_sec_core_small": round(thr_core[small], 1),
                 "files_per_sec_core_big": round(thr_core[CPUS], 1),
                 "all_runs": {str(p): [r["build_s"] for r in rs]
@@ -545,6 +575,7 @@ def main() -> None:
             # PRIMARY north-rule pair (tiny -> small): core / e2e / query
             "scaling_efficiency": round(eff_core, 3),
             "scaling_efficiency_e2e": round(eff, 3),
+            "scaling_efficiency_e2e_est": round(eff_est, 3),
             "scaling_efficiency_query": round(q_eff, 3),
             # same-run hardware ceiling (pure-int multiprocessing) and the
             # secondary hypervisor-capped pair, raw + ceiling-normalized
@@ -578,7 +609,41 @@ def main() -> None:
     finally:
         spark.stop()
         shutil.rmtree(root, ignore_errors=True)
-    print(json.dumps(out))
+    # Full record (all_runs, phase probes, cpu ceiling, traces) goes to a
+    # file; stdout gets ONE COMPACT line. The driver captures only the tail
+    # of stdout and parses the last line as JSON — round 3's full inline
+    # JSON outgrew that capture and the round's perf record was recorded
+    # unparsed (VERDICT r3 "What's wrong" #4).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": ("index-build files/sec + BM25 p50; scaling_efficiency = "
+                   f"core indexing throughput N={tiny} vs 4N={small} "
+                   "(primary true-4x-silicon pair; methodology + full "
+                   "record in BENCH_full.json / BASELINE.md)"),
+        "value": out["value"], "unit": "sec", "sf": out["sf"],
+        "n_docs": out["n_docs"], "rounds": out["rounds"],
+        "queries": out["queries"],
+        "build": {k: out["build"][k] for k in out["build"]
+                  if k.startswith(("par", "files_per_sec"))},
+        "query_p50_s": out["query_p50_s"], "qps": out["qps"],
+        "qps_batch": out["qps_batch"], "qps_batch64": out["qps_batch64"],
+        "scaling_efficiency": out["scaling_efficiency"],
+        "scaling_efficiency_e2e": out["scaling_efficiency_e2e"],
+        "scaling_efficiency_e2e_est": out["scaling_efficiency_e2e_est"],
+        "scaling_efficiency_query": out["scaling_efficiency_query"],
+        f"scaling_efficiency_{small}_{CPUS}":
+            out[f"scaling_efficiency_{small}_{CPUS}"],
+        "scaling_vs_ceiling": out["scaling_vs_ceiling"],
+        "full_json": full_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:    # stay inside the driver's stdout-tail capture
+        compact.pop("build", None)
+        line = json.dumps(compact)
+    print(line)
     if "--scaling" in sys.argv:
         _write_baseline_section(out, tiny, small)
 
@@ -611,7 +676,8 @@ rounds. Raw builds and probes listed.
 
 | metric | {tiny}-way | {small}-way | {big}-way |
 |---|---|---|---|
-| index build, end-to-end (s) | {b[f'par{tiny}']} | {b[f'par{small}']} | {b[f'par{big}']} |
+| index build, end-to-end, measured full run (s) | {b[f'par{tiny}']} | {b[f'par{small}']} | {b[f'par{big}']} |
+| index build, end-to-end, clean-run estimate (s) | {b[f'par{tiny}_est']} | {b[f'par{small}_est']} | {b[f'par{big}_est']} |
 | build throughput (files/sec) | {b['files_per_sec_tiny']} | {b['files_per_sec_small']} | {b['files_per_sec_big']} |
 | core indexing (tokenize→runs→merge→write) (s) | {b[f'core_par{tiny}']} | {b[f'core_par{small}']} | {b[f'core_par{big}']} |
 | core throughput (files/sec) | {b['files_per_sec_core_tiny']} | {b['files_per_sec_core_small']} | {b['files_per_sec_core_big']} |

@@ -796,17 +796,21 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
     own ``~N``).
 
     ``phrase_freq=True`` switches to TRUE Lucene ``PhraseQuery`` scoring:
-    each clause scores with tf = its per-doc phrase OCCURRENCE count (the
-    number of distinct start positions completing the full chain) and
-    idf = the sum of its unique terms' idfs (Lucene ``PhraseWeight``) —
-    closing the round-1 documented deviation. Exact phrases only (slop=0;
-    Lucene's sloppyFreq weighting is a different formula — loud error)."""
+    each clause scores with tf = its per-doc phrase frequency and idf =
+    the sum of its terms' idfs over the FULL token sequence (Lucene
+    ``PhraseWeight`` sums per occurrence, so a repeated term counts
+    twice) — closing the round-1 documented deviation. With ``slop == 0``
+    the frequency is the occurrence count (one per start position
+    completing the chain); with ``slop > 0`` it is Lucene's sloppy
+    frequency Σ ``1/(1 + matchLength)`` over the minimal spans — one per
+    start occurrence whose greedy earliest-next chain completes within
+    the slack, ``matchLength = span - (n-1)`` the slack that span
+    consumed (``SloppyPhraseScorer.sloppyFreq``; our span enumeration is
+    the greedy minimal span per start, pinned by the from-scratch
+    recompute test and the DuckDB oracle)."""
     slops = (list(slop) if isinstance(slop, (list, tuple))
              else [slop] * len(clauses))
     assert len(slops) == len(clauses)
-    if phrase_freq and any(s != 0 for s in slops):
-        raise ValueError("phrase_freq scoring supports exact phrases only "
-                         "(slop=0)")
     all_terms = list(dict.fromkeys(
         t for _, td, _, _ in clauses for t in td))
 
@@ -876,6 +880,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                                            keysets[seq[i]])]
                     if live.size == 0:
                         return empty
+                weights = np.ones(live.size, dtype=np.float64)
             else:
                 start = keysets[seq[0]]
                 cur = start
@@ -889,28 +894,36 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                     cur = np.where(ok, nxt, cur)
                     if not ok.any():
                         return empty
-                ok &= (cur - start) <= np.int64(cl_slop + len(seq) - 1)
+                span = cur - start               # end pos - start pos
+                ok &= span <= np.int64(cl_slop + len(seq) - 1)
                 live = start[ok]
                 if live.size == 0:
                     return empty
-            ords, pf = np.unique(live // _POS_SHIFT, return_counts=True)
-            pf_maps.append((cand[ords], pf.astype(np.float64)))
+                # Lucene sloppyFreq: each minimal span contributes
+                # 1 / (1 + matchLength), matchLength = slack consumed
+                mlen = (span[ok] - np.int64(len(seq) - 1)).astype(np.float64)
+                weights = 1.0 / (1.0 + mlen)
+            ords_all = live // _POS_SHIFT
+            ords, inv = np.unique(ords_all, return_inverse=True)
+            pf = np.bincount(inv, weights=weights)
+            pf_maps.append((cand[ords], pf))
             cand = cand[ords]
         match_docs = cand
 
         score = np.zeros(match_docs.size, dtype=np.float64)
-        for ci, (_seq, terms_dedup, sentinel, avgdl) in enumerate(clauses):
+        for ci, (seq_full, terms_dedup, sentinel, avgdl) in enumerate(clauses):
             nep = _ep_from_row(nrows[sentinel])
             nd, ntf = decode_blocks_overlapping(
                 nep, int(match_docs[0]), int(match_docs[-1]))
             dl = ntf[np.searchsorted(nd, match_docs)].astype(np.float64)
             norm = k1 * (1.0 - b + b * dl / avgdl)
             if phrase_freq:
-                # Lucene PhraseWeight: tf = phrase occurrences, idf = Σ of
-                # the clause's unique terms' idfs
+                # Lucene PhraseWeight: tf = phrase (sloppy) frequency,
+                # idf = Σ idf over the clause's FULL token sequence — a
+                # repeated term counts once per occurrence (ADVICE r3)
                 docs_m, pf = pf_maps[ci]
                 tfv = pf[np.searchsorted(docs_m, match_docs)]
-                idf_cl = sum(idf_by_term[t] for t in sorted(set(terms_dedup)))
+                idf_cl = sum(idf_by_term[t] for t in seq_full)
                 score += idf_cl * tfv * (k1 + 1.0) / (tfv + norm)
             else:
                 for t in sorted(terms_dedup):
@@ -1093,7 +1106,8 @@ class QuerySession:
         phrase's constituent terms conjunctively (round-1 documented
         deviation, kept as the default the oracles pin); "phrase_freq" is
         TRUE Lucene PhraseQuery scoring — tf = per-doc phrase occurrence
-        count, idf = the summed term idfs (slop=0 only)."""
+        count (slop=0) or Lucene's sloppyFreq Σ 1/(1+matchLength) over
+        minimal spans (slop>0), idf = term idfs summed per occurrence."""
         terms = query_terms(query)
         deny = query_terms(must_not) if must_not else []
         if not terms:
@@ -1630,6 +1644,61 @@ class QuerySession:
                     _make_range_matcher(terms, conjunctive, deny or None),
                     "doc_id long"))
 
+    def _match_tree(self, node) -> "DataFrame | None":
+        """Match set of a nested boolean group (parser.GroupNode): doc_ids
+        matching the tree. Term leaves batch into ONE grouped-map matcher
+        pass per occur bucket per level (conjunctive for MUSTs, disjunctive
+        for SHOULDs); subgroup match sets compose with joins (MUST),
+        distinct unions (SHOULD), and a left-anti join (MUST_NOT). Depth is
+        query-proportional (tiny); every set stays distributed."""
+        from ..tokenizer import tokenize_text
+
+        def toks(items) -> list[str]:
+            return [t for a in items if isinstance(a, str)
+                    for t in tokenize_text(a)]
+
+        def subs(items):
+            return [a for a in items if not isinstance(a, str)]
+
+        # set operators (intersect / union+distinct / subtract), not joins:
+        # every operand descends from the SAME cached postings relation, so
+        # a join trips Spark's ambiguous-self-join analysis; set ops are
+        # also the exact semantics (all frames are distinct doc_id sets)
+        m: DataFrame | None = None
+        if node.musts:
+            mt = toks(node.musts)
+            if mt:
+                m = self._match_terms(mt, conjunctive=True)
+            for g in subs(node.musts):
+                s = self._match_tree(g)
+                m = s if m is None else m.intersect(s)
+        else:
+            unioned = False
+            st = toks(node.shoulds)
+            if st:
+                m = self._match_terms(st, conjunctive=False)
+            for g in subs(node.shoulds):
+                s = self._match_tree(g)
+                if m is None:
+                    m = s
+                else:
+                    m = m.union(s)
+                    unioned = True
+            if m is not None and unioned:
+                m = m.distinct()
+        if m is None:
+            return None
+        neg: DataFrame | None = None
+        nt = toks(node.nots)
+        if nt:
+            neg = self._match_terms(nt, conjunctive=False)
+        for g in subs(node.nots):
+            s = self._match_tree(g)
+            neg = s if neg is None else neg.union(s)
+        if neg is not None:
+            m = m.subtract(neg)
+        return m
+
     def count(self, query: str, mode: str = "and",
               must_not: str | None = None) -> int:
         """Lucene ``IndexSearcher.count`` analog: the number of documents
@@ -1707,6 +1776,11 @@ class QuerySession:
           match union via the allowlist (Lucene MUST-of-SHOULDs scoring),
           ``-(a b)`` denies every group term (De Morgan), ``(a b)^2``
           boosts each group term.
+        - **nested boolean groups** (``+(+a +(b c) -d)``): exact boolean
+          matching via ``_match_tree`` set algebra; scoring flattens the
+          positive leaves into the SHOULD union, exact Lucene whenever
+          every structured subgroup sits on a MUST spine (enforced by
+          ``validate_scoring_exact`` — the one stranding shape raises).
 
         Unsupported (loud ValueError): MUST_NOT phrases/expansions, phrases
         mixed with SHOULD terms, phrases with MUST_NOT terms or boosts,
@@ -1816,6 +1890,42 @@ class QuerySession:
                         return empty  # MUST group matching nothing
                     allow_sets.append(
                         self._match_terms(exist, conjunctive=False))
+            elif c.kind == "nested":
+                # Nested boolean group (reference MultiFieldQueryParser
+                # accepts arbitrary nesting, cLuceneIndexReader.java:336).
+                # Matching: exact boolean algebra over per-subtree match
+                # sets (_match_tree — intersections for MUSTs, distinct
+                # unions for SHOULDs, anti-joins for MUST_NOTs). Scoring:
+                # flatten to the positive leaves as SHOULD terms, which is
+                # exactly Lucene BooleanQuery scoring whenever every
+                # structured subgroup sits on the MUST spine —
+                # validate_scoring_exact raises loudly otherwise.
+                from .parser import parse_group_tree
+                tree = parse_group_tree(c.text)
+                if c.occur == "-":
+                    if not tree.is_pure_should():
+                        raise ValueError(
+                            "MUST_NOT nested groups with +/- children are "
+                            "not supported (De Morgan only applies to "
+                            f"pure-SHOULD groups): -({c.text})")
+                    deny_terms += [
+                        t for a in tree.positive_leaves()
+                        for t in tokenize_text(a)]
+                    continue
+                tree.validate_scoring_exact(guaranteed=(c.occur == "+"))
+                leaves = [t for a in tree.positive_leaves()
+                          for t in tokenize_text(a)]
+                exist = [t for t in dict.fromkeys(leaves)
+                         if t in self._df_lookup(leaves)]
+                should_terms += exist
+                add_boost(exist, c.boost)
+                if c.occur == "+":
+                    m = self._match_tree(tree)
+                    if m is None:
+                        return empty
+                    allow_sets.append(m)
+                # bare pure-SHOULD nested groups flatten with no allowlist:
+                # candidates = the SHOULD union, identical semantics
             else:
                 if c.occur == "-":
                     raise ValueError(

@@ -22,8 +22,19 @@ Supported grammar (documented subset of the Lucene classic syntax):
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
 - ``(a b)`` parenthesized SHOULD group of plain terms: ``+(a b)`` MUST
   (doc must match at least one group term), ``-(a b)`` MUST_NOT (doc must
-  match none), ``(a b)^2`` boosts every group term. Groups may contain
-  only plain terms (no nesting, phrases, or wildcards — loud ValueError)
+  match none), ``(a b)^2`` boosts every group term
+- **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
+  arbitrary nesting of plain terms with ``+``/``-``/``AND``/``OR``/``NOT``
+  inside parens, matching the reference's ``MultiFieldQueryParser``
+  acceptance (``cLuceneIndexReader.java:336-337``). Matching is exact
+  boolean algebra over per-subtree match sets. Scoring flattens to the
+  sum of present positive leaves, which equals Lucene BooleanQuery
+  scoring whenever every structured subgroup (one with ``+``/``-``
+  children) sits on a MUST spine from the root — the one shape where a
+  present leaf could be stranded by an unmatched enclosing subgroup
+  (a SHOULD-positioned structured subgroup) raises loudly instead of
+  scoring wrong. Groups still may not contain phrases, wildcards,
+  fuzzies, regexps, fields, or ranges (loud ValueError)
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser
@@ -32,18 +43,176 @@ would auto-phrase them); quoted phrases always execute as MUST clauses.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field as _dc_field
 
-#: a clause token: ``[+-]?(field:)?"phrase"(~N)?(^B)?``, a paren group
-#: ``[+-]?(...)(^B)?``, or a bare atom
-_TOKEN_RE = re.compile(
-    r'[+\-]?(?:[A-Za-z_]\w*:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
-    r'|[+\-]?\([^()]*\)(?:\^\d+(?:\.\d+)?)?'
-    r'|[+\-]?(?:[A-Za-z_]\w*:)?\[[^\]]*\]'
-    r'|[+\-]?(?:[A-Za-z_]\w*:)?\{[^}]*\}'
-    r'|\S+')
 _FIELD_RE = re.compile(r'^([A-Za-z_]\w*):(.+)$', re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+
+
+def _split_tokens(q: str) -> list[str]:
+    """Whitespace-split into clause tokens, keeping quoted phrases,
+    (nested) paren groups, and bracketed ranges intact. A regex cannot
+    match nested parens, so this is a small depth-tracking scanner."""
+    toks: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        if q[i].isspace():
+            i += 1
+            continue
+        start = i
+        depth = 0
+        in_quote = False
+        bracket: str | None = None      # closing char of [..] / {..}
+        while i < n:
+            c = q[i]
+            if in_quote:
+                if c == '"':
+                    in_quote = False
+            elif bracket is not None:
+                if c == bracket:
+                    bracket = None
+            elif c == '"':
+                in_quote = True
+            elif c in "[{":
+                bracket = "]" if c == "[" else "}"
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    raise ValueError(f"unbalanced ')' in query: {q!r}")
+            elif c.isspace() and depth == 0:
+                break
+            i += 1
+        if depth > 0:
+            raise ValueError(f"unbalanced '(' in query: {q!r}")
+        toks.append(q[start:i])
+    return toks
+
+
+def _outer_parens_match(tok: str) -> bool:
+    """True when tok is one (...) group — the opening paren closes at the
+    very end (``(a)(b)`` starts with ( and ends with ) but is not one)."""
+    if not (tok.startswith("(") and tok.endswith(")")):
+        return False
+    depth = 0
+    for i, c in enumerate(tok):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(tok) - 1
+    return False
+
+
+#: chars legal inside a NESTED group: plain terms, occurs, nesting, spaces
+_NESTED_OK_RE = re.compile(r'^[\w .+\-()]*$')
+#: structure markers that route a group to the nested parser
+_STRUCT_RE = re.compile(r'[()]|(?:^|[\s(])[+\-]\S|\b(?:AND|NOT|&&)\b')
+
+
+@dataclass
+class GroupNode:
+    """One boolean level of a nested () group. Children are raw atom
+    strings (analyzed by the engine) or nested GroupNodes."""
+    musts: list = _dc_field(default_factory=list)
+    shoulds: list = _dc_field(default_factory=list)
+    nots: list = _dc_field(default_factory=list)
+
+    def positive_leaves(self) -> list[str]:
+        """Raw term atoms that contribute to scoring (everything not under
+        a MUST_NOT), document order, duplicates preserved."""
+        out: list[str] = []
+        for item in self.musts + self.shoulds:
+            if isinstance(item, GroupNode):
+                out += item.positive_leaves()
+            else:
+                out.append(item)
+        return out
+
+    def validate_scoring_exact(self, guaranteed: bool = True) -> None:
+        """Raise unless flatten-scoring (sum of present positive leaves)
+        equals Lucene BooleanQuery scoring for this tree. Exact iff every
+        STRUCTURED subgroup (one with +/- children) is guaranteed-matched
+        for every candidate doc, i.e. reachable from the root via MUST
+        edges only; pure-SHOULD subtrees always flatten exactly (a present
+        leaf implies every enclosing pure-SHOULD group matches)."""
+        if (self.musts or self.nots) and not guaranteed:
+            raise ValueError(
+                "a SHOULD-positioned subgroup with +/- children has "
+                "non-flattenable Lucene scoring — put it on a MUST spine "
+                "(e.g. +(+a +(b c))) or restructure the query")
+        for item in self.musts:
+            if isinstance(item, GroupNode):
+                item.validate_scoring_exact(guaranteed)
+        for item in self.shoulds:
+            if isinstance(item, GroupNode):
+                item.validate_scoring_exact(False)
+        # MUST_NOT subtrees never score — any shape is fine for matching
+
+    def is_pure_should(self) -> bool:
+        return (not self.musts and not self.nots
+                and all(not isinstance(s, GroupNode) or s.is_pure_should()
+                        for s in self.shoulds))
+
+
+def parse_group_tree(inner: str) -> GroupNode:
+    """Parse the inside of a nested () group: plain terms, +/- occurs,
+    AND/OR/NOT connectives, and nested groups. Same connective semantics
+    as the top level (AND promotes both neighbors to MUST, NOT == -)."""
+    if not _NESTED_OK_RE.match(inner):
+        raise ValueError(
+            "nested () groups may contain only plain terms, +/-, "
+            "AND/OR/NOT and nested groups (no phrases, wildcards, "
+            f"fields, boosts, or ranges): {inner!r}")
+    node = GroupNode()
+    seq: list[tuple[str, object]] = []   # (occur, atom-or-node)
+    pending_not = False
+    pending_and = False
+    for tok in _split_tokens(inner):
+        up = tok.upper()
+        if up in ("AND", "&&"):
+            if seq and seq[-1][0] == "":
+                seq[-1] = ("+", seq[-1][1])
+            pending_and = True
+            continue
+        if up in ("OR", "||"):
+            pending_and = False
+            continue
+        if up == "NOT":
+            pending_not = True
+            continue
+        occur = ""
+        if tok.startswith("+"):
+            occur, tok = "+", tok[1:]
+        elif tok.startswith("-"):
+            occur, tok = "-", tok[1:]
+        if pending_not:
+            occur = "-"
+            pending_not = False
+        if pending_and and occur == "":
+            occur = "+"
+        pending_and = False
+        if not tok:
+            raise ValueError("dangling +/- with no atom in group")
+        if _outer_parens_match(tok):
+            child = parse_group_tree(tok[1:-1].strip())
+            if not (child.musts or child.shoulds or child.nots):
+                raise ValueError(f"empty () group in: {inner!r}")
+            seq.append((occur, child))
+        elif "(" in tok or ")" in tok:
+            raise ValueError(f"malformed group atom: {tok!r}")
+        else:
+            seq.append((occur, tok))
+    for occur, item in seq:
+        (node.musts if occur == "+" else
+         node.nots if occur == "-" else node.shoulds).append(item)
+    if node.nots and not (node.musts or node.shoulds):
+        raise ValueError(
+            f"group with only MUST_NOT clauses matches nothing it can "
+            f"enumerate: {inner!r}")
+    return node
 _FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
 _BOOST_RE = re.compile(r'^(.+?)\^(\d+(?:\.\d+)?)$')
 _REGEX_RE = re.compile(r'^/(.+)/$', re.S)
@@ -56,6 +225,8 @@ class Clause:
     field: str       # "" = content
     kind: str        # term | phrase | prefix | wildcard | fuzzy | regexp
                      #      | group (text = space-separated plain terms)
+                     #      | nested (text = raw inner string; parse with
+                     #        parse_group_tree)
                      #      | range (text = "lo TO hi", inclusive)
     text: str        # raw atom text (unanalyzed)
     num: int = 0     # phrase slop / fuzzy max edits
@@ -70,7 +241,7 @@ def parse_query_string(q: str) -> list[Clause]:
     clauses: list[Clause] = []
     pending_not = False
     pending_and = False
-    for tok in _TOKEN_RE.findall(q):
+    for tok in _split_tokens(q):
         up = tok.upper()
         if up in ("AND", "&&"):
             if clauses and clauses[-1].occur == "":
@@ -104,14 +275,20 @@ def parse_query_string(q: str) -> list[Clause]:
             tok, boost = m.group(1), float(m.group(2))
             if not tok:
                 raise ValueError("dangling ^boost with no atom")
-        if tok.startswith("(") and tok.endswith(")"):
+        if _outer_parens_match(tok):
             inner = tok[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if any(ch in inner for ch in '"*?~/^(') or ":" in inner:
+            if any(ch in inner for ch in '"*?~/^') or ":" in inner:
                 raise ValueError(
                     "() groups may contain only plain terms: " + tok)
-            clauses.append(Clause(occur, "", "group", inner, boost=boost))
+            if _STRUCT_RE.search(inner):
+                # nesting or internal +/-/AND/NOT: boolean-structured group
+                clauses.append(Clause(occur, "", "nested", inner,
+                                      boost=boost))
+            else:
+                clauses.append(Clause(occur, "", "group", inner,
+                                      boost=boost))
             continue
         if "(" in tok or ")" in tok:
             raise ValueError(f"unbalanced or nested parens in atom: {tok!r}")

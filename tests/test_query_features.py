@@ -1330,6 +1330,65 @@ def test_query_string_paren_groups(built_fields, spark):
     assert qs.query_string(f"+(zzqqxx{HOT_TERM}zz) {t2}").count() == 0
 
 
+def test_query_string_nested_groups(built_fields, spark):
+    """Nested boolean groups (round 4): matching is exact set algebra over
+    per-subtree match sets, scoring flattens the positive leaves — both
+    checked against a python recompute of the match set from the raw
+    docmap + the direct allow-restricted scorer; non-flattenable shapes
+    and structured MUST_NOT groups raise loudly."""
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.query.parser import parse_query_string
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+
+    toks = {int(r.doc_id): set(tokenize_text(r.content)) for r in
+            docmap.select("doc_id", "content").collect()}
+    a = HOT_TERM
+    b = RARE_TERM
+    # pick c, d present in the corpus, distinct from a/b
+    freq: dict[str, int] = {}
+    for s in toks.values():
+        for t in s:
+            freq[t] = freq.get(t, 0) + 1
+    cands = sorted(t for t, n in freq.items()
+                   if 2 <= n <= len(toks) - 2 and t not in (a, b))
+    c, d = cands[0], cands[1]
+
+    # +(+a +(b c) -d) e : match = a ∩ (b ∪ c) − d
+    e = c  # rider term (must exist); reuse c — duplicate terms are fine
+    q = f"+(+{a} +({b} {c}) -{d}) {e}"
+    match_ids = sorted(dd for dd, s in toks.items()
+                       if a in s and (b in s or c in s) and d not in s)
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(q, k=10 ** 6).collect()]
+    assert sorted(dd for dd, _ in got) == match_ids
+    # scoring == SHOULD union of the positive leaves over that allowlist
+    allow = spark.createDataFrame([(i,) for i in match_ids], "doc_id long")
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            qs._score_terms(list(dict.fromkeys([a, b, c, e])), 10 ** 6,
+                            allow, conjunctive=False).collect()]
+    assert got == want and got
+
+    # pure-SHOULD nesting flattens to the flat union (bare group)
+    got2 = [(r.doc_id, round(r.score, 9)) for r in
+            qs.query_string(f"({a} ({b} {c}))", k=20).collect()]
+    want2 = [(r.doc_id, round(r.score, 9)) for r in
+             qs._score_terms([a, b, c], 20, conjunctive=False).collect()]
+    assert got2 == want2 and got2
+
+    # loud errors: SHOULD-positioned structured subgroup (non-flattenable
+    # Lucene scoring), structured MUST_NOT group
+    import pytest as _pt
+    with _pt.raises(ValueError, match="MUST spine"):
+        qs.query_string(f"+({a} (+{b} +{c})) {d}")
+    with _pt.raises(ValueError, match="MUST_NOT nested"):
+        qs.query_string(f"-(+{a} +{b}) {c}")
+    # parser: nested trees round-trip
+    cs = parse_query_string(f"+(+{a} +({b} {c}) -{d}) {e}")
+    assert [cl.kind for cl in cs] == ["nested", "term"]
+
+
 def test_query_string_range_clause(built, spark):
     """field:[lo TO hi] compiles to a docmap predicate joined into the
     exact allowlist: parity vs the direct allow-restricted topk; malformed
@@ -1415,9 +1474,80 @@ def test_phrase_freq_scoring_matches_naive(spark, tmp_path):
              for d, t in toks.items()}
     assert any(pf_of[d] >= 2 for d, _ in got[:5])
 
+    # sloppy phrase_freq (round 4): tf = Lucene sloppyFreq =
+    # Σ 1/(1+matchLength) over greedy minimal spans (one per start
+    # occurrence completing within the slack) — from-scratch recompute;
+    # the planted "alpha gap beta" docs contribute a 0.5-weight span
+    slop = 2
+    got_s = [(r.doc_id, round(r.score, 9)) for r in
+             qs.topk("alpha beta", k=15, mode="phrase", slop=slop,
+                     phrase_scoring="phrase_freq").collect()]
+    want_s = []
+    for d, t in toks.items():
+        pf = 0.0
+        for j, w in enumerate(t):
+            if w != "alpha":
+                continue
+            nxt = [i for i in range(j + 1, min(j + slop + 2, len(t)))
+                   if t[i] == "beta"]
+            if nxt:
+                pf += 1.0 / (1.0 + (nxt[0] - j - 1))
+        if pf:
+            norm = 1.2 * (0.25 + 0.75 * dls[d] / avgdl)
+            want_s.append((d, round(idf * pf * 2.2 / (pf + norm), 9)))
+    want_s.sort(key=lambda x: (-x[1], x[0]))
+    assert got_s == want_s[:15] and got_s
+    # the gap docs match sloppily but not exactly: slop widens the hit set
+    assert len({d for d, _ in want_s}) > len({d for d, _ in want})
+
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="exact phrases only"):
-        qs.topk("alpha beta", k=5, mode="phrase", slop=2,
-                phrase_scoring="phrase_freq").collect()
     with _pytest.raises(ValueError, match="phrase mode only"):
         qs.topk("alpha beta", k=5, phrase_scoring="phrase_freq")
+
+
+def test_phrase_freq_repeated_term_idf(spark, tmp_path):
+    """A phrase with a REPEATED term ("alpha alpha beta") sums idf per
+    occurrence (Lucene PhraseWeight), not per unique term — ADVICE r3:
+    the deduped sum underscored repeated-term phrases."""
+    import math
+
+    rows = []
+    for i in range(12):
+        body = ("alpha alpha beta " if i % 3 == 0 else "alpha beta ")
+        body += ("pad%d " % i) * (4 + i % 5)
+        rows.append(("r", f"g{i:02d}.py", f"d{i:02d}", "python", body))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    root = str(tmp_path / "rptidx")
+    build_index(spark, corpus, root, n_buckets=2, range_size=64, waves=1,
+                positions=True)
+    qs = engine.QuerySession(spark, root)
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.topk("alpha alpha beta", k=12, mode="phrase",
+                   phrase_scoring="phrase_freq").collect()]
+
+    docmap = spark.read.parquet(f"{root}/docmap")
+    from luceneindexer_spark.tokenizer import tokenize_text
+    toks = {int(r.doc_id): tokenize_text(r.content)
+            for r in docmap.collect()}
+    n_docs = len(toks)
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / n_docs
+
+    def idf1(term):
+        df = sum(1 for t in toks.values() if term in t)
+        return math.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+    # per-occurrence sum: alpha counted twice
+    idf = 2 * idf1("alpha") + idf1("beta")
+    want = []
+    for d, t in toks.items():
+        pf = sum(1 for j in range(len(t) - 2)
+                 if t[j] == "alpha" and t[j + 1] == "alpha"
+                 and t[j + 2] == "beta")
+        if pf:
+            norm = 1.2 * (0.25 + 0.75 * dls[d] / avgdl)
+            want.append((d, round(idf * pf * 2.2 / (pf + norm), 9)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert got == want[:12] and got
