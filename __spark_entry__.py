@@ -685,12 +685,15 @@ WILDCARD_RX = "^s.*am$"
 def _expansion_sql(exp_where: str, exp_order: str, cap: int,
                    k: int = 10, extra_cte: str = "",
                    exp_from: str = "dfall",
-                   exclude_doc: int | None = None) -> str:
+                   exclude_doc: int | None = None,
+                   weight_sql: str = "1.0") -> str:
     """Shared oracle for MultiTermQuery rewrites (prefix/fuzzy/wildcard)
     and MoreLikeThis: dictionary expansion from ``exp_from`` under
     ``exp_where`` in ``exp_order`` capped at ``cap``, scored as the SHOULD
     union (same BM25 as bm25_or_topk); ``extra_cte`` may add expansion
-    sources, ``exclude_doc`` drops the MLT source doc."""
+    sources, ``exclude_doc`` drops the MLT source doc, ``weight_sql``
+    (an expression over exp's ``term``) multiplies the term's idf —
+    Lucene FuzzyQuery similarity boosts."""
     final = (f"WHERE doc_id <> {exclude_doc}"
              if exclude_doc is not None else "")
     return f"""
@@ -701,13 +704,14 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
                  / (SELECT count(*) FROM documents) AS avgdl),
 dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
           GROUP BY term){extra_cte},
-exp AS (SELECT term, df FROM {exp_from} WHERE {exp_where}
+exp AS (SELECT term, df, ({weight_sql})::DOUBLE AS w_exp
+        FROM {exp_from} WHERE {exp_where}
         ORDER BY {exp_order} LIMIT {cap}),
 tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
        JOIN exp USING (term) GROUP BY doc_id, tok.term),
 scored AS (
   SELECT tf.doc_id,
-         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+         sum(e.w_exp * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
              * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
                + {BM25_B} * dl.doclen / s.avgdl))) AS score
   FROM tf JOIN exp e USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
@@ -1720,10 +1724,14 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         # then the same union scoring as bm25_or_topk over the expansion
         "prefix_search": _expansion_sql(
             f"term LIKE '{PREFIX_Q}%'", "df DESC, term ASC", 128),
-        # FuzzyQuery: expansion within Levenshtein 2, (dist, df desc, term)
+        # FuzzyQuery: expansion within Levenshtein 2, (dist, df desc, term),
+        # each expansion's idf weighted by Lucene's similarity
+        # 1 - dist/min(|query|, |term|) (FuzzyTermsEnum boost, round 4)
         "fuzzy_search": _expansion_sql(
             f"levenshtein(term, '{FUZZY_Q}') <= 2",
-            f"levenshtein(term, '{FUZZY_Q}') ASC, df DESC, term ASC", 50),
+            f"levenshtein(term, '{FUZZY_Q}') ASC, df DESC, term ASC", 50,
+            weight_sql=(f"1.0 - levenshtein(term, '{FUZZY_Q}')::DOUBLE"
+                        f" / least(length('{FUZZY_Q}'), length(term))")),
         # WildcardQuery: anchored * / ? pattern over the dictionary
         "wildcard_search": _expansion_sql(
             f"regexp_matches(term, '{WILDCARD_RX}')",

@@ -781,10 +781,35 @@ def test_fuzzy_and_wildcard_queries(built, spark):
         assert HOT_TERM in exp
         assert exp == qsc.expand_fuzzy(typo, max_edits=2)
         got = [(int(r.doc_id), round(float(r.score), 9)) for r in
-               qs.topk_fuzzy(typo, k=10).collect()]
+               qs.topk_fuzzy(typo, k=10, weighted=False).collect()]
         want = [(int(r.doc_id), round(float(r.score), 9)) for r in
                 qs.topk(" ".join(exp), k=10, mode="or").collect()]
         assert got == want and len(got) == 10
+
+        # WEIGHTED fuzzy (round 4, Lucene FuzzyTermsEnum boost): each
+        # expansion's idf scaled by 1 - dist/min(|q|, |t|); equals the
+        # boosted SHOULD union, and equals the unweighted ranking when
+        # every expansion has the SAME distance-similarity
+        pairs = qs.expand_fuzzy_dists(typo, max_edits=2)
+        sims = {t: 1.0 - d / min(len(typo), len(t)) for t, d in pairs}
+        gotw2 = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                 qs.topk_fuzzy(typo, k=10).collect()]
+        wantw2 = [(int(r.doc_id), round(float(r.score), 9)) for r in
+                  qs._score_terms([t for t, _ in pairs], 10,
+                                  conjunctive=False,
+                                  boosts=sims).collect()]
+        assert gotw2 == wantw2 and len(gotw2) == 10
+        if len({sims[t] for t, _ in pairs}) == 1:
+            # all-tied similarities: weighted ranking == unweighted,
+            # scores scaled by the common factor
+            assert [d for d, _ in gotw2] == [d for d, _ in got]
+            np.testing.assert_allclose(
+                [s for _, s in gotw2],
+                [s * sims[pairs[0][0]] for _, s in got], rtol=1e-9)
+        # query-string path applies the same weights
+        gq = [(int(r.doc_id), round(float(r.score), 9)) for r in
+              qs.query_string(f"{typo}~2", k=10).collect()]
+        assert gq == gotw2
 
         pat = HOT_TERM[:4] + "*" + HOT_TERM[-2:]  # "shar*er"
         expw = qs.expand_wildcard(pat)
