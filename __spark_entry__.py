@@ -348,6 +348,56 @@ LIMIT {k}
 """
 
 
+FUZZY_FIELD_Q = "notez"      # Levenshtein 1 from the path token "notes"
+
+
+def _q_fuzzy_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-SCOPED FuzzyQuery through the classic parser (round 4:
+    MultiFieldQueryParser accepts field-scoped fuzzies — raised loudly
+    through round 3): 'path:notez~2' expands over the path field's
+    namespaced dictionary slice (distance on the bare token), each
+    expansion's idf weighted by Lucene's 1 − dist/min(|q|, |t|)
+    similarity, scored with the PATH field's norms (sentinel avgdl)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(f"path:{FUZZY_FIELD_Q}~2", k=10),
+                   "score")
+
+
+def _fuzzy_field_sql(q: str, k: int, max_edits: int = 2) -> str:
+    """DuckDB oracle for the field-scoped weighted fuzzy union: path-token
+    expansion (dist asc, df desc, term asc, cap 50), similarity-weighted
+    idf (global n_docs), path-field norms (avgdl = Σ path dl / docs with
+    the field) — mirrors _multifield_parsed_sql's path clause."""
+    ptok_cte = duckdb_tokens_cte("documents", "doc_id", DOC_PATH_SQL)
+    return f"""
+WITH ptok AS ({ptok_cte}),
+pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pst AS (SELECT (SELECT count(*) FROM ptok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ptok) AS avgdl),
+gst AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+pdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ptok
+        GROUP BY term),
+exp AS (SELECT term, df,
+               (1.0 - levenshtein(term, '{q}')::DOUBLE
+                / least(length('{q}'), length(term))) AS w
+        FROM pdf WHERE levenshtein(term, '{q}') <= {max_edits}
+        ORDER BY levenshtein(term, '{q}') ASC, df DESC, term ASC LIMIT 50),
+tf AS (SELECT doc_id, ptok.term, count(*)::DOUBLE AS tf FROM ptok
+       JOIN exp USING (term) GROUP BY doc_id, ptok.term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(e.w * ln(1 + (g.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * pdl.dl / ps.avgdl))) AS score
+  FROM tf JOIN exp e USING (term) JOIN pdl USING (doc_id)
+  CROSS JOIN pst ps CROSS JOIN gst g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _q_lucene_qs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query string with a Lucene range clause: 'term size:[lo TO hi]' —
     the range compiles to a docmap predicate joined into the exact
@@ -1014,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "lucene_qs_nested": _q_lucene_qs_nested,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
+        "fuzzy_field_search": _q_fuzzy_field_search,
         # --- driver-green in CORRECTNESS_r03.json ---
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
@@ -1664,6 +1715,8 @@ def oracle_sql() -> dict[str, str]:
         # sloppy PhraseQuery scoring: sloppyFreq over greedy minimal spans
         "sloppy_phrase_scored": _sloppy_phrase_sql(INDEX_PHRASE, 10,
                                                    NEAR_SLOP),
+        # field-scoped weighted fuzzy through the classic parser
+        "fuzzy_field_search": _fuzzy_field_sql(FUZZY_FIELD_Q, 10),
         # IndexSearcher.count: full conjunctive match-set cardinality
         "match_count": f"""
 WITH tok AS ({_TOK}),

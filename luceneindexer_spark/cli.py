@@ -73,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
                    default="terms",
                    help="phrase mode: 'terms' = conjunctive term scoring "
                         "(default), 'phrase_freq' = true Lucene "
-                        "PhraseQuery scoring (tf = phrase occurrences)")
+                        "PhraseQuery scoring (tf = phrase occurrences; "
+                        "with --slop > 0: Lucene sloppyFreq over minimal "
+                        "spans)")
     q.add_argument("--min-should-match", type=int, default=1,
                    help="or mode: require this many distinct terms")
     q.add_argument("--snippet", action="store_true",

@@ -1531,86 +1531,113 @@ class QuerySession:
                 self.expand_fuzzy_dists(term, max_edits, max_expansions)]
 
     def expand_fuzzy_dists(self, term: str, max_edits: int = 2,
-                           max_expansions: int = 50
+                           max_expansions: int = 50, field: str = ""
                            ) -> list[tuple[str, int]]:
         """expand_fuzzy with each expansion's edit distance — the input to
         Lucene's similarity boost 1 − dist/min(|query|, |term|)
-        (``FuzzyTermsEnum`` boost attribute)."""
+        (``FuzzyTermsEnum`` boost attribute). ``field`` scopes the
+        expansion to that field's ``field:token`` namespace (round 4:
+        MultiFieldQueryParser accepts field-scoped fuzzies); returned
+        terms keep the namespace, distances are on the bare token."""
         term = term.strip().lower()
         if not term:
             return []
+        pre = f"{field}:" if field else ""
         if self._stats_local is not None:
             cands = []
             for t, (df, _) in self._stats_local.items():
-                if (abs(len(t) - len(term)) > max_edits or ":" in t
-                        or not t):
+                base = t[len(pre):] if pre else t
+                if pre:
+                    if not t.startswith(pre) or ":" in base or not base:
+                        continue    # excludes the "field:" norms sentinel
+                elif ":" in t or not t:
                     continue
-                d = _levenshtein_capped(t, term, max_edits)
+                if abs(len(base) - len(term)) > max_edits:
+                    continue
+                d = _levenshtein_capped(base, term, max_edits)
                 if d <= max_edits:
                     cands.append((d, -df, t))
             cands.sort()
             return [(t, d) for d, _, t in cands[:max_expansions]]
+        base_col = (F.substring("term", len(pre) + 1, 1 << 20) if pre
+                    else F.col("term"))
+        ns_pred = (F.col("term").startswith(pre)
+                   & ~base_col.contains(":")
+                   & (F.length("term") > len(pre)) if pre
+                   else ~F.col("term").contains(":"))
         rows = (self.stats
                 .filter((F.length("term")
-                         >= F.lit(len(term) - max_edits))
+                         >= F.lit(len(term) + len(pre) - max_edits))
                         & (F.length("term")
-                           <= F.lit(len(term) + max_edits))
-                        & ~F.col("term").contains(":")
+                           <= F.lit(len(term) + len(pre) + max_edits))
+                        & ns_pred
                         & (F.col("term") != DOCLEN_TERM))
                 .withColumn("dist",
-                            F.levenshtein(F.col("term"), F.lit(term)))
+                            F.levenshtein(base_col, F.lit(term)))
                 .filter(F.col("dist") <= max_edits)
                 .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
                 .limit(max_expansions).collect())
         return [(r["term"], int(r["dist"])) for r in rows]
 
-    def expand_wildcard(self, pattern: str, max_expansions: int = 128
-                        ) -> list[str]:
+    def expand_wildcard(self, pattern: str, max_expansions: int = 128,
+                        field: str = "") -> list[str]:
         """Lucene ``WildcardQuery`` expansion: ``*`` = any run, ``?`` = one
         char, anchored both ends; ordered (df desc, term asc), capped.
-        Same dictionary-scan discipline as expand_prefix."""
+        Same dictionary-scan discipline as expand_prefix. ``field`` scopes
+        the expansion to that field's namespace (round 4)."""
         import re
         pattern = pattern.strip().lower()
         if not pattern:
             return []
-        rx = "^" + "".join(
+        rx = "".join(
             ".*" if c == "*" else "." if c == "?" else re.escape(c)
-            for c in pattern) + "$"
-        if self._stats_local is not None:
-            crx = re.compile(rx)
-            cands = [(-df, t) for t, (df, _) in self._stats_local.items()
-                     if t and ":" not in t and crx.match(t)]
-            cands.sort()
-            return [t for _, t in cands[:max_expansions]]
-        rows = (self.stats
-                .filter(F.col("term").rlike(rx)
-                        & ~F.col("term").contains(":")
-                        & (F.col("term") != DOCLEN_TERM))
-                .orderBy(F.desc("df"), F.asc("term"))
-                .limit(max_expansions).collect())
-        return [r["term"] for r in rows]
+            for c in pattern)
+        return self._expand_rx(rx, max_expansions, field)
 
-    def expand_regexp(self, rx: str, max_expansions: int = 128
-                      ) -> list[str]:
+    def expand_regexp(self, rx: str, max_expansions: int = 128,
+                      field: str = "") -> list[str]:
         """Lucene ``RegexpQuery`` expansion: the pattern is anchored both
         ends (Lucene regexp semantics — it must match the WHOLE term),
         ordered (df desc, term asc), capped. Same dictionary-scan
         discipline as expand_prefix/expand_wildcard: vocabulary-sized, a
-        bounded control-plane lookup at any corpus scale."""
-        import re
+        bounded control-plane lookup at any corpus scale. ``field`` scopes
+        the expansion to that field's namespace (round 4)."""
         rx = rx.strip()
         if not rx:
             return []
+        return self._expand_rx("(?:" + rx + ")", max_expansions, field)
+
+    def _expand_rx(self, rx: str, max_expansions: int,
+                   field: str = "") -> list[str]:
+        """Shared anchored-regexp dictionary expansion, optionally scoped
+        to a field's ``field:token`` namespace. The match applies to the
+        bare token; returned terms keep the namespace."""
+        import re
+        pre = f"{field}:" if field else ""
         anchored = "^(?:" + rx + ")$"
         crx = re.compile(anchored)   # raises re.error on a bad pattern
         if self._stats_local is not None:
-            cands = [(-df, t) for t, (df, _) in self._stats_local.items()
-                     if t and ":" not in t and crx.match(t)]
+            cands = []
+            for t, (df, _) in self._stats_local.items():
+                base = t[len(pre):] if pre else t
+                if pre:
+                    if not t.startswith(pre) or ":" in base or not base:
+                        continue    # excludes the "field:" norms sentinel
+                elif ":" in t or not t:
+                    continue
+                if crx.match(base):
+                    cands.append((-df, t))
             cands.sort()
             return [t for _, t in cands[:max_expansions]]
+        base_col = (F.substring("term", len(pre) + 1, 1 << 20) if pre
+                    else F.col("term"))
+        ns_pred = (F.col("term").startswith(pre)
+                   & ~base_col.contains(":")
+                   & (F.length("term") > len(pre)) if pre
+                   else ~F.col("term").contains(":"))
         rows = (self.stats
-                .filter(F.col("term").rlike(anchored)
-                        & ~F.col("term").contains(":")
+                .filter(base_col.rlike(anchored)
+                        & ns_pred
                         & (F.col("term") != DOCLEN_TERM))
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(max_expansions).collect())
@@ -1858,10 +1885,12 @@ class QuerySession:
           every structured subgroup sits on a MUST spine (enforced by
           ``validate_scoring_exact`` — the one stranding shape raises).
 
+        Field-scoped expansions (``path:parse*``, ``lang:pyth~1``,
+        ``path:/t.st/``) scan the field's namespaced dictionary slice and
+        match the bare token (round 4 — MultiFieldQueryParser parity).
+
         Unsupported (loud ValueError): MUST_NOT phrases/expansions, phrases
-        mixed with SHOULD terms, phrases with MUST_NOT terms or boosts,
-        and field-scoped fuzzy/wildcard/regexp (field-scoped prefix works —
-        the namespaced dictionary is prefix-ordered)."""
+        mixed with SHOULD terms, phrases with MUST_NOT terms or boosts."""
         from ..tokenizer import tokenize_text
         from .parser import parse_query_string
         empty = self.spark.createDataFrame([], "doc_id long, score double")
@@ -2004,28 +2033,31 @@ class QuerySession:
                 if c.occur == "-":
                     raise ValueError(
                         "MUST_NOT multi-term clauses are not supported")
-                if c.field and c.field != "content" and c.kind != "prefix":
-                    raise ValueError(
-                        f"field-scoped {c.kind} clauses are not supported "
-                        "(field prefix queries are)")
+                # round 4: every expansion kind accepts a field scope —
+                # the expansion scans the field's `field:token` namespace
+                # and matches the bare token (MultiFieldQueryParser parity)
+                fld = (c.field if c.field and c.field != "content"
+                       else "")
                 sims: dict[str, float] | None = None
                 if c.kind == "regexp":
-                    exp = self.expand_regexp(c.text)
+                    exp = self.expand_regexp(c.text, field=fld)
+                elif c.kind == "prefix":
+                    exp = self.expand_prefix(ns(c.text.lower()))
+                elif c.kind == "wildcard":
+                    exp = self.expand_wildcard(c.text.lower(), field=fld)
                 else:
-                    pat = ns(c.text.lower())
-                    if c.kind == "prefix":
-                        exp = self.expand_prefix(pat)
-                    elif c.kind == "wildcard":
-                        exp = self.expand_wildcard(pat)
-                    else:
-                        pairs = self.expand_fuzzy_dists(pat,
-                                                        max_edits=c.num)
-                        exp = [t for t, _ in pairs]
-                        # Lucene FuzzyQuery similarity boost (round 4:
-                        # COVERAGE U2f closed): expansions down-weighted
-                        # by edit distance
-                        sims = _fuzzy_boosts(pat, pairs)
-                        has_boost = has_boost or bool(exp)
+                    pat = c.text.lower()
+                    pairs = self.expand_fuzzy_dists(pat, max_edits=c.num,
+                                                    field=fld)
+                    exp = [t for t, _ in pairs]
+                    # Lucene FuzzyQuery similarity boost (round 4:
+                    # COVERAGE U2f closed): expansions down-weighted
+                    # by edit distance; distances are on the bare token
+                    pre = f"{fld}:" if fld else ""
+                    sims = {t: 1.0 - d / min(len(pat),
+                                             len(t) - len(pre))
+                            for t, d in pairs}
+                    has_boost = has_boost or bool(exp)
                 if not exp:
                     if c.occur == "+":
                         return empty  # a MUST clause that can match nothing

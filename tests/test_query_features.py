@@ -1229,8 +1229,7 @@ def test_query_string_compiles_to_engine_calls(built_fields, spark):
     # loud errors for the documented unsupported shapes
     import pytest as _pt
     for bad in (f'-"{PHRASE}"', f'{HOT_TERM} "{PHRASE}" extra'.replace(
-                    "extra", RARE_TERM),
-                "lang:pyth~1", "path:t?ble"):
+                    "extra", RARE_TERM)):
         with _pt.raises(ValueError):
             qs.query_string(bad)
     # unbalanced quote
@@ -1309,12 +1308,60 @@ def test_query_string_boosts_and_regexp(built_fields, spark):
     # regexp == wildcard when the pattern is a star-glob
     assert qs.expand_regexp("s.*am") == qs.expand_wildcard("s*am")
 
-    # loud errors: phrase boost, boost in phrase mode, field-scoped regexp
+    # loud errors: phrase boost, boost in phrase mode
     import pytest as _pt
-    for bad in (f'"{PHRASE}"^2', f'+{HOT_TERM}^2 "{PHRASE}"',
-                "lang:/pyth.n/"):
+    for bad in (f'"{PHRASE}"^2', f'+{HOT_TERM}^2 "{PHRASE}"'):
         with _pt.raises(ValueError):
             qs.query_string(bad)
+
+
+def test_field_scoped_expansions(built_fields, spark):
+    """Round 4: field-scoped wildcard/fuzzy/regexp expansions scan the
+    field's `field:token` namespace and match the BARE token
+    (MultiFieldQueryParser parity — these raised loudly through round 3).
+    Expansions checked against a python scan of the namespaced dictionary;
+    ranking == the direct namespaced SHOULD union."""
+    import re
+
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root, cache=True)   # pinned dictionary
+    qsd = engine.QuerySession(spark, root)              # distributed
+    try:
+        vocab = list(qs._stats_local)
+        lang_terms = sorted({t for t in vocab if t.startswith("lang:")
+                             and t[5:] and ":" not in t[5:]})
+        assert lang_terms, "fixture must index the lang field"
+        base = lang_terms[0][5:]            # e.g. "python"
+
+        # wildcard: lang:py*on style — build a ?-pattern from base
+        pat = base[0] + "?" + base[2:] if len(base) > 2 else base + "*"
+        rx = "^" + "".join("." if ch == "?" else ".*" if ch == "*"
+                           else re.escape(ch) for ch in pat) + "$"
+        want_w = sorted(t for t in lang_terms if re.match(rx, t[5:]))
+        got_w = qs.expand_wildcard(pat, field="lang")
+        assert sorted(got_w) == want_w and got_w
+        assert sorted(qsd.expand_wildcard(pat, field="lang")) == want_w
+
+        # fuzzy: 1-char typo on the field token
+        typo = base[:-1] + ("x" if base[-1] != "x" else "y")
+        pairs = qs.expand_fuzzy_dists(typo, max_edits=1, field="lang")
+        assert f"lang:{base}" in [t for t, _ in pairs]
+        assert all(t.startswith("lang:") for t, _ in pairs)
+        assert pairs == qsd.expand_fuzzy_dists(typo, max_edits=1,
+                                               field="lang")
+
+        # regexp
+        got_r = qs.expand_regexp(re.escape(base[:2]) + ".*", field="lang")
+        assert f"lang:{base}" in got_r
+        assert got_r == qsd.expand_regexp(re.escape(base[:2]) + ".*",
+                                          field="lang")
+
+        # query-string path: ranking == direct namespaced SHOULD union
+        got = _hits(qs.query_string(f"lang:{pat}", k=10))
+        want = _hits(qs._score_terms(got_w, 10, conjunctive=False))
+        assert got == want and got
+    finally:
+        qs.close()
 
 
 def test_query_string_paren_groups(built_fields, spark):
