@@ -1007,6 +1007,17 @@ def _q_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_stream_agg(spark, sf_dir)
 
 
+def _q_events_window_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST: event-time windowed agg WITH a 30-min watermark, append mode
+    (round 4 — the task brief's 'watermarks + windowed aggs for late data'
+    surface). Emits exactly the FINALIZED windows (end <= max(ts) − 30min),
+    so the late-data semantics is itself oracle-checkable; the cross-batch
+    drop/accept behavior is pinned by the two-pass streaming test."""
+    from luceneindexer_spark.streaming.windowed import (
+        events_window_watermarked)
+    return events_window_watermarked(spark, sf_dir)
+
+
 def _q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState first-occurrence dedup over the events stream
     (single availableNow batch — SQL-equivalent; cross-batch state pinned
@@ -1065,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_nested": _q_lucene_qs_nested,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
+        "events_window_watermarked": _q_events_window_wm,
         # --- driver-green in CORRECTNESS_r03.json ---
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
@@ -2072,6 +2084,16 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 SELECT event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 4)::DOUBLE AS total_value
 FROM events GROUP BY event_type
+""",
+        # watermarked append-mode windows: only FINALIZED windows are
+        # emitted — hour windows whose end <= max(ts) - 30 minutes
+        "events_window_watermarked": """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # applyInPandasWithState first-occurrence dedup, single availableNow
         # batch == plain per-key aggregate (Spark casts timestamp -> long as

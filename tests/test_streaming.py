@@ -248,6 +248,73 @@ def test_watch_corpus_ingests_backlog(spark, tmp_path):
     assert len(got) == 12
 
 
+def test_windowed_watermark_drops_late_events(spark, tmp_path):
+    """Watermarked windowed agg, append mode, across TWO deterministic
+    passes (same checkpoint, new file between passes): pass 1 finalizes
+    windows 00 and 01; pass 2's too-late event (00:45, far below the
+    watermark) is DROPPED — window 00 is never re-emitted — while the
+    carried state of window 02 finalizes with events from BOTH passes."""
+    import datetime as dt
+
+    from luceneindexer_spark.streaming.windowed import run_windowed_batch
+
+    src = str(tmp_path / "ev_src")
+    ck = str(tmp_path / "ev_ck")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string, value double"
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    import glob
+    import shutil
+
+    def stage_file(df, name):
+        # the file stream source lists only the top level — land each
+        # batch as a single part file directly in src/
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    batch_a = spark.createDataFrame(
+        [(ts(0, 5), "a", 1.0), (ts(0, 35), "a", 1.0),
+         (ts(1, 5), "a", 1.0), (ts(1, 35), "a", 1.0),
+         (ts(2, 5), "a", 1.0)], schema)
+    stage_file(batch_a, "a")
+    sink = str(tmp_path / "ev_sink")
+    out1 = run_windowed_batch(spark, src, ck, batch_a.schema,
+                              delay="30 minutes", sink_dir=sink)
+    rows1 = {(r.win_start.hour, r.event_type): int(r.n)
+             for r in out1.collect()}
+    # watermark after pass 1 = 02:05 − 30min = 01:35; finalized = windows
+    # with end <= 01:35 → only window 00 (windows 01, 02 stay pending)
+    assert rows1 == {(0, "a"): 2}
+
+    batch_b = spark.createDataFrame(
+        [(ts(0, 45), "a", 1.0),    # too late: below the 01:35 watermark
+         (ts(2, 35), "a", 1.0)],   # watermark → 02:05, finalizes window 01
+        schema)
+    stage_file(batch_b, "b")
+    out2 = run_windowed_batch(spark, src, ck, batch_a.schema,
+                              delay="30 minutes", sink_dir=sink)
+    rows2 = {(r.win_start.hour, r.event_type): int(r.n)
+             for r in out2.collect()}
+    # the 00:45 straggler is DROPPED: were it accepted, window 00 (state
+    # already evicted) would re-emit as a fresh (0, 'a'): 1 row here
+    assert rows2 == {(1, "a"): 2}
+
+    batch_c = spark.createDataFrame([(ts(3, 31), "a", 1.0)], schema)
+    stage_file(batch_c, "c")
+    out3 = run_windowed_batch(spark, src, ck, batch_a.schema,
+                              delay="30 minutes", sink_dir=sink)
+    rows3 = {(r.win_start.hour, r.event_type): int(r.n)
+             for r in out3.collect()}
+    # window 02 finalizes with events from BOTH pass 1 (02:05) and pass 2
+    # (02:35) — windowed state carried across micro-batches
+    assert rows3 == {(2, "a"): 2}
+
+
 def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
     """applyInPandasWithState cross-batch dedup: keys replayed in a LATER
     micro-batch are dropped (state store carries seen-keys across batches);
