@@ -845,6 +845,14 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (round 4): top-bigram
+    fraction (two-level keyed agg) + duplicate-5-gram fraction (pure
+    in-row Catalyst, zero shuffle) per document."""
+    return (T.repetition_features(_docs(spark, sf_dir), "doc_id", "text")
+            .withColumnRenamed("id", "doc_id"))
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (T.fingerprint_summary(_docs(spark, sf_dir), "doc_id", "text")
             .withColumnRenamed("id", "doc_id"))
@@ -1077,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
         "events_window_watermarked": _q_events_window_wm,
+        "repetition_features": _q_repetition,
         # --- driver-green in CORRECTNESS_r03.json ---
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
@@ -1971,6 +1980,32 @@ FROM ranked WHERE rk <= 3
         "lang_id": _lang_id_sql(),
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        # Gopher-style repetition signals: top word-bigram fraction +
+        # duplicate word-5-gram fraction (same short-doc whole-string-gram
+        # convention as the Spark op: fractions force to 0 below the width)
+        "repetition_features": """
+WITH ts AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS g FROM ts),
+top2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f
+         FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+         GROUP BY doc_id),
+g5 AS (SELECT doc_id, CASE WHEN len(t) >= 5
+         THEN list_transform(generate_series(1, len(t) - 4),
+                             i -> array_to_string(t[i:i+4], ' '))
+         ELSE [array_to_string(t, ' ')] END AS gs FROM ts)
+SELECT ts.doc_id, len(ts.t)::BIGINT AS n_tokens,
+       round(CASE WHEN len(ts.t) >= 2 THEN top2.f ELSE 0.0 END, 6)::DOUBLE
+         AS top_bigram_frac,
+       round(CASE WHEN len(ts.t) >= 5
+             THEN 1.0 - len(list_distinct(g5.gs))::DOUBLE / len(g5.gs)
+             ELSE 0.0 END, 6)::DOUBLE AS dup_5gram_frac
+FROM ts JOIN top2 USING (doc_id) JOIN g5 USING (doc_id)
+ORDER BY ts.doc_id
+""",
         "fingerprint_summary": _fingerprint_sql(),
         "shared_span_pairs": _shared_span_sql(),
         # decontamination: corpus docs vs the doc_id<5 "eval set", counted

@@ -117,6 +117,49 @@ FP_K = 5   # char k-gram length
 FP_W = 4   # winnowing window (k-grams per window)
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str
+                        ) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals, per doc:
+
+    - ``n_tokens``: simple-token count;
+    - ``top_bigram_frac``: occurrences of the doc's most frequent word
+      bigram / total bigrams (high = looping text);
+    - ``dup_5gram_frac``: 1 − distinct/total word 5-grams (high =
+      copy-paste repetition).
+
+    Shapes: dup_5gram_frac is PURE in-row Catalyst (array_distinct on the
+    shingle array — zero shuffle); top_bigram_frac is a two-level keyed
+    aggregation ((id, gram) partial agg → per-id max/sum), scale-safe.
+    Docs shorter than the gram width contribute one whole-string gram
+    (fraction 0 — nothing repeats), mirrored by the oracle."""
+    from .dedup import shingles_col
+    toks = simple_tokens_col(text_col)
+    g5 = shingles_col(text_col, 5)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            (F.lit(1.0) - F.size(F.array_distinct(g5))
+             / F.greatest(F.size(g5), F.lit(1))).cast("double"), 6)
+        .alias("dup_5gram_frac"),
+        shingles_col(text_col, 2).alias("_g2"))
+    counts = (base.select("id", F.explode("_g2").alias("g"))
+              .groupBy("id", "g").agg(F.count("*").alias("c"))
+              .groupBy("id").agg(F.max("c").alias("top_c"),
+                                 F.sum("c").alias("tot_c")))
+    return (base.drop("_g2")
+            .join(counts, "id", "left")
+            .select("id", "n_tokens",
+                    F.round(F.when(F.col("n_tokens") >= 2,
+                                   F.col("top_c") / F.col("tot_c"))
+                            .otherwise(0.0), 6)
+                    .alias("top_bigram_frac"),
+                    F.when(F.col("n_tokens") >= 5,
+                           F.col("dup_5gram_frac"))
+                    .otherwise(0.0).alias("dup_5gram_frac"))
+            .orderBy("id"))
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str,
                  k: int = FP_K, w: int = FP_W) -> DataFrame:
     """(id, fp) distinct winnowing fingerprints: min h60 hash in every window

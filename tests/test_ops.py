@@ -431,6 +431,43 @@ def test_tfidf_top_terms_matches_naive(spark):
     assert got == want
 
 
+def test_repetition_features_matches_naive(spark):
+    """Gopher-style repetition signals reproduce a Python recompute:
+    top-bigram fraction and duplicate-5-gram fraction, incl. the planted
+    pathologies (a looping doc, a unique doc, short docs below the gram
+    widths)."""
+    import re
+
+    from luceneindexer_spark.ops import textstats as T
+    docs = [(0, "spam ham " * 10),                    # loops: top bigram hot
+            (1, "one two three four five six seven"),  # all distinct
+            (2, "tiny doc"),                           # 2 toks: no 5-grams
+            (3, "solo"),                               # 1 tok: no bigrams
+            (4, "a b c d e a b c d e a b c d e")]      # duplicate 5-grams
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {int(r.id): (int(r.n_tokens), float(r.top_bigram_frac),
+                       float(r.dup_5gram_frac))
+           for r in T.repetition_features(df, "doc_id", "text").collect()}
+    want = {}
+    for d, t in docs:
+        tk = re.findall("[a-z0-9]+", t.lower())
+        n = len(tk)
+        if n >= 2:
+            bg = [" ".join(tk[i:i + 2]) for i in range(n - 1)]
+            top2 = round(max(bg.count(g) for g in set(bg)) / len(bg), 6)
+        else:
+            top2 = 0.0
+        if n >= 5:
+            g5 = [" ".join(tk[i:i + 5]) for i in range(n - 4)]
+            d5 = round(1.0 - len(set(g5)) / len(g5), 6)
+        else:
+            d5 = 0.0
+        want[d] = (n, top2, d5)
+    assert got == want
+    assert got[0][1] > 0.4 and got[0][2] > 0.5   # the looping doc flags
+    assert got[1][1] < 0.2 and got[1][2] == 0.0  # the clean doc does not
+
+
 def test_collocations_pmi_matches_naive(spark):
     """Corpus bigram PMI reproduces a Python recompute: pair counts from
     adjacent tokens only (no cross-doc pairs), PMI = ln(c_xy*T/(c_x*c_y))."""
