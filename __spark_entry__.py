@@ -348,6 +348,19 @@ LIMIT {k}
 """
 
 
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IndexSearcher.searchAfter (round 4, deep pagination): page 2
+    of the flagship conjunction — pivot = page 1's last (score, doc_id),
+    filter applied INSIDE the range scorers before their per-range cut
+    (WAND pruning kept; no depth-proportional over-fetch). Oracle: rows
+    11-20 of the same strict (score desc, doc_id asc) total order."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    page1 = qs.topk(BM25_QUERY, k=10).collect()
+    pivot = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    return _round6(qs.topk(BM25_QUERY, k=10, after=pivot), "score")
+
+
 FUZZY_FIELD_Q = "notez"      # Levenshtein 1 from the path token "notes"
 
 
@@ -1086,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_field_search": _q_fuzzy_field_search,
         "events_window_watermarked": _q_events_window_wm,
         "repetition_features": _q_repetition,
+        "search_after_page2": _q_search_after,
         # --- driver-green in CORRECTNESS_r03.json ---
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
@@ -1174,7 +1188,8 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               snippet_width: int = 60,
               boosts: dict | None = None,
               any_of: list | None = None,
-              all_of: list | None = None) -> str:
+              all_of: list | None = None,
+              offset: int = 0) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
     to a lang, and/or with the global rank-1 doc excluded (the delete
@@ -1258,7 +1273,7 @@ scored AS (
 SELECT doc_id, round(score, 6)::DOUBLE AS score{extra_col}
 FROM scored{" JOIN documents USING (doc_id)" if need_docs else ""}
 WHERE nt {f"= {len(terms)}" if conjunctive else f">= {min_match}"}{restrict}
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
 
 
@@ -1738,6 +1753,8 @@ def oracle_sql() -> dict[str, str]:
                                                    NEAR_SLOP),
         # field-scoped weighted fuzzy through the classic parser
         "fuzzy_field_search": _fuzzy_field_sql(FUZZY_FIELD_Q, 10),
+        # searchAfter page 2 == rows 11-20 of the strict total order
+        "search_after_page2": _bm25_sql(BM25_QUERY, 10, offset=10),
         # IndexSearcher.count: full conjunctive match-set cardinality
         "match_count": f"""
 WITH tok AS ({_TOK}),

@@ -265,7 +265,8 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                        allow: bool = False, counters: dict | None = None,
                        sentinel_of: dict[str, str] | None = None,
                        avgdl_of: dict[str, float] | None = None,
-                       deny: list[str] | None = None):
+                       deny: list[str] | None = None,
+                       after: tuple | None = None):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
     the range's norms rows → local top-k (doc_id, score), with block-max
     WAND pruning.
@@ -416,6 +417,15 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                 tf = tfs_by_term[t].astype(np.float64)
                 score += (idf_by_term[t] * tf * (k1 + 1.0)
                           / (tf + norm_by_s[sentinel_of[t]]))
+            if after is not None:
+                # searchAfter: chunk scores are FINAL (full conjunction),
+                # so filtering here keeps the WAND threshold sound — θ is
+                # the kth best of the FILTERED page, never inflated by
+                # docs from earlier pages
+                m = _after_mask(cd, score, after)
+                cd, score = cd[m], score[m]
+                if cd.size == 0:
+                    continue
             res_docs.append(cd)
             res_scores.append(score)
             n_scored += cd.size
@@ -447,9 +457,23 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
 # disjunctive (SHOULD) scorer — vectorized MaxScore
 # ---------------------------------------------------------------------------
 
-def _topk_frame(cand: np.ndarray, score: np.ndarray, k: int) -> pd.DataFrame:
+def _after_mask(cand: np.ndarray, score: np.ndarray,
+                after: tuple) -> np.ndarray:
+    """searchAfter predicate: keep docs strictly AFTER (score, doc_id) in
+    the (score desc, doc_id asc) rank order. The pivot comes from the
+    engine's own previous page, so the fp64 equality is exact."""
+    s_a, d_a = float(after[0]), int(after[1])
+    return (score < s_a) | ((score == s_a) & (cand > d_a))
+
+
+def _topk_frame(cand: np.ndarray, score: np.ndarray, k: int,
+                after: tuple | None = None) -> pd.DataFrame:
     """(score desc, doc_id asc) top-k cut shared by the union and phrase
-    scorers: argpartition to the kth score, then lexsort only the head."""
+    scorers: argpartition to the kth score, then lexsort only the head.
+    ``after`` applies the searchAfter predicate BEFORE the cut."""
+    if after is not None:
+        m = _after_mask(cand, score, after)
+        cand, score = cand[m], score[m]
     if cand.size > k:
         part = np.argpartition(-score, k - 1)
         kth = score[part[k - 1]]
@@ -467,7 +491,8 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
                           sentinel_of: dict[str, str] | None = None,
                           avgdl_of: dict[str, float] | None = None,
                           deny: list[str] | None = None,
-                          min_should_match: int = 1):
+                          min_should_match: int = 1,
+                          after: tuple | None = None):
     """cogroup-applyInPandas fn: disjunctive (OR / Lucene ``SHOULD``) BM25 —
     score(d) = Σ over query terms PRESENT in d; any doc matching at least
     one term competes. Beyond the reference wrapper (it only ever emits
@@ -601,7 +626,7 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
             cand, partial = cand[qual], partial[qual]
             if cand.size == 0:
                 return empty
-            return _topk_frame(cand, partial, k)
+            return _topk_frame(cand, partial, k, after)
 
         # range-wide per-term upper bounds, metadata only
         ub: dict[str, float] = {}
@@ -670,13 +695,18 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
                     continue
                 partial[m] += bm25(t, t2[p[m]].astype(np.float64),
                                    dl_of(sentinel_of[t], cand[m]))
-            if cand.size >= k:
+            if after is None and cand.size >= k:
+                # searchAfter disables MaxScore thresholding: θ from
+                # UNFILTERED partials can exceed the filtered page's kth
+                # final score (a doc destined for an earlier page inflates
+                # it), which would over-prune — with `after` the union is
+                # scored in full and the predicate applies at the cut
                 threshold = float(np.partition(
                     partial, partial.size - k)[partial.size - k])
 
         if cand.size == 0:
             return empty
-        return _topk_frame(cand, partial, k)
+        return _topk_frame(cand, partial, k, after)
 
     return score_range
 
@@ -786,7 +816,8 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                         k1: float = BM25_K1, b: float = BM25_B,
                         allow: bool = False,
                         slop: int | list[int] = 0,
-                        phrase_freq: bool = False):
+                        phrase_freq: bool = False,
+                        after: tuple | None = None):
     """cogroup fn for phrase ("whole words") mode — one PhraseQuery per
     field, MUST-conjoined, clause scores summed (reference ``BooleanQuery``
     of per-field ``PhraseQuery`` clauses, ``cLuceneIndexReader.java:
@@ -947,7 +978,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                     score += (idf_by_term[t] * tfv * (k1 + 1.0)
                               / (tfv + norm))
 
-        return _topk_frame(match_docs, score, k)
+        return _topk_frame(match_docs, score, k, after)
 
     return score_range
 
@@ -1117,6 +1148,7 @@ class QuerySession:
     def topk(self, query: str, k: int = 10, mode: str = "and",
              allow: DataFrame | None = None,
              must_not: str | None = None, slop: int = 0,
+             after: tuple | None = None,
              min_should_match: int = 1,
              phrase_scoring: str = "terms") -> DataFrame:
         """Top-k BM25. ``mode``: "and" (MUST intersection, block-max WAND),
@@ -1140,7 +1172,16 @@ class QuerySession:
         deviation, kept as the default the oracles pin); "phrase_freq" is
         TRUE Lucene PhraseQuery scoring — tf = per-doc phrase occurrence
         count (slop=0) or Lucene's sloppyFreq Σ 1/(1+matchLength) over
-        minimal spans (slop>0), idf = term idfs summed per occurrence."""
+        minimal spans (slop>0), idf = term idfs summed per occurrence.
+        ``after`` = Lucene ``IndexSearcher.searchAfter`` (deep
+        pagination): a (score, doc_id) pivot — pass the previous page's
+        last hit — and the k results strictly after it in (score desc,
+        doc_id asc) rank order return, exactly. The filter applies inside
+        the range scorers BEFORE their per-range cut, so no page depth
+        over-fetches; conjunctive WAND keeps full block pruning (chunk
+        scores are final before θ updates), "or" mode scores the union in
+        full (an unfiltered MaxScore θ could exceed the filtered page's
+        kth score and over-prune)."""
         terms = query_terms(query)
         deny = query_terms(must_not) if must_not else []
         if not terms:
@@ -1174,11 +1215,13 @@ class QuerySession:
             idf = {t: _idf(self.meta.n_docs, df_by_term[t]) for t in terms}
             return self._phrase_topk(
                 query, terms, idf, k, allow, slop=slop,
-                phrase_freq=(phrase_scoring == "phrase_freq"))
+                phrase_freq=(phrase_scoring == "phrase_freq"),
+                after=after)
         return self._score_terms(terms, k, allow,
                                  conjunctive=(mode != "or"),
                                  deny=deny or None,
-                                 min_should_match=min_should_match)
+                                 min_should_match=min_should_match,
+                                 after=after)
 
     def topk_parsed(self, field_queries: dict[str, str], k: int = 10,
                     allow: DataFrame | None = None,
@@ -1222,7 +1265,8 @@ class QuerySession:
                      conjunctive: bool = True,
                      deny: list[str] | None = None,
                      min_should_match: int = 1,
-                     boosts: dict[str, float] | None = None) -> DataFrame:
+                     boosts: dict[str, float] | None = None,
+                     after: tuple | None = None) -> DataFrame:
         """Shared BM25 scorer over (possibly namespaced) terms:
         ``conjunctive`` picks MUST-intersection (WAND) vs SHOULD-union
         (MaxScore) semantics; ``deny`` terms (MUST_NOT) exclude any doc
@@ -1314,7 +1358,7 @@ class QuerySession:
                               allow=allow is not None,
                               sentinel_of=sentinel_of,
                               avgdl_of=avgdl_of,
-                              deny=deny or None, **extra),
+                              deny=deny or None, after=after, **extra),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -1322,7 +1366,8 @@ class QuerySession:
                      idf_by_term: dict[str, float], k: int,
                      allow: DataFrame | None = None,
                      slop: int = 0,
-                     phrase_freq: bool = False) -> DataFrame:
+                     phrase_freq: bool = False,
+                     after: tuple | None = None) -> DataFrame:
         """Content-field phrase mode — one clause of the general whole-words
         path (positions live IN the postings rows — no second table, no
         corpus-wide doclen decode: the scorer touches only ranges containing
@@ -1336,7 +1381,8 @@ class QuerySession:
                                 self.meta.avgdl)
         return self._phrase_clauses_topk([clause], idf_by_term, k, allow,
                                          slop=slop,
-                                         phrase_freq=phrase_freq)
+                                         phrase_freq=phrase_freq,
+                                         after=after)
 
     def topk_whole_words(self, field_texts: dict[str, str], k: int = 10,
                          allow: DataFrame | None = None) -> DataFrame:
@@ -1377,7 +1423,8 @@ class QuerySession:
                              idf_by_term: dict[str, float], k: int,
                              allow: DataFrame | None = None,
                              slop: int | list[int] = 0,
-                             phrase_freq: bool = False) -> DataFrame:
+                             phrase_freq: bool = False,
+                             after: tuple | None = None) -> DataFrame:
         meta = self.meta
         spark = self.spark
         if not meta.positions:
@@ -1401,7 +1448,8 @@ class QuerySession:
                       _make_phrase_scorer(clauses, idf_by_term, k,
                                           allow=allow is not None,
                                           slop=slop,
-                                          phrase_freq=phrase_freq),
+                                          phrase_freq=phrase_freq,
+                                          after=after),
                       "doc_id long, score double"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

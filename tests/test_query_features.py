@@ -1315,6 +1315,52 @@ def test_query_string_boosts_and_regexp(built_fields, spark):
             qs.query_string(bad)
 
 
+def test_search_after_pages_tile_full_ranking(built, spark):
+    """Lucene IndexSearcher.searchAfter (round 4): paging with the previous
+    page's last (score, doc_id) pivot reproduces the full ranking exactly,
+    page by page, in every mode — and/or/phrase — including across ranges
+    and on the cached session."""
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+
+    def pages(query, mode, k, n_pages, **kw):
+        full = [(int(r.doc_id), float(r.score)) for r in
+                qs.topk(query, k=k * n_pages, mode=mode, **kw).collect()]
+        got = []
+        after = None
+        for _ in range(n_pages):
+            page = [(int(r.doc_id), float(r.score)) for r in
+                    qs.topk(query, k=k, mode=mode, after=after,
+                            **kw).collect()]
+            if not page:
+                break
+            got += page
+            # the pivot is the EXACT engine fp64 (score, doc_id) of the
+            # last hit — Lucene's searchAfter contract
+            after = (page[-1][1], page[-1][0])
+        assert got == full[:len(got)] and len(got) == len(full), \
+            (query, mode)
+
+    pages(HOT_TERM, "and", 7, 4)                       # deep into the hot set
+    pages(f"{HOT_TERM} mergeSegments", "and", 5, 3)    # conjunction
+    pages(f"{HOT_TERM} mergeSegments tokenStream", "or", 7, 4)  # union
+    pages(PHRASE, "phrase", 3, 3)                      # positional
+
+    # cached serving path pages identically
+    qsc = engine.QuerySession(spark, root, cache=True)
+    try:
+        p1 = [(int(r.doc_id), float(r.score)) for r in
+              qsc.topk(HOT_TERM, k=5).collect()]
+        p2 = [(int(r.doc_id), float(r.score)) for r in
+              qsc.topk(HOT_TERM, k=5,
+                       after=(p1[-1][1], p1[-1][0])).collect()]
+        full = [(int(r.doc_id), float(r.score)) for r in
+                qsc.topk(HOT_TERM, k=10).collect()]
+        assert p1 + p2 == full
+    finally:
+        qsc.close()
+
+
 def test_field_scoped_expansions(built_fields, spark):
     """Round 4: field-scoped wildcard/fuzzy/regexp expansions scan the
     field's `field:token` namespace and match the BARE token
