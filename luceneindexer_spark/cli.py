@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                         "spans)")
     q.add_argument("--min-should-match", type=int, default=1,
                    help="or mode: require this many distinct terms")
+    q.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                   help="searchAfter pagination pivot — the previous "
+                        "page's last hit's exact score and doc_id "
+                        "(and/or/phrase modes)")
     q.add_argument("--snippet", action="store_true",
                    help="return a highlight snippet per hit instead of "
                         "hydrated fields (and/or modes)")
@@ -172,10 +176,15 @@ def main(argv: list[str] | None = None) -> int:
                 out = highlight_topk(spark, args.index, args.query,
                                      k=args.k, mode=args.mode, session=qs)
             else:
+                after = None
+                if args.after:
+                    s_a, _, d_a = args.after.partition(":")
+                    after = (float(s_a), int(d_a))
                 out = qs.topk(args.query, k=args.k, mode=args.mode,
                               must_not=args.must_not, slop=args.slop,
                               min_should_match=args.min_should_match,
-                              phrase_scoring=args.phrase_scoring)
+                              phrase_scoring=args.phrase_scoring,
+                              after=after)
             if args.hydrate and args.facet is None and not args.snippet:
                 out = hydrate(spark, args.index, out)
             rows = out.collect()

@@ -84,6 +84,15 @@ def test_cli_snippet_and_msm(spark, tmp_path):
               "--mode", "or", "--min-should-match", "2")
     assert msm == []
 
+    # searchAfter pagination: page1 ++ page2(--after pivot) == top-6
+    page1 = run("query", "--index", idx, HOT_TERM, "-k", "3")
+    pivot = page1[-1]
+    page2 = run("query", "--index", idx, HOT_TERM, "-k", "3",
+                "--after", f"{pivot['score']}:{pivot['doc_id']}")
+    full = run("query", "--index", idx, HOT_TERM, "-k", "6")
+    assert ([h["doc_id"] for h in page1 + page2]
+            == [h["doc_id"] for h in full])
+
 
 def test_cli_explain_suggest_check(spark, tmp_path):
     corpus_dir = str(tmp_path / "corpus")
