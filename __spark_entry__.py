@@ -833,6 +833,34 @@ def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cnt", F.col("cnt").cast("long")))
 
 
+SIZE_RANGES = (("short", 0, 250), ("mid", 200, 420), ("long", 420, 10**6))
+N_GROUPS, DOCS_PER_GROUP = 5, 2
+
+
+def _q_facet_size_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene LongRangeFacetCounts analog (round 4): matching-doc counts
+    per labeled inclusive [lo, hi] size range — overlapping ranges count
+    independently, empty ranges report 0. Match set joins the docmap size
+    column once; a broadcast theta-join fans values into ranges with
+    map-side partial counts."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return qs.facet_ranges(BM25_QUERY, "size", list(SIZE_RANGES))
+
+
+def _q_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene grouping-module GroupingSearch analog (round 4): top 5
+    groups by best hit, top 2 docs per group — search-time collapse.
+    Scores ALL matches (grouping must see every group's best hit), windows
+    per group (one skew-bounded shuffle), heads cut via TakeOrdered and
+    broadcast back."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.grouped_topk(BM25_QUERY, "lang", n_groups=N_GROUPS,
+                        docs_per_group=DOCS_PER_GROUP)
+    return _round6(r, "score")
+
+
 def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUST_NOT clause (Lucene ``-term``): the conjunctive ranking with
     every doc containing the denied term anti-joined out inside the scorer
@@ -1094,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_sample_plan": _q_frame_plan,
         # --- new in round 4 ---
+        "grouped_by_lang": _q_grouped_by_lang,
+        "facet_size_ranges": _q_facet_size_ranges,
         "lucene_qs_nested": _q_lucene_qs_nested,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -1173,6 +1203,66 @@ _SHINGLES = """
       ELSE [array_to_string(ts, ' ')] END) AS shingle
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
         FROM documents)
+"""
+
+
+def _grouped_sql(query: str, group_field: str, n_groups: int,
+                 docs_per_group: int) -> str:
+    """GroupingSearch oracle: full conjunctive BM25 scoring, window rank
+    within each group, heads ranked (score desc, doc_id asc), both cuts."""
+    terms = query_terms(query)
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score,
+         count(*) AS nt
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+g AS (SELECT s.doc_id, s.score, d.{group_field}
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE s.nt = {len(terms)}),
+r AS (SELECT *, row_number() OVER (PARTITION BY {group_field}
+          ORDER BY score DESC, doc_id ASC) AS doc_rank FROM g),
+heads AS (SELECT * FROM (
+    SELECT {group_field},
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
+    FROM r WHERE doc_rank = 1) WHERE group_rank <= {n_groups})
+SELECT h.group_rank::INT AS group_rank, r.{group_field},
+       r.doc_rank::INT AS doc_rank, r.doc_id,
+       round(r.score, 6)::DOUBLE AS score
+FROM r JOIN heads h USING ({group_field})
+WHERE r.doc_rank <= {docs_per_group}
+ORDER BY h.group_rank, r.doc_rank
+"""
+
+
+def _facet_ranges_sql(query: str, ranges) -> str:
+    """Range-facet oracle: conjunctive match set, n_chars against each
+    labeled inclusive range (LEFT JOIN keeps zero-count buckets)."""
+    terms = query_terms(query)
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    vals = ", ".join(f"('{lbl}', {lo}, {hi})" for lbl, lo, hi in ranges)
+    return f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ({in_list})
+      GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}),
+v AS (SELECT m.doc_id, d.n_chars AS size
+      FROM m JOIN documents d USING (doc_id)),
+r(bucket, lo, hi) AS (SELECT * FROM (VALUES {vals}))
+SELECT r.bucket, count(v.doc_id)::BIGINT AS cnt
+FROM r LEFT JOIN v ON v.size BETWEEN r.lo AND r.hi
+GROUP BY r.bucket ORDER BY r.bucket
 """
 
 
@@ -1841,6 +1931,11 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
                                       conjunctive=False,
                                       any_of=["stream", "window"],
                                       all_of=["table"], must_not="slow"),
+        # GroupingSearch: top-5 lang groups by best hit, top-2 docs each
+        "grouped_by_lang": _grouped_sql(BM25_QUERY, "lang",
+                                        N_GROUPS, DOCS_PER_GROUP),
+        # LongRangeFacetCounts: match-set counts per inclusive size range
+        "facet_size_ranges": _facet_ranges_sql(BM25_QUERY, SIZE_RANGES),
         # RegexpQuery: whole-term anchored regexp over the dictionary
         "regexp_search": _expansion_sql(
             f"regexp_matches(term, '^(?:{REGEXP_PAT})$')",

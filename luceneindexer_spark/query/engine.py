@@ -1260,7 +1260,7 @@ class QuerySession:
                 post.filter(F.col("term").isin(terms))
                 .select("range_id").distinct().collect()]
 
-    def _score_terms(self, terms: list[str], k: int,
+    def _score_terms(self, terms: list[str], k: int | None,
                      allow: DataFrame | None = None,
                      conjunctive: bool = True,
                      deny: list[str] | None = None,
@@ -1272,9 +1272,17 @@ class QuerySession:
         (MaxScore) semantics; ``deny`` terms (MUST_NOT) exclude any doc
         containing them, anti-joined inside the scorer via candidate-pruned
         block decodes. Everything else — bucket/range pruning, tombstones,
-        allowlist, per-field norms — is identical."""
+        allowlist, per-field norms — is identical.
+
+        ``k=None`` = score-ALL mode (grouping / dismax substrate): every
+        matching doc emits its exact score and the frame returns unsorted
+        and uncut. A range holds at most ``range_size`` docs, so a per-range
+        cut of ``range_size + 1`` provably never triggers — the WAND /
+        MaxScore threshold stays −inf and block pruning degrades to the
+        structural no-overlap prune only, which never drops a match."""
         spark = self.spark
         meta = self.meta
+        k_cut = k if k is not None else meta.range_size + 1
         empty = spark.createDataFrame([], "doc_id long, score double")
         df_by_term = self._df_lookup(terms)
         if conjunctive:
@@ -1354,12 +1362,14 @@ class QuerySession:
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
                       factory(terms_by_rarity, idf_by_term,
-                              meta.avgdl, k,
+                              meta.avgdl, k_cut,
                               allow=allow is not None,
                               sentinel_of=sentinel_of,
                               avgdl_of=avgdl_of,
                               deny=deny or None, after=after, **extra),
                       "doc_id long, score double"))
+        if k is None:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _phrase_topk(self, query: str, terms_dedup: list[str],
@@ -2189,6 +2199,111 @@ class QuerySession:
         return (ids.join(dm.select("doc_id", field), "doc_id")
                 .groupBy(field).agg(F.count("*").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc(field)))
+
+    def facet_ranges(self, query: str, field: str,
+                     ranges: list[tuple[str, float, float]],
+                     mode: str = "and",
+                     must_not: str | None = None) -> DataFrame:
+        """Lucene ``LongRangeFacetCounts`` / ``DoubleRangeFacetCounts``
+        analog: matching-doc counts per labeled INCLUSIVE [lo, hi] range
+        over a numeric docmap column. Like Lucene's Range facets, ranges
+        may overlap (a doc counts once per range it falls in) and
+        zero-count ranges still report (cnt 0).
+
+        Distributed shape: the match set joins the docmap column once,
+        then a BROADCAST theta-join against the (tiny, driver-supplied)
+        range table fans each value into its ranges — partial counts
+        combine map-side, so the shuffle carries at most ``len(ranges)``
+        rows per task. Returns (bucket, cnt) ordered bucket asc."""
+        if not ranges:
+            raise ValueError("facet_ranges needs at least one range")
+        ids = self.match_ids(query, mode=mode, must_not=must_not)
+        dm = self.docmap()
+        from pyspark.sql.types import NumericType
+        if field not in dm.columns or not isinstance(
+                dm.schema[field].dataType, NumericType):
+            raise ValueError(f"facet_ranges needs a numeric docmap "
+                             f"column, got: {field!r}")
+        rng = self.spark.createDataFrame(
+            [(str(lbl), float(lo), float(hi)) for lbl, lo, hi in ranges],
+            "bucket string, lo double, hi double")
+        vals = ids.join(dm.select("doc_id", field), "doc_id")
+        counts = (vals.join(F.broadcast(rng),
+                            (F.col(field) >= F.col("lo"))
+                            & (F.col(field) <= F.col("hi")))
+                  .groupBy("bucket").agg(F.count("*").alias("cnt")))
+        return (rng.select("bucket").join(counts, "bucket", "left")
+                .select("bucket",
+                        F.coalesce("cnt", F.lit(0)).cast("long")
+                        .alias("cnt"))
+                .orderBy(F.asc("bucket")))
+
+    def score_all(self, query: str, mode: str = "and",
+                  must_not: str | None = None) -> DataFrame:
+        """Every matching doc with its exact BM25 score — no top-k cut
+        (Lucene's collect-all ``Collector``; the substrate grouping and
+        dismax rank over). Same scorers, tombstones, and deny machinery as
+        ``topk``; the per-range cut is disabled (k=None), so the frame is
+        the full match set, unsorted. At 100 TB this is inherently
+        match-set-sized — rank with a downstream window/TakeOrdered, never
+        a driver collect."""
+        terms = query_terms(query)
+        deny = query_terms(must_not) if must_not else []
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if deny and mode != "or" and set(terms) & set(deny):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if deny and mode == "or":
+            terms = [t for t in terms if t not in set(deny)]
+            if not terms:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double")
+        return self._score_terms(terms, None, conjunctive=(mode != "or"),
+                                 deny=deny or None)
+
+    def grouped_topk(self, query: str, group_field: str,
+                     n_groups: int = 10, docs_per_group: int = 3,
+                     mode: str = "and",
+                     must_not: str | None = None) -> DataFrame:
+        """Lucene grouping-module ``GroupingSearch`` analog (top groups +
+        top docs within each group — search-time collapse, e.g. "best 2
+        hits per repo"): groups rank by their best hit in the global
+        (score desc, doc_id asc) order; within a group docs rank the same
+        way, cut to ``docs_per_group``.
+
+        Distributed shape: score-ALL matches (grouping must see every
+        group's best hit — exactly Lucene's two-pass grouping collector),
+        one shuffle to join the group column, one window shuffle
+        partitioned BY GROUP (skew-bounded: each partition sorts one
+        group's matches), then the ``n_groups`` heads cut via
+        TakeOrderedAndProject and broadcast back — the final join is
+        map-side. No global sort of the match set anywhere.
+
+        Returns (group_rank, <group_field>, doc_rank, doc_id, score)
+        ordered (group_rank, doc_rank)."""
+        from pyspark.sql import Window
+        scored = self.score_all(query, mode=mode, must_not=must_not)
+        dm = self.docmap()
+        if group_field not in dm.columns:
+            raise ValueError(f"unknown group field: {group_field!r}")
+        g = scored.join(dm.select("doc_id", group_field), "doc_id")
+        w = (Window.partitionBy(group_field)
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+        ranked = (g.withColumn("doc_rank", F.row_number().over(w))
+                  .filter(F.col("doc_rank") <= docs_per_group))
+        # heads: n_groups rows after the TakeOrdered cut — the unpartitioned
+        # rank window below runs on that tiny frame only
+        heads = (ranked.filter(F.col("doc_rank") == 1)
+                 .select(group_field, F.col("score").alias("_hs"),
+                         F.col("doc_id").alias("_hd"))
+                 .orderBy(F.desc("_hs"), F.asc("_hd")).limit(n_groups))
+        wg = Window.orderBy(F.desc("_hs"), F.asc("_hd"))
+        heads = (heads.withColumn("group_rank", F.row_number().over(wg))
+                 .select(group_field, "group_rank"))
+        return (ranked.join(F.broadcast(heads), group_field)
+                .select("group_rank", group_field, "doc_rank",
+                        "doc_id", "score")
+                .orderBy("group_rank", "doc_rank"))
 
     def explain(self, query: str, k: int = 10,
                 mode: str = "and") -> DataFrame:

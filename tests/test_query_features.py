@@ -1669,3 +1669,73 @@ def test_phrase_freq_repeated_term_idf(spark, tmp_path):
             want.append((d, round(idf * pf * 2.2 / (pf + norm), 9)))
     want.sort(key=lambda x: (-x[1], x[0]))
     assert got == want[:12] and got
+
+
+# ---------------------------------------------------------------------------
+# round 4: score-all / grouping (GroupingSearch) / range facets
+# ---------------------------------------------------------------------------
+
+def test_score_all_full_match_set(built, spark):
+    """score_all = every matching doc with its exact score: the head of the
+    sorted frame IS topk, and the cardinality IS count() — proving the
+    k=None path disables the per-range cut without changing any score."""
+    root, _ = built
+    qs = engine.QuerySession(spark, root, cache=False)
+    sa = (qs.score_all(HOT_TERM)
+          .orderBy(F.desc("score"), F.asc("doc_id")).collect())
+    tk = qs.topk(HOT_TERM, k=10).collect()
+    assert [(r.doc_id, r.score) for r in sa[:10]] == \
+           [(r.doc_id, r.score) for r in tk]
+    assert len(sa) == qs.count(HOT_TERM)
+    # or-mode: a nonexistent SHOULD term changes nothing
+    sa_or = qs.score_all(HOT_TERM + " zzznope", mode="or").collect()
+    assert sorted((r.doc_id, r.score) for r in sa_or) == \
+           sorted((r.doc_id, r.score) for r in sa)
+
+
+def test_grouped_topk_matches_naive(built, spark):
+    """GroupingSearch analog vs a pandas recompute from score_all+docmap:
+    groups ranked by best hit (score desc, doc_id asc), docs_per_group cut
+    inside each group, deterministic through score ties ACROSS groups."""
+    root, docmap = built
+    qs = engine.QuerySession(spark, root, cache=False)
+    got = [(r.group_rank, r.lang, r.doc_rank, r.doc_id, round(r.score, 9))
+           for r in qs.grouped_topk(HOT_TERM, "lang", n_groups=3,
+                                    docs_per_group=2).collect()]
+
+    full = (qs.score_all(HOT_TERM)
+            .join(docmap.select("doc_id", "lang"), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect())
+    seen: dict[str, int] = {}
+    ranked = []
+    for r in full:
+        seen[r.lang] = seen.get(r.lang, 0) + 1
+        ranked.append((r.lang, seen[r.lang], r.doc_id, r.score))
+    head_order = [lang for lang, rk, *_ in ranked if rk == 1][:3]
+    want = [(gi + 1, lang, rk, d, round(s, 9))
+            for gi, g in enumerate(head_order)
+            for lang, rk, d, s in ranked if lang == g and rk <= 2]
+    assert got == want and len(got) == 6
+
+
+def test_facet_ranges_overlap_zero_and_errors(built, spark):
+    """Range facets: overlapping ranges each count independently, empty
+    ranges report 0, non-numeric fields raise."""
+    root, docmap = built
+    qs = engine.QuerySession(spark, root, cache=False)
+    got = {r.bucket: r.cnt for r in qs.facet_ranges(
+        HOT_TERM, "size",
+        [("small", 0, 300), ("mid", 200, 600),
+         ("huge", 10**6, 2 * 10**6)]).collect()}
+    sizes = [r.size for r in
+             qs.match_ids(HOT_TERM)
+             .join(docmap.select("doc_id", "size"), "doc_id").collect()]
+    assert got == {
+        "small": sum(1 for s in sizes if 0 <= s <= 300),
+        "mid": sum(1 for s in sizes if 200 <= s <= 600),
+        "huge": 0,
+    }
+    with pytest.raises(ValueError, match="numeric"):
+        qs.facet_ranges(HOT_TERM, "lang", [("x", 0, 1)])
+    with pytest.raises(ValueError, match="at least one"):
+        qs.facet_ranges(HOT_TERM, "size", [])
