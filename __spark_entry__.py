@@ -254,6 +254,71 @@ def _q_lucene_qs_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_NESTED_QUERY, k=10), "score")
 
 
+QS_NOT_PHRASE_QUERY = f'stream -"{INDEX_PHRASE}"'
+QS_NOT_RANGE_QUERY = f"stream -size:[{SIZE_LO} TO {SIZE_HI}]"
+QS_NOT_GROUP_QUERY = "stream -(+table +window)"
+QS_PHRASE_BOOST_QUERY = f'+stream "{INDEX_PHRASE}"^2'
+
+
+def _q_lucene_qs_not_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized MUST_NOT (round 4): ``stream -"table hash"`` — the deny
+    phrase's match set (score-all phrase substrate, scores discarded)
+    compiles to DEL_TERM pseudo-postings unioned with the tombstones
+    inside the scorer; nothing reaches the driver. Reference: BooleanQuery
+    MUST_NOT of a PhraseQuery through MultiFieldQueryParser
+    (cLuceneIndexReader.java:320-338)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_NOT_PHRASE_QUERY, k=10), "score")
+
+
+def _q_lucene_qs_not_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST_NOT range (round 4): ``stream -size:[lo TO hi]`` — the docmap
+    predicate's doc ids ride the DEL_TERM channel (the positive-range
+    allowlist path, negated)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_NOT_RANGE_QUERY, k=10), "score")
+
+
+def _q_lucene_qs_not_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured MUST_NOT group (round 4): ``stream -(+table +window)``
+    — the subtree's exact boolean match set (_match_tree: one conjunctive
+    grouped-map matcher pass) excluded via the DEL_TERM channel; the flat
+    -(a b) De Morgan path stays on deny terms."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_NOT_GROUP_QUERY, k=10), "score")
+
+
+QS_SHOULD_PHRASE_QUERY = f'stream "{INDEX_PHRASE}" window'
+
+
+def _q_lucene_qs_should_phrase(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """SHOULD terms beside a phrase (round 4): ``stream "table hash"
+    window`` — the quoted phrase is MUST (pinned divergence), the bare
+    terms ride as scoring-only SHOULD 1-token clauses in the SAME
+    whole-words cogroup pass (exact Lucene BooleanQuery occur semantics:
+    match = phrase docs, each present SHOULD term adds its BM25
+    contribution). Through round 3 this shape raised loudly."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_SHOULD_PHRASE_QUERY, k=10), "score")
+
+
+def _q_phrase_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase boost (round 4): ``+stream "table hash"^2`` — the boost
+    multiplies the PhraseQuery clause's score (Lucene ^boost on a quoted
+    phrase); the MUST rider scores unboosted. Clause scoring is the
+    pinned "terms" mode (conjunctive BM25 of the phrase's constituent
+    terms), so score = BM25(stream) + 2*(BM25(table)+BM25(hash)) over
+    docs containing the consecutive phrase AND the rider."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_PHRASE_BOOST_QUERY, k=10), "score")
+
+
 def _q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene IndexSearcher.count analog: cardinality of the FULL
     conjunctive match set (grouped-map matcher, no scoring, no norms)."""
@@ -1125,6 +1190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_by_lang": _q_grouped_by_lang,
         "facet_size_ranges": _q_facet_size_ranges,
         "lucene_qs_nested": _q_lucene_qs_nested,
+        "lucene_qs_not_phrase": _q_lucene_qs_not_phrase,
+        "lucene_qs_not_range": _q_lucene_qs_not_range,
+        "lucene_qs_not_group": _q_lucene_qs_not_group,
+        "lucene_qs_should_phrase": _q_lucene_qs_should_phrase,
+        "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
         "events_window_watermarked": _q_events_window_wm,
@@ -1279,6 +1349,9 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               boosts: dict | None = None,
               any_of: list | None = None,
               all_of: list | None = None,
+              not_phrase: str | None = None,
+              size_not_between: tuple | None = None,
+              not_all_of: list | None = None,
               offset: int = 0) -> str:
     """Conjunctive BM25 top-k oracle, optionally restricted to docs
     containing ``phrase`` consecutively (stopword-filtered position space),
@@ -1316,6 +1389,28 @@ phrase_docs AS (
                               for t in query_terms(must_not))
         restrict += (" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok"
                      f" WHERE term IN ({deny_list}))")
+    if not_phrase is not None:
+        # generalized MUST_NOT phrase (round 4): exclude docs where the
+        # deny phrase occurs consecutively
+        nterms = query_terms(not_phrase)
+        assert len(nterms) == 2
+        phrase_cte += f""",
+ntokp AS ({_TOKP}),
+nphrase_docs AS (
+  SELECT DISTINCT a.doc_id FROM ntokp a JOIN ntokp b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{nterms[0]}' AND b.term = '{nterms[1]}')"""
+        restrict += " AND doc_id NOT IN (SELECT doc_id FROM nphrase_docs)"
+    if size_not_between is not None:
+        restrict += (" AND doc_id NOT IN (SELECT doc_id FROM documents"
+                     f" WHERE length(text) BETWEEN {size_not_between[0]}"
+                     f" AND {size_not_between[1]})")
+    if not_all_of:
+        # structured MUST_NOT group -(+a +b): exclude the conjunction
+        inter = " INTERSECT ".join(
+            f"SELECT doc_id FROM tok WHERE term = '{t}'"
+            for t in not_all_of)
+        restrict += f" AND doc_id NOT IN ({inter})"
     if any_of:
         grp = ", ".join("'" + t + "'" for t in any_of)
         restrict += (" AND doc_id IN (SELECT DISTINCT doc_id FROM tok"
@@ -1931,6 +2026,29 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
                                       conjunctive=False,
                                       any_of=["stream", "window"],
                                       all_of=["table"], must_not="slow"),
+        # stream -"table hash": single-term ranking minus docs where the
+        # deny phrase occurs consecutively (DEL_TERM id channel)
+        "lucene_qs_not_phrase": _bm25_sql("stream", 10,
+                                          not_phrase=INDEX_PHRASE),
+        # stream -size:[lo TO hi]: minus the docmap range predicate
+        "lucene_qs_not_range": _bm25_sql("stream", 10,
+                                         size_not_between=(SIZE_LO,
+                                                           SIZE_HI)),
+        # stream -(+table +window): minus the group's conjunction
+        "lucene_qs_not_group": _bm25_sql("stream", 10,
+                                         not_all_of=["table", "window"]),
+        # stream "table hash" window: phrase docs only (phrase = MUST,
+        # pinned divergence), SHOULD riders contribute where present —
+        # union scoring over all 4 terms restricted to phrase docs
+        "lucene_qs_should_phrase": _bm25_sql("stream table hash window",
+                                             10, conjunctive=False,
+                                             phrase=INDEX_PHRASE),
+        # +stream "table hash"^2: conjunctive BM25 of all 3 terms over
+        # phrase-matching docs, phrase terms weighted 2x (clause boost)
+        "phrase_boost_search": _bm25_sql(f"stream {INDEX_PHRASE}", 10,
+                                         phrase=INDEX_PHRASE,
+                                         boosts={"table": 2.0,
+                                                 "hash": 2.0}),
         # GroupingSearch: top-5 lang groups by best hit, top-2 docs each
         "grouped_by_lang": _grouped_sql(BM25_QUERY, "lang",
                                         N_GROUPS, DOCS_PER_GROUP),

@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
                         "takes a classic query string "
                         '(+a -b field:t "x y"~2 pre* fuz~1)')
     q.add_argument("--must-not", default=None,
-                   help="MUST_NOT clause text (and/or modes)")
+                   help="MUST_NOT clause text (and/or/phrase modes)")
     q.add_argument("--slop", type=int, default=0,
                    help="phrase mode: ordered span-near slack "
                         "(0 = exact phrase)")

@@ -226,13 +226,18 @@ _WAND_CHUNK = 4  # rare-term blocks decoded per threshold update
 
 def _pop_pseudo_docs(post_pdf: pd.DataFrame, term: str
                      ) -> tuple[pd.DataFrame, np.ndarray | None]:
-    """Extract a pseudo-postings row (ALLOW_TERM / DEL_TERM) from a range's
-    cogroup rows → (remaining rows, ascending docID array or None)."""
+    """Extract pseudo-postings rows (ALLOW_TERM / DEL_TERM) from a range's
+    cogroup rows → (remaining rows, ascending docID array or None). A range
+    may carry SEVERAL rows under the same pseudo-term (e.g. tombstones from
+    the delete list PLUS a query-scoped MUST_NOT id set) — their doc lists
+    union."""
     mask = post_pdf["term"] == term
     if not mask.any():
         return post_pdf, None
-    docs = decode_postings(
-        _ep_from_row(next(post_pdf[mask].itertuples())))[0]
+    parts = [decode_postings(_ep_from_row(r))[0]
+             for r in post_pdf[mask].itertuples()]
+    docs = (parts[0] if len(parts) == 1
+            else np.unique(np.concatenate(parts)))
     return post_pdf[~mask], docs
 
 
@@ -817,7 +822,9 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                         allow: bool = False,
                         slop: int | list[int] = 0,
                         phrase_freq: bool = False,
-                        after: tuple | None = None):
+                        after: tuple | None = None,
+                        boosts: list[float] | None = None,
+                        occurs: list[str] | None = None):
     """cogroup fn for phrase ("whole words") mode — one PhraseQuery per
     field, MUST-conjoined, clause scores summed (reference ``BooleanQuery``
     of per-field ``PhraseQuery`` clauses, ``cLuceneIndexReader.java:
@@ -852,12 +859,32 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
     the slack, ``matchLength = span - (n-1)`` the slack that span
     consumed (``SloppyPhraseScorer.sloppyFreq``; our span enumeration is
     the greedy minimal span per start, pinned by the from-scratch
-    recompute test and the DuckDB oracle)."""
+    recompute test and the DuckDB oracle).
+
+    ``boosts`` (one float per clause) scales each clause's score — Lucene
+    ``^boost`` on a quoted phrase (``"a b"^2``) multiplies that
+    PhraseQuery's contribution.
+
+    ``occurs`` (round 4 — one of "+"/"" per clause, default all "+"):
+    exact Lucene ``BooleanQuery`` occur semantics across clauses. MUST
+    ("+") clauses intersect — the match set is their conjunction; SHOULD
+    ("") clauses are scoring-only riders that contribute where they match
+    (with no MUST clause, the match set is the SHOULD union). SHOULD
+    clauses position-verify only over the MUST candidate set (they can
+    never add matches), and a SHOULD clause whose terms are absent from
+    a range is inert there rather than emptying it."""
     slops = (list(slop) if isinstance(slop, (list, tuple))
              else [slop] * len(clauses))
     assert len(slops) == len(clauses)
-    all_terms = list(dict.fromkeys(
-        t for _, td, _, _ in clauses for t in td))
+    assert boosts is None or len(boosts) == len(clauses)
+    occs = list(occurs) if occurs is not None else ["+"] * len(clauses)
+    assert len(occs) == len(clauses)
+    must_idx = [ci for ci in range(len(clauses)) if occs[ci] == "+"]
+    should_idx = [ci for ci in range(len(clauses)) if occs[ci] != "+"]
+    must_terms = list(dict.fromkeys(
+        t for ci in must_idx for t in clauses[ci][1]))
+    _no_docs = np.empty(0, dtype=np.int64)
+    _no_pf = np.empty(0, dtype=np.float64)
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                     ) -> pd.DataFrame:
@@ -872,41 +899,42 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
             if allow_docs is None:
                 return empty
         rows = {r.term: r for r in post_pdf.itertuples()}
-        if any(t not in rows for t in all_terms):
+        if any(t not in rows for t in must_terms):
             return empty
         nrows = {r.term: r for r in norms_pdf.itertuples()}
-        if any(s not in nrows for _, _, s, _ in clauses):
+        if any(clauses[ci][2] not in nrows for ci in must_idx):
             return empty
         dec: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t in all_terms:
-            r = rows[t]
-            if r.pos_enc is None:
-                raise ValueError("index was built without positions=True")
-            d, tf = decode_postings(_ep_from_row(r))
-            dec[t] = (d, tf, positions_decode(bytes(r.pos_enc), tf))
 
-        cand = dec[all_terms[0]][0]
-        for t in all_terms[1:]:
-            cand = np.intersect1d(cand, dec[t][0], assume_unique=True)
-            if cand.size == 0:
-                return empty
-        if allow_docs is not None:
-            cand = cand[_in_sorted(cand, allow_docs)]
-            if cand.size == 0:
-                return empty
-        if deletes is not None and deletes.size:
-            cand = cand[~_in_sorted(cand, deletes)]
-            if cand.size == 0:
-                return empty
+        def decode(t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            if t not in dec:
+                r = rows[t]
+                if r.pos_enc is None:
+                    raise ValueError(
+                        "index was built without positions=True")
+                d, tf = decode_postings(_ep_from_row(r))
+                dec[t] = (d, tf, positions_decode(bytes(r.pos_enc), tf))
+            return dec[t]
 
-        pf_maps: list[tuple[np.ndarray, np.ndarray]] = []
-        for ci, (seq, _td, _s, _a) in enumerate(clauses):
+        def filt(d: np.ndarray) -> np.ndarray:
+            if allow_docs is not None:
+                d = d[_in_sorted(d, allow_docs)]
+            if deletes is not None and deletes.size:
+                d = d[~_in_sorted(d, deletes)]
+            return d
+
+        def verify(ci: int, base: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+            """(matched docs asc, per-doc pf) of clause ci over the
+            candidate docs ``base``: greedy earliest-next chain per start
+            occurrence, vectorized as one searchsorted per query term over
+            the packed (candidate-ordinal << 32 | position) keys."""
+            seq = clauses[ci][0]
             cl_slop = slops[ci]
-            # per-term sorted (candidate-ordinal << 32 | position) keys
             keysets: dict[str, np.ndarray] = {}
             for t in set(seq):
-                d, tf, pos = dec[t]
-                m = _in_sorted(d, cand)
+                d, tf, pos = decode(t)
+                m = _in_sorted(d, base)
                 lens_c = tf[m]
                 offs = np.cumsum(tf) - tf
                 total = int(lens_c.sum())
@@ -916,7 +944,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                        + np.repeat(offs[m], lens_c))
                 p = pos[idx]
                 dkey = np.repeat(
-                    np.searchsorted(cand, d[m]).astype(np.int64), lens_c)
+                    np.searchsorted(base, d[m]).astype(np.int64), lens_c)
                 keysets[t] = dkey * _POS_SHIFT + p  # ascending by constr.
             if cl_slop == 0:
                 live = keysets[seq[0]]
@@ -924,7 +952,7 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                     live = live[_in_sorted(live + np.int64(i),
                                            keysets[seq[i]])]
                     if live.size == 0:
-                        return empty
+                        return _no_docs, _no_pf
                 weights = np.ones(live.size, dtype=np.float64)
             else:
                 start = keysets[seq[0]]
@@ -935,48 +963,108 @@ def _make_phrase_scorer(clauses: list[PhraseClause],
                     idx = np.searchsorted(ks, cur, side="right")
                     valid = idx < ks.size
                     nxt = ks[np.minimum(idx, ks.size - 1)]
-                    ok &= valid & ((nxt // _POS_SHIFT) == (cur // _POS_SHIFT))
+                    ok &= valid & ((nxt // _POS_SHIFT)
+                                   == (cur // _POS_SHIFT))
                     cur = np.where(ok, nxt, cur)
                     if not ok.any():
-                        return empty
+                        return _no_docs, _no_pf
                 span = cur - start               # end pos - start pos
                 ok &= span <= np.int64(cl_slop + len(seq) - 1)
                 live = start[ok]
                 if live.size == 0:
-                    return empty
+                    return _no_docs, _no_pf
                 # Lucene sloppyFreq: each minimal span contributes
                 # 1 / (1 + matchLength), matchLength = slack consumed
-                mlen = (span[ok] - np.int64(len(seq) - 1)).astype(np.float64)
+                mlen = (span[ok]
+                        - np.int64(len(seq) - 1)).astype(np.float64)
                 weights = 1.0 / (1.0 + mlen)
             ords_all = live // _POS_SHIFT
             ords, inv = np.unique(ords_all, return_inverse=True)
             pf = np.bincount(inv, weights=weights)
-            pf_maps.append((cand[ords], pf))
-            cand = cand[ords]
-        match_docs = cand
+            return base[ords], pf
+
+        matches: list[tuple[np.ndarray, np.ndarray] | None] = (
+            [None] * len(clauses))
+        cand: np.ndarray | None = None
+        if must_idx:
+            # docs containing EVERY term of EVERY MUST clause, then each
+            # MUST clause position-verifies over the shrinking set
+            cand = decode(must_terms[0])[0]
+            for t in must_terms[1:]:
+                cand = np.intersect1d(cand, decode(t)[0],
+                                      assume_unique=True)
+                if cand.size == 0:
+                    return empty
+            cand = filt(cand)
+            if cand.size == 0:
+                return empty
+            for ci in must_idx:
+                docs_m, pf = verify(ci, cand)
+                if docs_m.size == 0:
+                    return empty
+                matches[ci] = (docs_m, pf)
+                cand = docs_m
+        for ci in should_idx:
+            # scoring-only riders: absent terms/sentinel make the clause
+            # inert in this range; with MUSTs present, verify only over
+            # the MUST candidates (non-candidates can never surface)
+            _, td, sent, _ = clauses[ci]
+            if any(t not in rows for t in td) or sent not in nrows:
+                continue
+            base = decode(td[0])[0]
+            for t in td[1:]:
+                base = np.intersect1d(base, decode(t)[0],
+                                      assume_unique=True)
+            if cand is not None:
+                base = base[_in_sorted(base, cand)]
+            base = filt(base)
+            if base.size == 0:
+                continue
+            docs_m, pf = verify(ci, base)
+            if docs_m.size:
+                matches[ci] = (docs_m, pf)
+        if must_idx:
+            match_docs = cand
+        else:
+            arrs = [m[0] for m in matches if m is not None]
+            if not arrs:
+                return empty
+            match_docs = np.unique(np.concatenate(arrs))
+        assert match_docs is not None and match_docs.size
 
         score = np.zeros(match_docs.size, dtype=np.float64)
-        for ci, (seq_full, terms_dedup, sentinel, avgdl) in enumerate(clauses):
+        for ci, (seq_full, terms_dedup, sentinel, avgdl) in enumerate(
+                clauses):
+            m = matches[ci]
+            if m is None:
+                continue
+            docs_all, pf_all = m
+            sel = _in_sorted(docs_all, match_docs)
+            docs_c = docs_all[sel]
+            if docs_c.size == 0:
+                continue
+            out_pos = np.searchsorted(match_docs, docs_c)
+            cl_boost = boosts[ci] if boosts is not None else 1.0
             nep = _ep_from_row(nrows[sentinel])
             nd, ntf = decode_blocks_overlapping(
-                nep, int(match_docs[0]), int(match_docs[-1]))
-            dl = ntf[np.searchsorted(nd, match_docs)].astype(np.float64)
+                nep, int(docs_c[0]), int(docs_c[-1]))
+            dl = ntf[np.searchsorted(nd, docs_c)].astype(np.float64)
             norm = k1 * (1.0 - b + b * dl / avgdl)
             if phrase_freq:
                 # Lucene PhraseWeight: tf = phrase (sloppy) frequency,
                 # idf = Σ idf over the clause's FULL token sequence — a
                 # repeated term counts once per occurrence (ADVICE r3)
-                docs_m, pf = pf_maps[ci]
-                tfv = pf[np.searchsorted(docs_m, match_docs)]
+                tfv = pf_all[sel]
                 idf_cl = sum(idf_by_term[t] for t in seq_full)
-                score += idf_cl * tfv * (k1 + 1.0) / (tfv + norm)
+                score[out_pos] += (cl_boost * idf_cl * tfv * (k1 + 1.0)
+                                   / (tfv + norm))
             else:
                 for t in sorted(terms_dedup):
-                    d, tf, _ = dec[t]
-                    tfv = tf[np.searchsorted(d, match_docs)
+                    d, tf, _ = decode(t)
+                    tfv = tf[np.searchsorted(d, docs_c)
                              ].astype(np.float64)
-                    score += (idf_by_term[t] * tfv * (k1 + 1.0)
-                              / (tfv + norm))
+                    score[out_pos] += (cl_boost * idf_by_term[t] * tfv
+                                       * (k1 + 1.0) / (tfv + norm))
 
         return _topk_frame(match_docs, score, k, after)
 
@@ -1050,8 +1138,22 @@ class QuerySession:
             self.post = (self.post
                          .repartition(nparts, "range_id")
                          .sortWithinPartitions("range_id", "term"))
-        self.norms = self.post.filter(
+        # norms get their OWN relation lineage (a fresh read, NOT a filter
+        # over self.post): every scorer COGROUPS post with norms, and a
+        # cogroup whose sides descend from the same relation trips Spark's
+        # self-join dedup — the right side is rewritten to fresh expr IDs
+        # while the UDF's argument list keeps the left's, so downstream
+        # column pruning (anything but a bare collect, e.g. .count() or a
+        # projection) strips the norms child to its grouping key and the
+        # scorer crashes on the missing columns. Distinct relations have
+        # distinct expr IDs; nothing to mis-dedup. Physically identical:
+        # both sides were separate pushdown-filtered scans anyway.
+        self.norms = spark.read.parquet(self.paths.postings).filter(
             (F.col("term") == DOCLEN_TERM) | F.col("term").endswith(":"))
+        if cache:
+            self.norms = (self.norms
+                          .repartition(nparts, "range_id")
+                          .sortWithinPartitions("range_id", "term"))
         self.stats = spark.read.parquet(self.paths.term_stats)
         self.refresh_deletes()
         if cache:
@@ -1160,7 +1262,9 @@ class QuerySession:
         intersected inside the scorer, so the k results are exact, not an
         over-fetch. ``must_not``: MUST_NOT clause text (Lucene ``-term``):
         its analyzed terms exclude any doc containing them, anti-joined
-        inside the scorer ("and"/"or" modes). ``slop`` (phrase mode only)
+        inside the scorer ("and"/"or" modes; in phrase mode the deny
+        match set rides the DEL_TERM pseudo-postings channel). ``slop``
+        (phrase mode only)
         relaxes the phrase to Lucene ``SpanNearQuery`` (inOrder=true)
         semantics: terms in order within total slack ``slop``; 0 keeps the
         exact consecutive ``PhraseQuery``. ``min_should_match`` ("or" mode
@@ -1186,8 +1290,6 @@ class QuerySession:
         deny = query_terms(must_not) if must_not else []
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        if deny and mode == "phrase":
-            raise ValueError("must_not is not supported in phrase mode")
         if slop and mode != "phrase":
             raise ValueError("slop applies to phrase mode only")
         if min_should_match > 1 and mode != "or":
@@ -1213,10 +1315,14 @@ class QuerySession:
                 return self.spark.createDataFrame(
                     [], "doc_id long, score double")
             idf = {t: _idf(self.meta.n_docs, df_by_term[t]) for t in terms}
+            # must_not in phrase mode (round 4): the deny terms' match
+            # union compiles to a doc-id set riding the DEL_TERM channel
+            deny_ids = (self._match_terms(deny, conjunctive=False)
+                        if deny else None)
             return self._phrase_topk(
                 query, terms, idf, k, allow, slop=slop,
                 phrase_freq=(phrase_scoring == "phrase_freq"),
-                after=after)
+                after=after, deny_ids=deny_ids)
         return self._score_terms(terms, k, allow,
                                  conjunctive=(mode != "or"),
                                  deny=deny or None,
@@ -1266,13 +1372,17 @@ class QuerySession:
                      deny: list[str] | None = None,
                      min_should_match: int = 1,
                      boosts: dict[str, float] | None = None,
-                     after: tuple | None = None) -> DataFrame:
+                     after: tuple | None = None,
+                     deny_ids: DataFrame | None = None) -> DataFrame:
         """Shared BM25 scorer over (possibly namespaced) terms:
         ``conjunctive`` picks MUST-intersection (WAND) vs SHOULD-union
         (MaxScore) semantics; ``deny`` terms (MUST_NOT) exclude any doc
         containing them, anti-joined inside the scorer via candidate-pruned
-        block decodes. Everything else — bucket/range pruning, tombstones,
-        allowlist, per-field norms — is identical.
+        block decodes; ``deny_ids`` is the generalized MUST_NOT channel —
+        a (doc_id) DataFrame (deny phrase / range / structured-group match
+        set) encoded as extra DEL_TERM pseudo-postings that union with the
+        index tombstones inside the scorer. Everything else — bucket/range
+        pruning, tombstones, allowlist, per-field norms — is identical.
 
         ``k=None`` = score-ALL mode (grouping / dismax substrate): every
         matching doc emits its exact score and the frame returns unsorted
@@ -1352,6 +1462,9 @@ class QuerySession:
                 norms = norms.filter(F.col("range_id").isin(ranges))
 
         post = self._with_deletes(post.select(*SCORER_COLS))
+        if deny_ids is not None:
+            post = post.unionByName(
+                _pseudo_rows_df(deny_ids, meta.range_size, DEL_TERM))
         if allow is not None:
             post = post.unionByName(
                 _allow_rows_df(allow, meta.range_size))
@@ -1377,7 +1490,8 @@ class QuerySession:
                      allow: DataFrame | None = None,
                      slop: int = 0,
                      phrase_freq: bool = False,
-                     after: tuple | None = None) -> DataFrame:
+                     after: tuple | None = None,
+                     deny_ids: DataFrame | None = None) -> DataFrame:
         """Content-field phrase mode — one clause of the general whole-words
         path (positions live IN the postings rows — no second table, no
         corpus-wide doclen decode: the scorer touches only ranges containing
@@ -1392,7 +1506,7 @@ class QuerySession:
         return self._phrase_clauses_topk([clause], idf_by_term, k, allow,
                                          slop=slop,
                                          phrase_freq=phrase_freq,
-                                         after=after)
+                                         after=after, deny_ids=deny_ids)
 
     def topk_whole_words(self, field_texts: dict[str, str], k: int = 10,
                          allow: DataFrame | None = None) -> DataFrame:
@@ -1430,17 +1544,34 @@ class QuerySession:
         return self._phrase_clauses_topk(clauses, idf_by_term, k, allow)
 
     def _phrase_clauses_topk(self, clauses: list[PhraseClause],
-                             idf_by_term: dict[str, float], k: int,
+                             idf_by_term: dict[str, float],
+                             k: int | None,
                              allow: DataFrame | None = None,
                              slop: int | list[int] = 0,
                              phrase_freq: bool = False,
-                             after: tuple | None = None) -> DataFrame:
+                             after: tuple | None = None,
+                             deny_ids: DataFrame | None = None,
+                             boosts: list[float] | None = None,
+                             occurs: list[str] | None = None) -> DataFrame:
+        """``k=None`` = score-ALL mode (same contract as ``_score_terms``:
+        a per-range cut of ``range_size + 1`` provably never triggers).
+        ``deny_ids``: a (doc_id) DataFrame excluded from every clause's
+        candidates — encoded as extra DEL_TERM pseudo-postings that union
+        with the index tombstones inside ``_pop_pseudo_docs`` (the
+        generalized MUST_NOT channel: deny phrases / ranges / structured
+        groups all compile to an id set, nothing reaches the driver).
+        ``boosts``: per-clause score multipliers (Lucene ``"a b"^2``).
+        ``occurs``: per-clause "+"/"" Lucene BooleanQuery occur semantics
+        (default all MUST) — see ``_make_phrase_scorer``."""
         meta = self.meta
         spark = self.spark
         if not meta.positions:
             raise ValueError("index was built without positions=True")
+        k_cut = k if k is not None else meta.range_size + 1
         terms_all = sorted({t for _, td, _, _ in clauses for t in td})
         sentinels = sorted({s for _, _, s, _ in clauses})
+        if occurs is not None and not any(o == "+" for o in occurs):
+            raise ValueError("phrase-mode queries need >= 1 MUST clause")
         post = self.post.filter(F.col("term").isin(terms_all))
         norms = self.norms.filter(F.col("term").isin(sentinels))
         if not self._cached:
@@ -1450,17 +1581,24 @@ class QuerySession:
             norms = norms.filter(F.col("bucket").isin(
                 sorted({bmap[s] for s in sentinels})))
         post = self._with_deletes(post.select(*SCORER_COLS))
+        if deny_ids is not None:
+            post = post.unionByName(
+                _pseudo_rows_df(deny_ids, meta.range_size, DEL_TERM))
         if allow is not None:
             post = post.unionByName(_allow_rows_df(allow, meta.range_size))
         scored = (post.groupby("range_id")
                   .cogroup(norms.select(*SCORER_COLS).groupby("range_id"))
                   .applyInPandas(
-                      _make_phrase_scorer(clauses, idf_by_term, k,
+                      _make_phrase_scorer(clauses, idf_by_term, k_cut,
                                           allow=allow is not None,
                                           slop=slop,
                                           phrase_freq=phrase_freq,
-                                          after=after),
+                                          after=after,
+                                          boosts=boosts,
+                                          occurs=occurs),
                       "doc_id long, score double"))
+        if k is None:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_batch(self, queries: dict[str, str], k: int = 10,
@@ -1805,6 +1943,26 @@ class QuerySession:
                     _make_range_matcher(terms, conjunctive, deny or None),
                     "doc_id long"))
 
+    def _phrase_match_ids(self, field: str | None, seq: list[str],
+                          slop: int = 0) -> "DataFrame | None":
+        """Match set of a (possibly field-scoped, pre-namespaced) phrase:
+        doc_ids where the clause's terms chain consecutively (or within
+        ``slop``, SpanNear semantics) — the score-all phrase substrate
+        with scores discarded. ``None`` = a constituent term is absent
+        from the corpus, so the phrase matches nothing."""
+        if not seq:
+            return None
+        df_by_term = self._df_lookup(seq)
+        if any(t not in df_by_term for t in seq):
+            return None
+        sent = (field + ":" if field and field != "content"
+                else DOCLEN_TERM)
+        avgdl = self._avgdl_by_sentinel([sent])[sent]
+        clause: PhraseClause = (seq, list(dict.fromkeys(seq)), sent, avgdl)
+        return self._phrase_clauses_topk(
+            [clause], {t: 1.0 for t in seq}, k=None,
+            slop=slop).select("doc_id")
+
     def _match_tree(self, node) -> "DataFrame | None":
         """Match set of a nested boolean group (parser.GroupNode): doc_ids
         matching the tree. Term leaves batch into ONE grouped-map matcher
@@ -1917,8 +2075,9 @@ class QuerySession:
           match set via the exact allowlist.
         - quoted phrases (always MUST here — documented divergence) compile
           to whole-words clauses with per-clause slop; bare MUST terms ride
-          along as 1-token clauses, so ``+table "stream window"~3`` is ONE
-          cogroup pass.
+          along as 1-token MUST clauses and bare SHOULD terms (round 4) as
+          scoring-only SHOULD clauses, so ``+table "stream window"~3 fast``
+          is ONE cogroup pass with exact BooleanQuery occur semantics.
         - mixed MUST + SHOULD terms: the SHOULD union scorer runs restricted
           to ``match_ids(MUST)`` through the allowlist — score = sum of all
           present terms over docs matching every MUST, which is exactly
@@ -1947,8 +2106,18 @@ class QuerySession:
         ``path:/t.st/``) scan the field's namespaced dictionary slice and
         match the bare token (round 4 — MultiFieldQueryParser parity).
 
-        Unsupported (loud ValueError): MUST_NOT phrases/expansions, phrases
-        mixed with SHOULD terms, phrases with MUST_NOT terms or boosts."""
+        **Generalized MUST_NOT** (round 4): ``-"a b"`` (phrases, with
+        ``~N`` slop), ``-field:[lo TO hi]`` (ranges), ``-(+a (b c))``
+        (structured nested groups) and ``-foo*``/``-fuzz~1``/``-/re.ex/``
+        (expansions) all work — expansions De-Morgan onto the in-scorer
+        deny-terms path; phrase/range/structured-group deny sets compile
+        to doc-id DataFrames riding the DEL_TERM pseudo-postings channel
+        (union with tombstones inside every scorer; nothing reaches the
+        driver). ``"a b"^2`` phrase boosts multiply that clause's score
+        (Lucene PhraseQuery boost).
+
+        Unsupported (loud ValueError): range boosts (ranges never score
+        here)."""
         from ..tokenizer import tokenize_text
         from .parser import parse_query_string
         empty = self.spark.createDataFrame([], "doc_id long, score double")
@@ -1958,14 +2127,20 @@ class QuerySession:
         must_terms: list[str] = []
         should_terms: list[str] = []
         deny_terms: list[str] = []
-        phrase_specs: list[tuple[str, list[str], int]] = []
+        phrase_specs: list[tuple[str, list[str], int, float]] = []
         allow_sets: list[DataFrame] = []
+        # Generalized MUST_NOT (round 4): deny phrases / ranges /
+        # structured nested groups compile to doc-id match sets that ride
+        # the DEL_TERM pseudo-postings channel into every scorer — plain
+        # deny TERMS stay on the cheaper in-scorer block-decode path.
+        deny_id_sets: list[DataFrame] = []
         # Lucene ^boost: when ANY clause carries a boost, per-term weights
         # are the SUM of the owning clauses' boosts (Lucene scores each
         # duplicate SHOULD clause, which sums). Without boosts, duplicate
         # terms stay deduped (pre-boost behavior, pinned by contract
         # hashes) and no weights are passed.
-        has_boost = any(c.boost != 1.0 for c in clauses)
+        has_boost = any(c.boost != 1.0 for c in clauses
+                        if c.occur != "-")   # MUST_NOT never scores
         boost_acc: dict[str, float] = {}
 
         def add_boost(toks: list[str], b: float) -> None:
@@ -1984,9 +2159,8 @@ class QuerySession:
                 # constant-score rewrite adds a flat 1.0; documented
                 # divergence). Pushed to the docmap parquet scan as a
                 # comparison predicate; numeric when both bounds parse.
-                if c.occur == "-":
-                    raise ValueError(
-                        "MUST_NOT range clauses are not supported")
+                # -range denies the predicate's match set (DEL_TERM
+                # channel) — semantically exact, ranges never score.
                 if c.boost != 1.0:
                     raise ValueError("range boosts are not supported")
                 lo_s, hi_s = c.text.split(" TO ", 1)
@@ -2011,17 +2185,22 @@ class QuerySession:
                     pred = col.between(lo_n, hi_n)
                 else:
                     pred = col.between(lo_s, hi_s)   # lexicographic
-                allow_sets.append(dm.filter(pred).select("doc_id"))
+                ids = dm.filter(pred).select("doc_id")
+                (deny_id_sets if c.occur == "-" else allow_sets).append(ids)
                 continue
             if c.kind == "phrase":
-                if c.occur == "-":
-                    raise ValueError("MUST_NOT phrases are not supported")
-                if c.boost != 1.0:
-                    raise ValueError("phrase boosts are not supported")
                 toks = tokenize_text(c.text)
-                if toks:
+                if c.occur == "-":
+                    # -"a b": the phrase's match set (score-all substrate,
+                    # scores discarded) rides the DEL_TERM channel; a
+                    # phrase with an absent term matches (denies) nothing
+                    m = self._phrase_match_ids(
+                        c.field, [ns(t) for t in toks], c.num)
+                    if m is not None:
+                        deny_id_sets.append(m)
+                elif toks:
                     phrase_specs.append(
-                        (c.field, [ns(t) for t in toks], c.num))
+                        (c.field, [ns(t) for t in toks], c.num, c.boost))
             elif c.kind == "term":
                 toks = [ns(t) for t in tokenize_text(c.text)]
                 if c.occur == "-":
@@ -2064,14 +2243,18 @@ class QuerySession:
                 from .parser import parse_group_tree
                 tree = parse_group_tree(c.text)
                 if c.occur == "-":
-                    if not tree.is_pure_should():
-                        raise ValueError(
-                            "MUST_NOT nested groups with +/- children are "
-                            "not supported (De Morgan only applies to "
-                            f"pure-SHOULD groups): -({c.text})")
-                    deny_terms += [
-                        t for a in tree.positive_leaves()
-                        for t in tokenize_text(a)]
+                    if tree.is_pure_should():
+                        # flat -(a b c): De Morgan onto the cheap
+                        # in-scorer deny-terms path
+                        deny_terms += [
+                            t for a in tree.positive_leaves()
+                            for t in tokenize_text(a)]
+                    else:
+                        # structured -(+a (b c) -d): the subtree's exact
+                        # boolean match set rides the DEL_TERM channel
+                        m = self._match_tree(tree)
+                        if m is not None:
+                            deny_id_sets.append(m)
                     continue
                 tree.validate_scoring_exact(guaranteed=(c.occur == "+"))
                 leaves = [t for a in tree.positive_leaves()
@@ -2088,9 +2271,6 @@ class QuerySession:
                 # bare pure-SHOULD nested groups flatten with no allowlist:
                 # candidates = the SHOULD union, identical semantics
             else:
-                if c.occur == "-":
-                    raise ValueError(
-                        "MUST_NOT multi-term clauses are not supported")
                 # round 4: every expansion kind accepts a field scope —
                 # the expansion scans the field's `field:token` namespace
                 # and matches the bare token (MultiFieldQueryParser parity)
@@ -2115,7 +2295,12 @@ class QuerySession:
                     sims = {t: 1.0 - d / min(len(pat),
                                              len(t) - len(pre))
                             for t, d in pairs}
-                    has_boost = has_boost or bool(exp)
+                    has_boost = has_boost or (bool(exp) and c.occur != "-")
+                if c.occur == "-":
+                    # -foo* / -fuzz~1 / -/re.ex/: matching-only, so De
+                    # Morgan over the expansion union = deny each term
+                    deny_terms += exp
+                    continue
                 if not exp:
                     if c.occur == "+":
                         return empty  # a MUST clause that can match nothing
@@ -2133,57 +2318,81 @@ class QuerySession:
         allow_df: DataFrame | None = None
         for s in allow_sets:
             allow_df = s if allow_df is None else allow_df.join(s, "doc_id")
-        if (allow_df is not None and not phrase_specs
+        deny_ids: DataFrame | None = None
+        for s in deny_id_sets:
+            deny_ids = s if deny_ids is None else deny_ids.union(s)
+        # no .distinct(): _pseudo_rows_df np.unique's per range anyway
+        if ((allow_df is not None or deny_ids is not None)
+                and not phrase_specs
                 and not must_terms and not should_terms):
             raise ValueError(
                 "query has only non-scoring filter clauses (range/group); "
                 "add a scoring term or use search_fields/browse_sorted")
 
         if phrase_specs:
-            if should_terms:
-                raise ValueError(
-                    "phrases combine only with MUST clauses here")
             if deny_terms:
-                raise ValueError("must_not is not supported in phrase mode")
-            if has_boost:
-                raise ValueError(
-                    "boosts are not supported in phrase mode")
-            raw = ([(f, seq, sl) for f, seq, sl in phrase_specs]
+                # deny TERMS join the id channel in phrase mode (the
+                # phrase scorer has no per-term deny decode path)
+                m = self._match_terms(deny_terms, conjunctive=False)
+                deny_ids = m if deny_ids is None else deny_ids.union(m)
+            # one whole-words cogroup pass: phrases + bare MUST terms are
+            # MUST clauses, bare SHOULD terms (round 4) ride as
+            # scoring-only SHOULD 1-token clauses — exact Lucene
+            # BooleanQuery occur semantics across clauses. A SHOULD term
+            # that is also a MUST rider is dropped (its boost already
+            # summed into the MUST clause — the duplicate-clause rule).
+            raw = ([(f, seq, sl, b, "+") for f, seq, sl, b in phrase_specs]
                    + [("" if ":" not in t else t.split(":", 1)[0],
-                       [t], 0) for t in dict.fromkeys(must_terms)])
+                       [t], 0, boost_acc.get(t, 1.0), "+")
+                      for t in dict.fromkeys(must_terms)]
+                   + [("" if ":" not in t else t.split(":", 1)[0],
+                       [t], 0, boost_acc.get(t, 1.0), "")
+                      for t in dict.fromkeys(should_terms)
+                      if t not in set(must_terms)])
             all_terms = list(dict.fromkeys(
-                t for _, seq, _ in raw for t in seq))
+                t for _, seq, _, _, _ in raw for t in seq))
             df_by_term = self._df_lookup(all_terms)
-            if any(t not in df_by_term for t in all_terms):
+            # a MUST clause term absent corpus-wide → nothing matches; an
+            # absent-term SHOULD clause can never score — drop it
+            if any(t not in df_by_term
+                   for _, seq, _, _, oc in raw if oc == "+" for t in seq):
                 return empty
+            raw = [e for e in raw if all(t in df_by_term for t in e[1])]
             idf_by_term = {t: _idf(self.meta.n_docs, df_by_term[t])
-                           for t in all_terms}
+                           for t in all_terms if t in df_by_term}
             sent_of = {f: (f + ":" if f and f != "content" else DOCLEN_TERM)
-                       for f, _, _ in raw}
+                       for f, _, _, _, _ in raw}
             avgdl_of = self._avgdl_by_sentinel(
                 sorted(set(sent_of.values())))
             pclauses: list[PhraseClause] = [
                 (seq, list(dict.fromkeys(seq)), sent_of[f],
-                 avgdl_of[sent_of[f]]) for f, seq, _ in raw]
+                 avgdl_of[sent_of[f]]) for f, seq, _, _, _ in raw]
             return self._phrase_clauses_topk(
                 pclauses, idf_by_term, k, allow_df,
-                slop=[sl for _, _, sl in raw])
+                slop=[sl for _, _, sl, _, _ in raw],
+                deny_ids=deny_ids,
+                boosts=([b for _, _, _, b, _ in raw]
+                        if has_boost else None),
+                occurs=[oc for _, _, _, _, oc in raw])
 
         must = list(dict.fromkeys(must_terms))
         should = list(dict.fromkeys(should_terms))
         boosts = boost_acc if has_boost else None
         if must and not should:
             return self._score_terms(must, k, allow_df, conjunctive=True,
-                                     deny=deny_terms or None, boosts=boosts)
+                                     deny=deny_terms or None, boosts=boosts,
+                                     deny_ids=deny_ids)
         if should and not must:
             return self._score_terms(should, k, allow_df, conjunctive=False,
-                                     deny=deny_terms or None, boosts=boosts)
+                                     deny=deny_terms or None, boosts=boosts,
+                                     deny_ids=deny_ids)
         if must and should:
             m = self._match_terms(must, conjunctive=True)
             allow_df = m if allow_df is None else allow_df.join(m, "doc_id")
             both = list(dict.fromkeys(must + should))
             return self._score_terms(both, k, allow_df, conjunctive=False,
-                                     deny=deny_terms or None, boosts=boosts)
+                                     deny=deny_terms or None, boosts=boosts,
+                                     deny_ids=deny_ids)
         return empty
 
     def facet_counts(self, query: str, field: str, mode: str = "and",

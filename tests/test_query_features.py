@@ -1226,13 +1226,33 @@ def test_query_string_compiles_to_engine_calls(built_fields, spark):
     np.testing.assert_allclose([g[1] for g in got_r],
                                [w[1] for w in want_r], rtol=0, atol=1e-6)
 
-    # loud errors for the documented unsupported shapes
+    # SHOULD terms beside a phrase (round 4): scoring-only riders — match
+    # set = the (always-MUST) phrase docs, each present SHOULD term adds
+    # its BM25 contribution (exact BooleanQuery occur semantics)
+    dfm2 = {t: sum(1 for v in toks.values() if t in set(v))
+            for t in (HOT_TERM, RARE_TERM)}
+    riders = []
+    for d, base in ph_all.items():
+        c = collections.Counter(toks[d])
+        s = base
+        for t in (HOT_TERM, RARE_TERM):
+            tf = float(c.get(t, 0))
+            if tf:
+                s += (engine._idf(meta.n_docs, dfm2[t]) * tf * (BM25_K1 + 1)
+                      / (tf + BM25_K1 * (1 - BM25_B
+                                         + BM25_B * len(toks[d])
+                                         / meta.avgdl)))
+        riders.append((d, round(s, 9)))
+    want_s = sorted(riders, key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_s = _hits(qs.query_string(f'{HOT_TERM} "{PHRASE}" {RARE_TERM}'))
+    assert [g[0] for g in got_s] == [w[0] for w in want_s]
+    np.testing.assert_allclose([g[1] for g in got_s],
+                               [w[1] for w in want_s], rtol=0, atol=1e-6)
+
+    # loud errors: pure-negative query, unbalanced quote
     import pytest as _pt
-    for bad in (f'-"{PHRASE}"', f'{HOT_TERM} "{PHRASE}" extra'.replace(
-                    "extra", RARE_TERM)):
-        with _pt.raises(ValueError):
-            qs.query_string(bad)
-    # unbalanced quote
+    with _pt.raises(ValueError):
+        qs.query_string(f'-"{PHRASE}"')
     with _pt.raises(ValueError):
         qs.query_string('"never closed')
 
@@ -1308,11 +1328,25 @@ def test_query_string_boosts_and_regexp(built_fields, spark):
     # regexp == wildcard when the pattern is a star-glob
     assert qs.expand_regexp("s.*am") == qs.expand_wildcard("s*am")
 
-    # loud errors: phrase boost, boost in phrase mode
-    import pytest as _pt
-    for bad in (f'"{PHRASE}"^2', f'+{HOT_TERM}^2 "{PHRASE}"'):
-        with _pt.raises(ValueError):
-            qs.query_string(bad)
+    # phrase boosts (round 4): `"p"^2` multiplies the PhraseQuery clause's
+    # score; same match set, exactly doubled
+    b1 = _hits(qs.query_string(f'"{PHRASE}"', k=10 ** 6))
+    b2 = _hits(qs.query_string(f'"{PHRASE}"^2', k=10 ** 6))
+    assert b1 and [d for d, _ in b1] == [d for d, _ in b2]
+    np.testing.assert_allclose([s for _, s in b2],
+                               [s * 2 for _, s in b1], rtol=0, atol=1e-8)
+    # a boosted MUST rider in phrase mode rescales ONLY its own clause:
+    # score(+hot^2 "p") = phrase + 2*hot = score(+hot "p") + hot, where
+    # hot = score(+hot "p") - score("p") per doc
+    r1 = {d: s for d, s in
+          _hits(qs.query_string(f'+{HOT_TERM} "{PHRASE}"', k=10 ** 6))}
+    r2 = {d: s for d, s in
+          _hits(qs.query_string(f'+{HOT_TERM}^2 "{PHRASE}"', k=10 ** 6))}
+    ph = dict(b1)
+    assert r1 and set(r1) == set(r2)
+    np.testing.assert_allclose(
+        [r2[d] for d in sorted(r1)],
+        [r1[d] + (r1[d] - ph[d]) for d in sorted(r1)], rtol=0, atol=1e-8)
 
 
 def test_search_after_pages_tile_full_ranking(built, spark):
@@ -1495,16 +1529,108 @@ def test_query_string_nested_groups(built_fields, spark):
              qs._score_terms([a, b, c], 20, conjunctive=False).collect()]
     assert got2 == want2 and got2
 
-    # loud errors: SHOULD-positioned structured subgroup (non-flattenable
-    # Lucene scoring), structured MUST_NOT group
+    # loud error: SHOULD-positioned structured subgroup (non-flattenable
+    # Lucene scoring)
     import pytest as _pt
     with _pt.raises(ValueError, match="MUST spine"):
         qs.query_string(f"+({a} (+{b} +{c})) {d}")
-    with _pt.raises(ValueError, match="MUST_NOT nested"):
-        qs.query_string(f"-(+{a} +{b}) {c}")
+    # structured MUST_NOT group (round 4): -(+a +x) x excludes exactly
+    # the a∩x docs from x's ranking via the DEL_TERM id channel; x is
+    # picked to co-occur with a so the exclusion provably discriminates
+    x = next(t for t in cands
+             if any(t in s and a in s for s in toks.values()))
+    base3 = [(r.doc_id, round(r.score, 9)) for r in
+             qs.query_string(x, k=10 ** 6).collect()]
+    got3 = [(r.doc_id, round(r.score, 9)) for r in
+            qs.query_string(f"-(+{a} +{x}) {x}", k=10 ** 6).collect()]
+    want3 = [(dd, s) for dd, s in base3 if a not in toks[dd]]
+    assert got3 == want3 and got3 != base3
     # parser: nested trees round-trip
     cs = parse_query_string(f"+(+{a} +({b} {c}) -{d}) {e}")
     assert [cl.kind for cl in cs] == ["nested", "term"]
+
+
+def test_query_string_generalized_must_not(built_fields, spark):
+    """Generalized MUST_NOT (round 4): deny phrases, deny ranges, and deny
+    expansions all compile into the query — phrase/range deny sets ride
+    the DEL_TERM pseudo-postings channel (union with tombstones inside
+    the scorers), expansions De-Morgan onto the deny-terms path. Each is
+    checked for exact parity against the base ranking minus a python /
+    DataFrame recompute of the excluded set, and each provably excludes
+    at least one doc."""
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+
+    base = [(r.doc_id, round(r.score, 9)) for r in
+            qs.query_string(HOT_TERM, k=10 ** 6).collect()]
+
+    # 1. -"phrase": excludes exactly the phrase's match set
+    ph_docs = {int(r.doc_id) for r in
+               qs.topk(PHRASE, mode="phrase", k=10 ** 6).collect()}
+    assert ph_docs
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(f'{HOT_TERM} -"{PHRASE}"', k=10 ** 6).collect()]
+    want = [(d, s) for d, s in base if d not in ph_docs]
+    assert got == want and len(got) < len(base)
+    # an absent-term phrase denies nothing
+    got0 = [(r.doc_id, round(r.score, 9)) for r in
+            qs.query_string(f'{HOT_TERM} -"zzqx{PHRASE.split()[0]}zz"',
+                            k=10 ** 6).collect()]
+    assert got0 == base
+
+    # 2. -field:[lo TO hi]: excludes the docmap predicate's match set
+    sz = {int(r.doc_id): int(r.size) for r in
+          docmap.select("doc_id", "size").collect()}
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(f"{HOT_TERM} -size:[250 TO 800]",
+                           k=10 ** 6).collect()]
+    want = [(d, s) for d, s in base if not 250 <= sz[d] <= 800]
+    assert got == want and len(got) < len(base)
+
+    # 3. -prefix*: De Morgan over the expansion union (deny every term)
+    exp = qs.expand_prefix(RARE_TERM[:6])
+    assert exp
+    exp_docs = {int(r.doc_id) for r in
+                qs._match_terms(exp, conjunctive=False).collect()}
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(f"{HOT_TERM} -{RARE_TERM[:6]}*",
+                           k=10 ** 6).collect()]
+    want = [(d, s) for d, s in base if d not in exp_docs]
+    assert got == want and len(got) < len(base)
+
+    # 4. deny TERMS in phrase mode (query_string AND topk) ride the id
+    # channel: parity vs the phrase ranking minus the term's docs
+    toks = {int(r.doc_id): set(tokenize_text(r.content)) for r in
+            docmap.select("doc_id", "content").collect()}
+    ph_rank = [(r.doc_id, round(r.score, 9)) for r in
+               qs.query_string(f'"{PHRASE}"', k=10 ** 6).collect()]
+    deny_t = next(t for d in ph_docs for t in sorted(toks[d])
+                  if t not in set(tokenize_text(PHRASE)))
+    want = [(d, s) for d, s in ph_rank if deny_t not in toks[d]]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(f'"{PHRASE}" -{deny_t}', k=10 ** 6).collect()]
+    assert got == want and len(got) < len(ph_rank)
+    got2 = [(r.doc_id, round(r.score, 9)) for r in
+            qs.topk(PHRASE, mode="phrase", k=10 ** 6,
+                    must_not=deny_t).collect()]
+    assert got2 == want
+
+    # 5. composition: phrase + range + expansion denies stack
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           qs.query_string(
+               f'{HOT_TERM} -"{PHRASE}" -size:[250 TO 800] '
+               f'-{RARE_TERM[:6]}*', k=10 ** 6).collect()]
+    want = [(d, s) for d, s in base
+            if d not in ph_docs and not 250 <= sz[d] <= 800
+            and d not in exp_docs]
+    assert got == want
+
+    # pure-negative queries still raise loudly (nothing to enumerate)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-scoring"):
+        qs.query_string(f'-"{PHRASE}" -size:[250 TO 800]')
 
 
 def test_query_string_range_clause(built, spark):
