@@ -319,6 +319,80 @@ def _q_phrase_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_PHRASE_BOOST_QUERY, k=10), "score")
 
 
+QS_FIELD_GROUP_LANGS = ("zh", "es")
+QS_FIELD_GROUP_QUERY = "+stream +lang:({} {})".format(*QS_FIELD_GROUP_LANGS)
+
+
+def _q_lucene_qs_field_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped group (round 4): ``+stream +lang:(zh es)`` — Lucene's
+    field-grouped query syntax. The group's terms expand into the lang
+    field's namespace (``lang:zh``/``lang:es``), the MUST group restricts
+    candidates to its match union, and each present namespaced term scores
+    with the lang field's own norms (sentinel avgdl) — same machinery as
+    content groups, different term space."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_FIELD_GROUP_QUERY, k=10), "score")
+
+
+def _field_group_sql() -> str:
+    """Oracle for the field-scoped group: BM25(stream | content norms) +
+    BM25(lang-term | lang-field norms) over docs containing stream AND a
+    group lang. Lang tokens come from the pinned tokenizer CTE applied to
+    the lang column; lang avgdl = Σ lang doclen / docs-with-lang (the
+    field sentinel's cf/df); idf uses global n_docs (documented engine
+    convention, as in _multifield_parsed_sql)."""
+    ltok_cte = duckdb_tokens_cte("documents", "doc_id", "lang")
+    in_l = ", ".join(f"'{t}'" for t in QS_FIELD_GROUP_LANGS)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ltok AS ({ltok_cte}),
+ldl AS (SELECT doc_id, count(*) AS dl FROM ltok GROUP BY doc_id),
+lst AS (SELECT (SELECT count(*) FROM ltok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ltok) AS avgdl),
+ltf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ltok
+        WHERE term IN ({in_l}) GROUP BY doc_id, term),
+ldf AS (SELECT term, count(*)::DOUBLE AS df FROM ltf GROUP BY term),
+stf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+        WHERE term = 'stream' GROUP BY doc_id),
+sdf AS (SELECT count(*)::DOUBLE AS df FROM stf),
+lscore AS (
+  SELECT lt.doc_id,
+         sum(ln(1 + (s.n_docs - ld.df + 0.5) / (ld.df + 0.5)) * lt.tf
+             * {K1_1} / (lt.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * ldl.dl / ls.avgdl))) AS score
+  FROM ltf lt JOIN ldf ld USING (term) JOIN ldl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN lst ls GROUP BY lt.doc_id)
+SELECT st.doc_id,
+       round(ln(1 + (s.n_docs - sd.df + 0.5) / (sd.df + 0.5)) * st.tf
+             * {K1_1} / (st.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl)) + l.score, 6)::DOUBLE
+         AS score
+FROM stf st JOIN lscore l USING (doc_id) JOIN dl USING (doc_id)
+CROSS JOIN stats s CROSS JOIN sdf sd
+ORDER BY 2 DESC, st.doc_id ASC LIMIT 10
+"""
+
+
+QS_EXCL_RANGE_QUERY = "+stream lang:{de TO fr}"
+
+
+def _q_lucene_qs_excl_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusive range brackets (round 4): ``lang:{de TO fr}`` is the
+    LEXICOGRAPHIC TermRangeQuery with both endpoints strict — matches
+    langs strictly between (en, es only), unlike inclusive ``[de TO fr]``
+    which also matches de and fr, so the bracket semantics discriminate
+    structurally at every sf. Through round 3 exclusive brackets raised
+    loudly. Still a non-scoring MUST filter pushed to the docmap scan."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_EXCL_RANGE_QUERY, k=10), "score")
+
+
 def _q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene IndexSearcher.count analog: cardinality of the FULL
     conjunctive match set (grouped-map matcher, no scoring, no norms)."""
@@ -1194,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_not_range": _q_lucene_qs_not_range,
         "lucene_qs_not_group": _q_lucene_qs_not_group,
         "lucene_qs_should_phrase": _q_lucene_qs_should_phrase,
+        "lucene_qs_field_group": _q_lucene_qs_field_group,
+        "lucene_qs_excl_range": _q_lucene_qs_excl_range,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -1344,6 +1420,8 @@ def _bm25_sql(query: str, k: int, exclude_rank1: bool = False,
               slop: int = 0,
               min_match: int = 1,
               size_between: tuple | None = None,
+              size_between_open: tuple | None = None,
+              lang_between_open: tuple | None = None,
               snippet_term: str | None = None,
               snippet_width: int = 60,
               boosts: dict | None = None,
@@ -1384,6 +1462,16 @@ phrase_docs AS (
         restrict += (" AND doc_id IN (SELECT doc_id FROM documents WHERE"
                      f" length(text) BETWEEN {size_between[0]}"
                      f" AND {size_between[1]})")
+    if size_between_open is not None:
+        # exclusive {lo TO hi} brackets: strict comparisons on both ends
+        restrict += (" AND doc_id IN (SELECT doc_id FROM documents WHERE"
+                     f" length(text) > {size_between_open[0]}"
+                     f" AND length(text) < {size_between_open[1]})")
+    if lang_between_open is not None:
+        # exclusive lexicographic lang:{lo TO hi} brackets
+        restrict += (" AND doc_id IN (SELECT doc_id FROM documents WHERE"
+                     f" lang > '{lang_between_open[0]}'"
+                     f" AND lang < '{lang_between_open[1]}')")
     if must_not is not None:
         deny_list = ", ".join("'" + t + "'"
                               for t in query_terms(must_not))
@@ -2037,6 +2125,13 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         # stream -(+table +window): minus the group's conjunction
         "lucene_qs_not_group": _bm25_sql("stream", 10,
                                          not_all_of=["table", "window"]),
+        # +stream +lang:(zh es): field-scoped group — BM25(stream) +
+        # BM25(lang-term with lang-field norms) over stream∩group docs
+        "lucene_qs_field_group": _field_group_sql(),
+        # +stream lang:{de TO fr}: exclusive lexicographic brackets —
+        # strictly between, i.e. langs en/es only (de and fr excluded)
+        "lucene_qs_excl_range": _bm25_sql(
+            "stream", 10, lang_between_open=("de", "fr")),
         # stream "table hash" window: phrase docs only (phrase = MUST,
         # pinned divergence), SHOULD riders contribute where present —
         # union scoring over all 4 terms restricted to phrase docs

@@ -2169,6 +2169,17 @@ class QuerySession:
                     raise ValueError(f"unknown range field: {c.field!r}")
                 from pyspark.sql.types import NumericType
                 col = F.col(c.field)
+                # c.num carries the bracket grammar (round 4): bit0/bit1 =
+                # lo/hi EXCLUSIVE ({lo TO hi} and the mixed forms). Plain
+                # comparisons push down to the parquet scan exactly like
+                # between (between IS two comparisons).
+                lo_x, hi_x = bool(c.num & 1), bool(c.num & 2)
+
+                def mk_pred(lo_v, hi_v):
+                    lo_p = (col > lo_v) if lo_x else (col >= lo_v)
+                    hi_p = (col < hi_v) if hi_x else (col <= hi_v)
+                    return lo_p & hi_p
+
                 if isinstance(dm.schema[c.field].dataType, NumericType):
                     # typed literals, never a column cast: a cast would
                     # block parquet predicate pushdown on the docmap scan
@@ -2182,9 +2193,9 @@ class QuerySession:
                         raise ValueError(
                             f"non-numeric bounds for numeric field "
                             f"{c.field!r}: {c.text!r}")
-                    pred = col.between(lo_n, hi_n)
+                    pred = mk_pred(lo_n, hi_n)
                 else:
-                    pred = col.between(lo_s, hi_s)   # lexicographic
+                    pred = mk_pred(lo_s, hi_s)       # lexicographic
                 ids = dm.filter(pred).select("doc_id")
                 (deny_id_sets if c.occur == "-" else allow_sets).append(ids)
                 continue
@@ -2216,7 +2227,10 @@ class QuerySession:
                 # must match >= 1 group term (allowlist on the union —
                 # exactly Lucene's MUST BooleanQuery-of-SHOULDs scoring);
                 # -group: the doc must match none (De Morgan: deny each).
-                toks = list(dict.fromkeys(tokenize_text(c.text)))
+                # A field-scoped group (lang:(python go), round 4) runs
+                # the same way over the field's namespaced terms.
+                toks = list(dict.fromkeys(
+                    ns(t) for t in tokenize_text(c.text)))
                 if not toks:
                     continue
                 if c.occur == "-":

@@ -17,12 +17,15 @@ Supported grammar (documented subset of the Lucene classic syntax):
   ``IntPoint.newRangeQuery``): numeric compare when both bounds parse as
   numbers, else lexicographic; executes as a non-scoring MUST filter
   (Lucene's constant-score rewrite contributes a flat 1.0 — documented
-  divergence); exclusive ``{lo TO hi}`` bounds raise loudly
+  divergence). Exclusive ``{lo TO hi}`` and the mixed ``[lo TO hi}`` /
+  ``{lo TO hi]`` forms (round 4) exclude the marked endpoint, exactly
+  Lucene's bracket grammar
 - ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
 - ``(a b)`` parenthesized SHOULD group of plain terms: ``+(a b)`` MUST
   (doc must match at least one group term), ``-(a b)`` MUST_NOT (doc must
-  match none), ``(a b)^2`` boosts every group term
+  match none), ``(a b)^2`` boosts every group term; ``field:(a b)``
+  (round 4) scopes a plain-term group to a metadata field's namespace
 - **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
   arbitrary nesting of plain terms with ``+``/``-``/``AND``/``OR``/``NOT``
   inside parens, matching the reference's ``MultiFieldQueryParser``
@@ -216,7 +219,9 @@ def parse_group_tree(inner: str) -> GroupNode:
 _FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
 _BOOST_RE = re.compile(r'^(.+?)\^(\d+(?:\.\d+)?)$')
 _REGEX_RE = re.compile(r'^/(.+)/$', re.S)
-_RANGE_RE = re.compile(r'^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$', re.I)
+#: inclusive [lo TO hi], exclusive {lo TO hi}, and the mixed forms
+#: ([lo TO hi} / {lo TO hi]) — Lucene TermRangeQuery bracket grammar
+_RANGE_RE = re.compile(r'^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$', re.I)
 
 
 @dataclass(frozen=True)
@@ -229,7 +234,8 @@ class Clause:
                      #        parse_group_tree)
                      #      | range (text = "lo TO hi", inclusive)
     text: str        # raw atom text (unanalyzed)
-    num: int = 0     # phrase slop / fuzzy max edits
+    num: int = 0     # phrase slop / fuzzy max edits / range-exclusivity
+                     #   bits (bit0 = lo exclusive, bit1 = hi exclusive)
     boost: float = 1.0  # Lucene ^boost (multiplies the clause's score)
 
 
@@ -290,6 +296,23 @@ def parse_query_string(q: str) -> list[Clause]:
                 clauses.append(Clause(occur, "", "group", inner,
                                       boost=boost))
             continue
+        fm = _FIELD_RE.match(tok)
+        if (fm is not None and not tok.startswith(('"', '/'))
+                and _outer_parens_match(fm.group(2))):
+            # field-scoped group (round 4): lang:(python go) — a
+            # plain-term SHOULD group over the field's namespace
+            # (Lucene's field-grouped query syntax)
+            inner = fm.group(2)[1:-1].strip()
+            if not inner:
+                raise ValueError("empty () group")
+            if (any(ch in inner for ch in '"*?~/^:()')
+                    or _STRUCT_RE.search(inner)):
+                raise ValueError(
+                    "field-scoped () groups may contain only plain "
+                    f"terms: {tok!r}")
+            clauses.append(Clause(occur, fm.group(1), "group", inner,
+                                  boost=boost))
+            continue
         if "(" in tok or ")" in tok:
             raise ValueError(f"unbalanced or nested parens in atom: {tok!r}")
         field = ""
@@ -302,14 +325,14 @@ def parse_query_string(q: str) -> list[Clause]:
             if not field:
                 raise ValueError(
                     f"range clause needs a field: {tok!r}")
+            # num encodes endpoint exclusivity as two bits:
+            # bit0 = lo exclusive ('{'), bit1 = hi exclusive ('}')
+            excl = ((1 if m.group(1) == "{" else 0)
+                    | (2 if m.group(4) == "}" else 0))
             clauses.append(Clause(occur, field, "range",
-                                  f"{m.group(1)} TO {m.group(2)}",
-                                  boost=boost))
+                                  f"{m.group(2)} TO {m.group(3)}",
+                                  num=excl, boost=boost))
             continue
-        if tok.startswith("{") and tok.endswith("}"):
-            raise ValueError(
-                "exclusive {lo TO hi} ranges are not supported; "
-                "use inclusive [lo TO hi]")
         m = _PHRASE_RE.match(tok)
         if m is not None:
             clauses.append(Clause(occur, field, "phrase",

@@ -710,6 +710,31 @@ def test_must_not_edge_semantics(built, spark):
     assert got == want
 
 
+def test_scorer_outputs_survive_count_and_projection(built, spark):
+    """Regression (round 4): norms must come from their OWN parquet
+    relation, not a filter over the postings DataFrame. When both cogroup
+    sides descend from the same relation, Catalyst's self-join dedup
+    rewrites the right child to fresh expr IDs while the scorer UDF's
+    argument list keeps the left's — downstream column pruning (triggered
+    by .count() or any projection, NOT by a bare collect) then strips the
+    norms child to its grouping key and the worker crashes on the missing
+    columns. Pin every scorer shape under count() + projection."""
+    root, docmap = built
+    qs = engine.QuerySession(spark, root)
+    # conjunctive / or-mode / phrase topk under count()
+    assert qs.topk(HOT_TERM, k=10).count() == 10
+    assert qs.topk(HOT_TERM, k=10, mode="or").count() == 10
+    assert qs.topk(PHRASE, k=10, mode="phrase").count() > 0
+    # score-all (k=None) phrase substrate under a projection + count —
+    # exactly the deny-phrase plan shape
+    from luceneindexer_spark.tokenizer import tokenize_text
+    seq = tokenize_text(PHRASE)
+    m = qs._phrase_match_ids("", seq, 0)
+    assert m is not None and m.count() > 0
+    # and under a further aggregation (the _pseudo_rows_df plan shape)
+    assert (m.groupBy().count().collect()[0][0]) > 0
+
+
 # ---------------------------------------------------------------------------
 # prefix queries, match set, facets
 # ---------------------------------------------------------------------------
@@ -1658,10 +1683,63 @@ def test_query_string_range_clause(built, spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="only non-scoring"):
         qs.query_string(f"size:[{lo} TO {hi}]")
-    with _pytest.raises(ValueError, match="exclusive"):
-        parse_query_string("size:{1 TO 2}")
+    # exclusive / mixed brackets (round 4): exclusivity bits in num
+    assert parse_query_string("size:{1 TO 2}")[0].num == 3
+    assert parse_query_string("size:[1 TO 2}")[0].num == 2
+    assert parse_query_string("size:{1 TO 2]")[0].num == 1
     with _pytest.raises(ValueError, match="needs a field"):
         parse_query_string("[1 TO 2]")
+
+
+def test_query_string_excl_ranges_and_field_groups(built_fields, spark):
+    """Round 4: exclusive/mixed range brackets ({lo TO hi}, [lo TO hi})
+    exclude the marked endpoint exactly (endpoints chosen to be REAL doc
+    sizes so exclusivity provably discriminates), and field-scoped groups
+    (lang:(a b)) run the plain-group machinery over the field's
+    namespace — both pinned against python recomputes."""
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+
+    sz = {int(r.doc_id): int(r.size) for r in
+          docmap.select("doc_id", "size").collect()}
+    base = _hits(qs.query_string(HOT_TERM, k=10 ** 6))
+    vals = sorted(sz[d] for d, _ in base)
+    lo, hi = vals[len(vals) // 4], vals[3 * len(vals) // 4]
+    incl = _hits(qs.query_string(f"{HOT_TERM} size:[{lo} TO {hi}]",
+                                 k=10 ** 6))
+    excl = _hits(qs.query_string(
+        f"{HOT_TERM} size:{{{lo} TO {hi}}}", k=10 ** 6))
+    mixed = _hits(qs.query_string(f"{HOT_TERM} size:[{lo} TO {hi}}}",
+                                  k=10 ** 6))
+    assert incl == [(d, s) for d, s in base if lo <= sz[d] <= hi]
+    assert excl == [(d, s) for d, s in base if lo < sz[d] < hi]
+    assert mixed == [(d, s) for d, s in base if lo <= sz[d] < hi]
+    assert len(excl) < len(mixed) < len(incl)  # endpoints really present
+    # deny + exclusive compose
+    dny = _hits(qs.query_string(f"{HOT_TERM} -size:{{{lo} TO {hi}}}",
+                                k=10 ** 6))
+    assert dny == [(d, s) for d, s in base if not lo < sz[d] < hi]
+
+    # field-scoped group: +hot +lang:(a b) == hot docs with lang in {a,b},
+    # scored as hot + the doc's lang term (field norms) — parity vs the
+    # namespaced _score_terms call with the same allowlist
+    langs = {int(r.doc_id): r.lang for r in
+             docmap.select("doc_id", "lang").collect()}
+    two = sorted(set(langs.values()))[:2]
+    got = _hits(qs.query_string(f"+{HOT_TERM} +lang:({two[0]} {two[1]})",
+                                k=10 ** 6))
+    ns_terms = [f"lang:{t}" for t in two]
+    allow = qs._match_terms(ns_terms, conjunctive=False)
+    hot_allow = qs._match_terms([HOT_TERM], conjunctive=True)
+    want = _hits(qs._score_terms(
+        [HOT_TERM] + ns_terms, 10 ** 6,
+        allow.intersect(hot_allow), conjunctive=False))
+    assert got == want and got
+    assert {langs[d] for d, _ in got} == set(two)
+    # deny field group = De Morgan over the namespaced members
+    got2 = _hits(qs.query_string(
+        f"{HOT_TERM} -lang:({two[0]} {two[1]})", k=10 ** 6))
+    assert got2 == [(d, s) for d, s in base if langs[d] not in two]
 
 
 def test_phrase_freq_scoring_matches_naive(spark, tmp_path):
