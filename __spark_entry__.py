@@ -378,6 +378,22 @@ ORDER BY 2 DESC, st.doc_id ASC LIMIT 10
 """
 
 
+QS_GROUP_EXP_QUERY = "+(wind* stream) table"
+
+
+def _q_lucene_qs_group_expansion(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Expansions inside a () group (round 4): ``+(wind* stream) table``
+    — the wildcard member expands over the dictionary (df desc, term asc,
+    cap 128) and joins the group's SHOULD union; the MUST group restricts
+    candidates to docs matching >= 1 member (Lucene's scoring-boolean
+    rewrite inside boolean groups). Through round 3 expansion members
+    raised loudly."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_GROUP_EXP_QUERY, k=10), "score")
+
+
 QS_EXCL_RANGE_QUERY = "+stream lang:{de TO fr}"
 
 
@@ -1270,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_should_phrase": _q_lucene_qs_should_phrase,
         "lucene_qs_field_group": _q_lucene_qs_field_group,
         "lucene_qs_excl_range": _q_lucene_qs_excl_range,
+        "lucene_qs_group_expansion": _q_lucene_qs_group_expansion,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -2132,6 +2149,37 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         # strictly between, i.e. langs en/es only (de and fr excluded)
         "lucene_qs_excl_range": _bm25_sql(
             "stream", 10, lang_between_open=("de", "fr")),
+        # +(wind* stream) table: union scoring over expansion ∪ {stream,
+        # table}, candidates = docs matching any group member
+        "lucene_qs_group_expansion": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          GROUP BY term),
+exp AS (SELECT term FROM dfall WHERE term LIKE 'wind%'
+        ORDER BY df DESC, term ASC LIMIT 128),
+members AS (SELECT DISTINCT term FROM (
+              SELECT 'stream' AS term UNION ALL
+              SELECT term FROM exp)),
+qt AS (SELECT DISTINCT term FROM (
+         SELECT 'table' AS term UNION ALL SELECT term FROM members)),
+tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
+       JOIN qt USING (term) GROUP BY doc_id, tok.term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score
+  FROM tf JOIN dfall d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                 WHERE term IN (SELECT term FROM members))
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         # stream "table hash" window: phrase docs only (phrase = MUST,
         # pinned divergence), SHOULD riders contribute where present —
         # union scoring over all 4 terms restricted to phrase docs

@@ -2223,22 +2223,61 @@ class QuerySession:
                     should_terms += toks
                     add_boost(toks, c.boost)
             elif c.kind == "group":
-                # (a b) = SHOULD subquery of plain terms. +group: the doc
-                # must match >= 1 group term (allowlist on the union —
-                # exactly Lucene's MUST BooleanQuery-of-SHOULDs scoring);
-                # -group: the doc must match none (De Morgan: deny each).
-                # A field-scoped group (lang:(python go), round 4) runs
-                # the same way over the field's namespaced terms.
-                toks = list(dict.fromkeys(
-                    ns(t) for t in tokenize_text(c.text)))
+                # (a b) = SHOULD subquery. +group: the doc must match
+                # >= 1 group member (allowlist on the union — exactly
+                # Lucene's MUST BooleanQuery-of-SHOULDs scoring); -group:
+                # the doc must match none (De Morgan: deny each member
+                # term). Members may be plain terms or expansions
+                # (wind* t?ble fuzz~1 /re.ex/, round 4 — Lucene rewrites
+                # multi-term queries inside boolean groups with the same
+                # scoring-boolean rewrite; fuzzy members keep their
+                # edit-distance similarity weights). A field-scoped group
+                # (lang:(python go)) runs over the field's namespace.
+                from .parser import parse_query_string as _pqs
+                fld = (c.field if c.field and c.field != "content"
+                       else "")
+                toks: list[str] = []
+                wts: dict[str, float] = {}
+                for sub in _pqs(c.text):
+                    # the parser guarantees flat SHOULD members: terms or
+                    # prefix/wildcard/fuzzy/regexp, no occur/field/boost
+                    if sub.kind == "term":
+                        toks += [ns(t) for t in tokenize_text(sub.text)]
+                    elif sub.kind == "prefix":
+                        toks += self.expand_prefix(ns(sub.text.lower()))
+                    elif sub.kind == "wildcard":
+                        toks += self.expand_wildcard(sub.text.lower(),
+                                                     field=fld)
+                    elif sub.kind == "fuzzy":
+                        pat = sub.text.lower()
+                        pairs = self.expand_fuzzy_dists(
+                            pat, max_edits=sub.num, field=fld)
+                        pre = f"{fld}:" if fld else ""
+                        for t, dist in pairs:
+                            toks.append(t)
+                            wts[t] = 1.0 - dist / min(len(pat),
+                                                      len(t) - len(pre))
+                    elif sub.kind == "regexp":
+                        toks += self.expand_regexp(sub.text, field=fld)
+                    else:
+                        raise ValueError(
+                            f"unsupported member inside () group: "
+                            f"{sub.kind} in ({c.text})")
+                toks = list(dict.fromkeys(toks))
                 if not toks:
+                    if c.occur == "+":
+                        return empty  # MUST group matching nothing
                     continue
                 if c.occur == "-":
                     deny_terms += toks
                     continue
                 exist = [t for t in toks if t in self._df_lookup(toks)]
                 should_terms += exist
-                add_boost(exist, c.boost)
+                if any(wts.get(t, 1.0) != 1.0 for t in exist):
+                    has_boost = True
+                for t in exist:
+                    boost_acc[t] = (boost_acc.get(t, 0.0)
+                                    + c.boost * wts.get(t, 1.0))
                 if c.occur == "+":
                     if not exist:
                         return empty  # MUST group matching nothing

@@ -22,10 +22,12 @@ Supported grammar (documented subset of the Lucene classic syntax):
   Lucene's bracket grammar
 - ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
-- ``(a b)`` parenthesized SHOULD group of plain terms: ``+(a b)`` MUST
-  (doc must match at least one group term), ``-(a b)`` MUST_NOT (doc must
-  match none), ``(a b)^2`` boosts every group term; ``field:(a b)``
-  (round 4) scopes a plain-term group to a metadata field's namespace
+- ``(a b)`` parenthesized SHOULD group: ``+(a b)`` MUST (doc must match
+  at least one member), ``-(a b)`` MUST_NOT (doc must match none),
+  ``(a b)^2`` boosts every member; ``field:(a b)`` (round 4) scopes a
+  group to a metadata field's namespace; flat-group members may be
+  expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4). Phrases,
+  member boosts, and fields INSIDE groups raise loudly
 - **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
   arbitrary nesting of plain terms with ``+``/``-``/``AND``/``OR``/``NOT``
   inside parens, matching the reference's ``MultiFieldQueryParser``
@@ -285,14 +287,21 @@ def parse_query_string(q: str) -> list[Clause]:
             inner = tok[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if any(ch in inner for ch in '"*?~/^') or ":" in inner:
+            if any(ch in inner for ch in '"^') or ":" in inner:
                 raise ValueError(
-                    "() groups may contain only plain terms: " + tok)
+                    "() groups may not contain phrases, member boosts, "
+                    "or fields: " + tok)
             if _STRUCT_RE.search(inner):
                 # nesting or internal +/-/AND/NOT: boolean-structured group
+                if any(ch in inner for ch in '*?~/'):
+                    raise ValueError(
+                        "expansions inside structured/nested groups are "
+                        "not supported (flat groups accept them): " + tok)
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
             else:
+                # flat SHOULD group; members may be plain terms or
+                # expansions (wind* t?ble fuzz~1 /re.ex/) — round 4
                 clauses.append(Clause(occur, "", "group", inner,
                                       boost=boost))
             continue
@@ -305,11 +314,11 @@ def parse_query_string(q: str) -> list[Clause]:
             inner = fm.group(2)[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if (any(ch in inner for ch in '"*?~/^:()')
+            if (any(ch in inner for ch in '"^:()')
                     or _STRUCT_RE.search(inner)):
                 raise ValueError(
                     "field-scoped () groups may contain only plain "
-                    f"terms: {tok!r}")
+                    f"terms and expansions: {tok!r}")
             clauses.append(Clause(occur, fm.group(1), "group", inner,
                                   boost=boost))
             continue

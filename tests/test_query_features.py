@@ -1742,6 +1742,52 @@ def test_query_string_excl_ranges_and_field_groups(built_fields, spark):
     assert got2 == [(d, s) for d, s in base if langs[d] not in two]
 
 
+def test_query_string_group_expansions(built_fields, spark):
+    """Round 4: expansions inside flat () groups — (wind* fuzz~1 term)
+    members expand over the dictionary and join the group's SHOULD union
+    (Lucene's scoring-boolean rewrite inside boolean groups), with MUST
+    allowlist / De Morgan deny semantics intact and fuzzy members keeping
+    their similarity weights; structured groups still refuse expansions."""
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.query.parser import parse_query_string
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    pre = HOT_TERM[:6]
+    exp = qs.expand_prefix(pre)
+    assert HOT_TERM in exp
+
+    # bare group == SHOULD union of expansions + plain member
+    got = _hits(qs.query_string(f"({pre}* {RARE_TERM})", k=20))
+    want = _hits(qs._score_terms(list(dict.fromkeys(exp + [RARE_TERM])),
+                                 20, conjunctive=False))
+    assert got == want and got
+
+    # MUST group == allowlist on the member union
+    got2 = _hits(qs.query_string(f"+({pre}* {RARE_TERM}) {HOT_TERM}",
+                                 k=20))
+    members = list(dict.fromkeys(exp + [RARE_TERM]))
+    allow = qs._match_terms(members, conjunctive=False)
+    want2 = _hits(qs._score_terms(
+        list(dict.fromkeys(members + [HOT_TERM])), 20, allow,
+        conjunctive=False))
+    assert got2 == want2 and got2
+
+    # deny group denies every expanded member (prefix covers HOT_TERM, so
+    # the hot ranking empties — maximal discrimination)
+    assert qs.query_string(f"{HOT_TERM} -({pre}* zzznope)",
+                           k=10).count() == 0
+
+    # fuzzy member keeps Lucene similarity weights == top-level fuzzy
+    typo = HOT_TERM[:-1] + "x"
+    assert _hits(qs.query_string(f"({typo}~2)", k=10)) == \
+        _hits(qs.query_string(f"{typo}~2", k=10))
+
+    # structured groups refuse expansions, loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="structured"):
+        parse_query_string(f"+(+{HOT_TERM} ({RARE_TERM} x) wind*)")
+
+
 def test_phrase_freq_scoring_matches_naive(spark, tmp_path):
     """phrase_scoring="phrase_freq" reproduces true Lucene PhraseQuery
     scoring: tf = per-doc phrase occurrence count, idf = summed term idfs —
