@@ -61,6 +61,27 @@ def test_docmap_scan_pushes_range_predicate_and_prunes_columns(built, spark):
     assert all("content" not in rs for _, _, _, rs in dm_scans)
 
 
+def test_excl_range_and_deny_range_push_comparisons(built, spark):
+    """Round 4: exclusive {lo TO hi} brackets compile to strict
+    comparisons that STILL reach the parquet reader, and a deny range
+    (-size:[lo TO hi]) pushes the same comparisons on the docmap scan
+    that feeds the DEL_TERM pseudo-postings channel."""
+    qs = engine.QuerySession(spark, built)
+    df = qs.query_string(f"+{HOT_TERM} size:{{250 TO 800}}", k=10)
+    dm = [s for s in _scans(df) if "docs_enc" not in s[0]
+          and "size" in s[3]]
+    assert dm, "no docmap scan in the plan"
+    assert any("GreaterThan(size,250" in pu and "LessThan(size,800" in pu
+               for _, _, pu, _ in dm)
+    df2 = qs.query_string(f"{HOT_TERM} -size:[250 TO 800]", k=10)
+    dm2 = [s for s in _scans(df2) if "docs_enc" not in s[0]
+           and "size" in s[3]]
+    assert dm2, "no docmap scan in the deny-range plan"
+    assert any("GreaterThanOrEqual(size,250" in pu
+               and "LessThanOrEqual(size,800" in pu
+               for _, _, pu, _ in dm2)
+
+
 def test_hydrate_broadcasts_topk_not_corpus(built, spark):
     qs = engine.QuerySession(spark, built)
     top = qs.topk(HOT_TERM, k=5)
