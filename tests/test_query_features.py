@@ -1788,6 +1788,151 @@ def test_query_string_group_expansions(built_fields, spark):
         parse_query_string(f"+(+{HOT_TERM} ({RARE_TERM} x) wind*)")
 
 
+def test_query_string_interaction_sweep(built_fields, spark):
+    """Deterministic interaction sweep over the round-4 query-string
+    surface: every generated combination of MUST/SHOULD terms, a phrase
+    rider (exact / slop-3 / absent), a deny clause (term / phrase / range
+    / absent), and a boost (term^2 / phrase^2 / absent) executes and
+    matches a single from-scratch python BM25 reference to 1e-6 on the
+    FULL ranking — the per-feature tests pin each mechanism, this pins
+    their interactions (boost_acc summing, deny channels composing with
+    allowlists, riders beside phrases, phrase-mode deny ids)."""
+    import itertools
+
+    from luceneindexer_spark import BM25_B, BM25_K1
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    meta = qs.meta
+    N, avgdl = meta.n_docs, meta.avgdl
+
+    rows = docmap.select("doc_id", "content", "size").collect()
+    toks = {int(r.doc_id): tokenize_text(r.content) for r in rows}
+    sz = {int(r.doc_id): int(r.size) for r in rows}
+    dfm: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            dfm[t] = dfm.get(t, 0) + 1
+
+    def idf(t):
+        return float(np.log(1 + (N - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+
+    def bm25(t, d):
+        tf = float(toks[d].count(t))
+        if not tf:
+            return 0.0
+        return (idf(t) * tf * (BM25_K1 + 1)
+                / (tf + BM25_K1 * (1 - BM25_B
+                                   + BM25_B * len(toks[d]) / avgdl)))
+
+    def phrase_docs(p, slop):
+        # greedy earliest-next chain per start — the engine's exact
+        # existence criterion (span <= slop + n - 1)
+        seq = tokenize_text(p)
+        out = set()
+        for d, tk in toks.items():
+            pos = {t: [i for i, x in enumerate(tk) if x == t]
+                   for t in set(seq)}
+            if any(not pos[t] for t in seq):
+                continue
+            for s0 in pos[seq[0]]:
+                cur, ok = s0, True
+                for t in seq[1:]:
+                    nxt = next((i for i in pos[t] if i > cur), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - s0 <= slop + len(seq) - 1:
+                    out.add(d)
+                    break
+        return out
+
+    a, b = HOT_TERM, RARE_TERM
+    c = next(t for t in toks[min(toks)] if t not in (a, b))
+    P = PHRASE                      # occurs in the corpus
+    p_terms = tokenize_text(P)
+    LO, HI = 250, 800
+
+    combos = list(itertools.product(
+        ([a], []),                        # MUST terms
+        ([b], []),                        # SHOULD terms
+        (None, ("exact", 0), ("slop", 3)),  # phrase rider
+        (None, ("term", c), ("phrase", P), ("range", (LO, HI))),
+        (None, ("term", 2.0), ("phrase", 2.0)),   # boost
+    ))
+    ran = 0
+    for must, should, ph, deny, boost in combos:
+        if not must and not should and ph is None:
+            continue                       # nothing positive
+        if boost is not None and boost[0] == "phrase" and ph is None:
+            continue
+        if boost is not None and boost[0] == "term" and not must:
+            continue
+        # build the query string
+        parts = [f"+{t}" for t in must] + list(should)
+        if boost is not None and boost[0] == "term":
+            parts = [f"+{must[0]}^2"] + parts[1:]
+        if ph is not None:
+            q = f'"{P}"' if ph[0] == "exact" else f'"{P}"~{ph[1]}'
+            if boost is not None and boost[0] == "phrase":
+                q += "^2"
+            parts.append(q)
+        if deny is not None:
+            if deny[0] == "term":
+                parts.append(f"-{deny[1]}")
+            elif deny[0] == "phrase":
+                parts.append(f'-"{deny[1]}"')
+            else:
+                parts.append(f"-size:[{deny[1][0]} TO {deny[1][1]}]")
+        qstr = " ".join(parts)
+
+        # python reference, mirroring the documented semantics
+        tb = {t: 1.0 for t in must + should}
+        if boost is not None and boost[0] == "term":
+            tb[must[0]] = 2.0
+        pb = (2.0 if boost is not None and boost[0] == "phrase"
+              else 1.0)
+        if ph is not None:
+            cand = phrase_docs(P, ph[1])
+            for t in must:
+                cand &= {d for d in toks if t in toks[d]}
+        elif must:
+            cand = set(toks)
+            for t in must:
+                cand &= {d for d in toks if t in toks[d]}
+        else:
+            cand = {d for d in toks
+                    if any(t in toks[d] for t in should)}
+        if deny is not None:
+            if deny[0] == "term":
+                cand -= {d for d in toks if deny[1] in toks[d]}
+            elif deny[0] == "phrase":
+                cand -= phrase_docs(deny[1], 0)
+            else:
+                cand -= {d for d in toks
+                         if deny[1][0] <= sz[d] <= deny[1][1]}
+        scored = []
+        riders = list(dict.fromkeys(must + should))
+        for d in sorted(cand):
+            s = sum(tb[t] * bm25(t, d) for t in riders)
+            if ph is not None:
+                s += pb * sum(bm25(t, d)
+                              for t in dict.fromkeys(p_terms))
+            scored.append((d, s))
+        want = [(d, round(s, 9)) for d, s in
+                sorted(scored, key=lambda kv: (-kv[1], kv[0]))]
+
+        got = _hits(qs.query_string(qstr, k=10 ** 6))
+        assert [g[0] for g in got] == [w[0] for w in want], qstr
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want],
+            rtol=0, atol=1e-6, err_msg=qstr)
+        ran += 1
+    assert ran >= 80   # the sweep really swept
+
+
 def test_phrase_freq_scoring_matches_naive(spark, tmp_path):
     """phrase_scoring="phrase_freq" reproduces true Lucene PhraseQuery
     scoring: tf = per-doc phrase occurrence count, idf = summed term idfs —
