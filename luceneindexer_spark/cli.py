@@ -107,7 +107,10 @@ def main(argv: list[str] | None = None) -> int:
     n = sub.add_parser("count", help="full match-set cardinality")
     n.add_argument("--index", required=True)
     n.add_argument("query")
-    n.add_argument("--mode", choices=("and", "or"), default="and")
+    n.add_argument("--mode", choices=("and", "or", "lucene"),
+                   default="and",
+                   help="and/or take query terms; lucene takes a classic "
+                        "query string (phrases, -deny, ranges, groups)")
 
     e = sub.add_parser("explain", help="per-term BM25 score breakdown")
     e.add_argument("--index", required=True)

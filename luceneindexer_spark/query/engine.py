@@ -2024,7 +2024,12 @@ class QuerySession:
         matching the query — the full match set's cardinality, not a top-k
         artifact. The grouped-map matcher emits (doc_id) rows per range and
         the count is one distributed agg; no scores are computed and no
-        norms are decoded anywhere."""
+        norms are decoded anywhere. ``mode="lucene"`` (round 4) counts a
+        full classic query string (phrases, deny clauses, ranges, groups,
+        expansions) via the score-all substrate (``query_string(k=None)``)
+        — scores are computed there but never sorted or collected."""
+        if mode == "lucene":
+            return self.query_string(query, k=None).count()
         return self.match_ids(query, mode=mode, must_not=must_not).count()
 
     def more_like_this(self, doc_id: int, k: int = 10,
@@ -2062,10 +2067,12 @@ class QuerySession:
         return (scored.filter(F.col("doc_id") != int(doc_id))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
-    def query_string(self, q: str, k: int = 10) -> DataFrame:
+    def query_string(self, q: str, k: int | None = 10) -> DataFrame:
         """Execute a Lucene classic query string (the syntax the reference
         feeds to ``MultiFieldQueryParser``) — see ``query.parser`` for the
-        supported grammar. Compilation onto the existing scorers:
+        supported grammar. ``k=None`` = score-ALL mode: every matching doc
+        with its exact score, unsorted and uncut (the counting / faceting
+        substrate). Compilation onto the existing scorers:
 
         - MUST_NOT term clauses → scorer deny lists (anti-joined inside the
           range scorers, never a post-filter).

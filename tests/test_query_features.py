@@ -1652,6 +1652,12 @@ def test_query_string_generalized_must_not(built_fields, spark):
             and d not in exp_docs]
     assert got == want
 
+    # count(mode="lucene") counts the same composed match set without
+    # sorting or collecting anything (score-all substrate, round 4)
+    assert qs.count(
+        f'{HOT_TERM} -"{PHRASE}" -size:[250 TO 800] -{RARE_TERM[:6]}*',
+        mode="lucene") == len(want)
+
     # pure-negative queries still raise loudly (nothing to enumerate)
     import pytest as _pt
     with _pt.raises(ValueError, match="non-scoring"):
