@@ -161,8 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             from .query.engine import QuerySession, hydrate
             qs = QuerySession(spark, args.index)
             if args.facet is not None:
-                if args.mode not in ("and", "or"):
-                    p.error("--facet supports only and/or modes")
+                if args.mode not in ("and", "or", "lucene"):
+                    p.error("--facet supports and/or/lucene modes")
                 out = qs.facet_counts(args.query, args.facet,
                                       mode=args.mode,
                                       must_not=args.must_not)

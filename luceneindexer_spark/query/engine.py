@@ -2461,8 +2461,12 @@ class QuerySession:
         top-k post-filter): (``field``, cnt) ordered (cnt desc, value asc).
         The match set flows straight into a partially-aggregated groupBy —
         the shuffle carries (value, partial count) rows only; nothing is
-        driver-materialized."""
-        ids = self.match_ids(query, mode=mode, must_not=must_not)
+        driver-materialized. ``mode="lucene"`` (round 4) facets a full
+        classic query string via the score-all substrate."""
+        if mode == "lucene":
+            ids = self.query_string(query, k=None).select("doc_id")
+        else:
+            ids = self.match_ids(query, mode=mode, must_not=must_not)
         import os as _os
         dm = self.docmap()
         return (ids.join(dm.select("doc_id", field), "doc_id")

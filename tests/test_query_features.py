@@ -1657,6 +1657,15 @@ def test_query_string_generalized_must_not(built_fields, spark):
     assert qs.count(
         f'{HOT_TERM} -"{PHRASE}" -size:[250 TO 800] -{RARE_TERM[:6]}*',
         mode="lucene") == len(want)
+    # facet(mode="lucene") aggregates the same set by field value
+    langs = {int(r.doc_id): r.lang for r in
+             docmap.select("doc_id", "lang").collect()}
+    fc = {r[0]: int(r[1]) for r in qs.facet_counts(
+        f'{HOT_TERM} -"{PHRASE}"', "lang", mode="lucene").collect()}
+    import collections as _c
+    want_fc = dict(_c.Counter(
+        langs[d] for d, _ in base if d not in ph_docs))
+    assert fc == want_fc
 
     # pure-negative queries still raise loudly (nothing to enumerate)
     import pytest as _pt
