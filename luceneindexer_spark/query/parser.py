@@ -161,6 +161,53 @@ class GroupNode:
                 and all(not isinstance(s, GroupNode) or s.is_pure_should()
                         for s in self.shoulds))
 
+    def leaf_gate_classes(self, top_guaranteed: bool = True
+                          ) -> list[tuple[tuple, list[str]]]:
+        """Positive leaves grouped by their scoring GATE (round 4): the
+        tuple of STRUCTURED strict-ancestor subgroups (ones with +/-
+        children) that must all match a doc for the leaf to score under
+        Lucene BooleanQuery semantics. Pure-SHOULD ancestors never gate —
+        a present leaf propagates a match up any pure-SHOULD chain, so a
+        leaf's contribution is conditioned exactly on its structured
+        ancestors matching. ``top_guaranteed=False`` (the group sits in
+        SHOULD position) adds the root itself as a gate when structured.
+        A structured subgroup whose match is already IMPLIED is never a
+        gate: candidacy (or the nearest enclosing gate matching)
+        propagates down MUST edges — if P matches, every MUST child of P
+        matches — so only structured subgroups off that covered MUST
+        spine gate. Trees that satisfy ``validate_scoring_exact`` thus
+        yield all-empty gates, and the caller keeps the pre-round-4
+        flatten plan bit-identically. An empty-gate class flattens
+        exactly; each non-empty class scores only over its gates'
+        match-set intersection. Returns [(gates, [raw leaf atoms])] in
+        first-seen order, duplicates preserved."""
+        classes: dict[tuple, tuple[tuple, list[str]]] = {}
+        order: list[tuple] = []
+
+        def walk(node: "GroupNode", gates: tuple, covered: bool) -> None:
+            key = tuple(id(g) for g in gates)  # GroupNode is unhashable
+            for bucket, is_must in ((node.musts, True),
+                                    (node.shoulds, False)):
+                for item in bucket:
+                    if not isinstance(item, GroupNode):
+                        if key not in classes:
+                            classes[key] = (gates, [])
+                            order.append(key)
+                        classes[key][1].append(item)
+                    elif item.musts or item.nots:  # structured subgroup
+                        if covered and is_must:
+                            walk(item, gates, True)  # MUST-spine implied
+                        else:
+                            walk(item, gates + (item,), True)
+                    else:  # pure-SHOULD: auto-matched by any present leaf
+                        walk(item, gates, False)
+
+        if (self.musts or self.nots) and not top_guaranteed:
+            walk(self, (self,), True)
+        else:
+            walk(self, (), top_guaranteed)
+        return [classes[key] for key in order]
+
 
 def parse_group_tree(inner: str) -> GroupNode:
     """Parse the inside of a nested () group: plain terms, +/- occurs,
