@@ -413,6 +413,24 @@ def _q_lucene_qs_should_group(spark: SparkSession, sf_dir: str
     return _round6(qs.query_string(QS_SHOULD_GROUP_QUERY, k=10), "score")
 
 
+QS_GROUP_PHRASE_QUERY = f'+("{INDEX_PHRASE}" stream) window'
+
+
+def _q_lucene_qs_group_phrase(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Quoted phrase inside a () group (round 4 — the reference's
+    MultiFieldQueryParser accepts phrases at any nesting level,
+    cLuceneIndexReader.java:336-337; raised loudly through round 3):
+    ``+("table hash" stream) window``. Matching: candidates = exact
+    phrase docs ∪ docs(stream) (the MUST group's SHOULD union). Scoring:
+    the phrase's constituent terms gate on the phrase's match set (the
+    engine's pinned term-scoring-over-phrase-docs convention), stream
+    and the window rider score where present."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_GROUP_PHRASE_QUERY, k=10), "score")
+
+
 QS_EXCL_RANGE_QUERY = "+stream lang:{de TO fr}"
 
 
@@ -1307,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_excl_range": _q_lucene_qs_excl_range,
         "lucene_qs_group_expansion": _q_lucene_qs_group_expansion,
         "lucene_qs_should_group": _q_lucene_qs_should_group,
+        "lucene_qs_group_phrase": _q_lucene_qs_group_phrase,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -2232,6 +2251,42 @@ scored AS (
   FROM contrib GROUP BY doc_id)
 SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
 WHERE m = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # +("table hash" stream) window: phrase INSIDE a group — the
+        # phrase's terms (table, hash) score only on exact-phrase docs;
+        # stream/window score where present; candidates = phrase ∪ stream
+        "lucene_qs_group_phrase": f"""
+WITH tok AS ({_TOK}),
+tokp AS ({_TOKP}),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id FROM tokp a JOIN tokp b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash'),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('table', 'hash', 'stream', 'window')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ('stream', 'window') THEN c
+                  WHEN doc_id IN (SELECT doc_id FROM phrase_docs) THEN c
+                  ELSE 0 END) AS score,
+         max(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS has_s
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+WHERE has_s = 1 OR doc_id IN (SELECT doc_id FROM phrase_docs)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # stream "table hash" window: phrase docs only (phrase = MUST,

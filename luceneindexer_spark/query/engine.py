@@ -1971,13 +1971,25 @@ class QuerySession:
         distinct unions (SHOULD), and a left-anti join (MUST_NOT). Depth is
         query-proportional (tiny); every set stays distributed."""
         from ..tokenizer import tokenize_text
+        from .parser import GroupNode, PhraseLeaf
 
         def toks(items) -> list[str]:
             return [t for a in items if isinstance(a, str)
                     for t in tokenize_text(a)]
 
         def subs(items):
-            return [a for a in items if not isinstance(a, str)]
+            return [a for a in items if isinstance(a, GroupNode)]
+
+        def phrase_ids(p: "PhraseLeaf") -> "DataFrame":
+            """Match set of a PhraseLeaf (round 4); a phrase with an
+            absent constituent term matches nothing."""
+            s = self._phrase_match_ids(None, tokenize_text(p.text),
+                                       slop=p.slop)
+            return (s if s is not None else
+                    self.spark.createDataFrame([], "doc_id long"))
+
+        def phs(items) -> list["PhraseLeaf"]:
+            return [a for a in items if isinstance(a, PhraseLeaf)]
 
         # set operators (intersect / union+distinct / subtract), not joins:
         # every operand descends from the SAME cached postings relation, so
@@ -1991,6 +2003,9 @@ class QuerySession:
             for g in subs(node.musts):
                 s = self._match_tree(g)
                 m = s if m is None else m.intersect(s)
+            for p in phs(node.musts):
+                s = phrase_ids(p)
+                m = s if m is None else m.intersect(s)
         else:
             unioned = False
             st = toks(node.shoulds)
@@ -1998,6 +2013,13 @@ class QuerySession:
                 m = self._match_terms(st, conjunctive=False)
             for g in subs(node.shoulds):
                 s = self._match_tree(g)
+                if m is None:
+                    m = s
+                else:
+                    m = m.union(s)
+                    unioned = True
+            for p in phs(node.shoulds):
+                s = phrase_ids(p)
                 if m is None:
                     m = s
                 else:
@@ -2013,6 +2035,9 @@ class QuerySession:
             neg = self._match_terms(nt, conjunctive=False)
         for g in subs(node.nots):
             s = self._match_tree(g)
+            neg = s if neg is None else neg.union(s)
+        for p in phs(node.nots):
+            s = phrase_ids(p)
             neg = s if neg is None else neg.union(s)
         if neg is not None:
             m = m.subtract(neg)
@@ -2306,9 +2331,10 @@ class QuerySession:
                 from .parser import parse_group_tree
                 tree = parse_group_tree(c.text)
                 if c.occur == "-":
-                    if tree.is_pure_should():
+                    if tree.is_pure_should() and not tree.has_phrase():
                         # flat -(a b c): De Morgan onto the cheap
-                        # in-scorer deny-terms path
+                        # in-scorer deny-terms path (unsound for phrase
+                        # members — their terms may co-occur apart)
                         deny_terms += [
                             t for a in tree.positive_leaves()
                             for t in tokenize_text(a)]
@@ -2534,11 +2560,19 @@ class QuerySession:
                                     deny_ids, boost_acc, has_boost)
         if base is not None:
             frames.append(base)
+        from ..tokenizer import tokenize_text
+        from .parser import PhraseLeaf
         for gates, toks_g, wts in gated_specs:
             gm: DataFrame | None = None
             dead = False
             for g in gates:
-                s = self._match_tree(g)
+                if isinstance(g, PhraseLeaf):
+                    # a phrase leaf gates its own constituent terms on
+                    # the phrase's exact match set (round 4)
+                    s = self._phrase_match_ids(
+                        None, tokenize_text(g.text), slop=g.slop)
+                else:
+                    s = self._match_tree(g)
                 if s is None:
                     dead = True  # a gate that can never match
                     break

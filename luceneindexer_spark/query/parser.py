@@ -26,20 +26,23 @@ Supported grammar (documented subset of the Lucene classic syntax):
   at least one member), ``-(a b)`` MUST_NOT (doc must match none),
   ``(a b)^2`` boosts every member; ``field:(a b)`` (round 4) scopes a
   group to a metadata field's namespace; flat-group members may be
-  expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4). Phrases,
-  member boosts, and fields INSIDE groups raise loudly
+  expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4). Member
+  boosts and fields INSIDE groups raise loudly
 - **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
-  arbitrary nesting of plain terms with ``+``/``-``/``AND``/``OR``/``NOT``
-  inside parens, matching the reference's ``MultiFieldQueryParser``
-  acceptance (``cLuceneIndexReader.java:336-337``). Matching is exact
-  boolean algebra over per-subtree match sets. Scoring flattens to the
-  sum of present positive leaves, which equals Lucene BooleanQuery
-  scoring whenever every structured subgroup (one with ``+``/``-``
-  children) sits on a MUST spine from the root — the one shape where a
-  present leaf could be stranded by an unmatched enclosing subgroup
-  (a SHOULD-positioned structured subgroup) raises loudly instead of
-  scoring wrong. Groups still may not contain phrases, wildcards,
-  fuzzies, regexps, fields, or ranges (loud ValueError)
+  arbitrary nesting of plain terms and quoted phrases (round 4:
+  ``+("a b" c)``, with ``~N`` slop) with
+  ``+``/``-``/``AND``/``OR``/``NOT`` inside parens, matching the
+  reference's ``MultiFieldQueryParser`` acceptance
+  (``cLuceneIndexReader.java:336-337``). Matching is exact boolean
+  algebra over per-subtree match sets (phrases match consecutively).
+  Scoring is exact Lucene BooleanQuery for EVERY nesting shape
+  (round 4): ungated leaves flatten to the sum of present positive
+  leaves; leaves under a SHOULD-positioned structured subgroup — and
+  phrase leaves, which gate on their own match set — score via the
+  engine's gated sum (``leaf_gate_classes``), so a present leaf
+  stranded by an unmatched enclosing subgroup contributes nothing.
+  Groups still may not contain expansions-mixed-with-phrases, member
+  boosts, fields, or ranges (loud ValueError)
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser
@@ -111,30 +114,57 @@ def _outer_parens_match(tok: str) -> bool:
     return False
 
 
-#: chars legal inside a NESTED group: plain terms, occurs, nesting, spaces
-_NESTED_OK_RE = re.compile(r'^[\w .+\-()]*$')
+#: chars legal inside a NESTED group: plain terms, occurs, nesting,
+#: quoted phrases with optional ~slop (round 4), spaces
+_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~]*$')
 #: structure markers that route a group to the nested parser
 _STRUCT_RE = re.compile(r'[()]|(?:^|[\s(])[+\-]\S|\b(?:AND|NOT|&&)\b')
+
+
+@dataclass(frozen=True)
+class PhraseLeaf:
+    """A quoted phrase inside a () group (round 4): ``("a b"~1 c)``.
+    Matching is exact (consecutive / span-near positions); scoring gates
+    the phrase's constituent terms on the phrase's own match set — the
+    same term-scoring-over-phrase-docs convention as top-level
+    query-string phrases (pinned divergence from Lucene phrase-freq)."""
+    text: str
+    slop: int = 0
 
 
 @dataclass
 class GroupNode:
     """One boolean level of a nested () group. Children are raw atom
-    strings (analyzed by the engine) or nested GroupNodes."""
+    strings (analyzed by the engine), PhraseLeaf phrases, or nested
+    GroupNodes."""
     musts: list = _dc_field(default_factory=list)
     shoulds: list = _dc_field(default_factory=list)
     nots: list = _dc_field(default_factory=list)
 
     def positive_leaves(self) -> list[str]:
         """Raw term atoms that contribute to scoring (everything not under
-        a MUST_NOT), document order, duplicates preserved."""
+        a MUST_NOT), document order, duplicates preserved. PhraseLeaf
+        texts are included as their raw text (callers that need phrase
+        semantics walk the tree; see has_phrase)."""
         out: list[str] = []
         for item in self.musts + self.shoulds:
             if isinstance(item, GroupNode):
                 out += item.positive_leaves()
+            elif isinstance(item, PhraseLeaf):
+                out.append(item.text)
             else:
                 out.append(item)
         return out
+
+    def has_phrase(self) -> bool:
+        """True when any bucket (incl. MUST_NOT) holds a PhraseLeaf —
+        term-level De Morgan is then unsound for deny groups (a phrase's
+        terms may co-occur non-consecutively) and the id channel is
+        required."""
+        return any(
+            isinstance(i, PhraseLeaf)
+            or (isinstance(i, GroupNode) and i.has_phrase())
+            for i in self.musts + self.shoulds + self.nots)
 
     def validate_scoring_exact(self, guaranteed: bool = True) -> None:
         """Raise unless flatten-scoring (sum of present positive leaves)
@@ -184,16 +214,28 @@ class GroupNode:
         classes: dict[tuple, tuple[tuple, list[str]]] = {}
         order: list[tuple] = []
 
-        def walk(node: "GroupNode", gates: tuple, covered: bool) -> None:
+        def leaf(gates: tuple, atom: str) -> None:
             key = tuple(id(g) for g in gates)  # GroupNode is unhashable
+            if key not in classes:
+                classes[key] = (gates, [])
+                order.append(key)
+            classes[key][1].append(atom)
+
+        def walk(node: "GroupNode", gates: tuple, covered: bool) -> None:
             for bucket, is_must in ((node.musts, True),
                                     (node.shoulds, False)):
                 for item in bucket:
-                    if not isinstance(item, GroupNode):
-                        if key not in classes:
-                            classes[key] = (gates, [])
-                            order.append(key)
-                        classes[key][1].append(item)
+                    if isinstance(item, PhraseLeaf):
+                        # a phrase leaf gates its own constituent terms
+                        # on the phrase's match set — unless its match is
+                        # already implied (MUST position on the covered
+                        # spine), where plain term scoring is identical
+                        if covered and is_must:
+                            leaf(gates, item.text)
+                        else:
+                            leaf(gates + (item,), item.text)
+                    elif not isinstance(item, GroupNode):
+                        leaf(gates, item)
                     elif item.musts or item.nots:  # structured subgroup
                         if covered and is_must:
                             walk(item, gates, True)  # MUST-spine implied
@@ -215,8 +257,8 @@ def parse_group_tree(inner: str) -> GroupNode:
     as the top level (AND promotes both neighbors to MUST, NOT == -)."""
     if not _NESTED_OK_RE.match(inner):
         raise ValueError(
-            "nested () groups may contain only plain terms, +/-, "
-            "AND/OR/NOT and nested groups (no phrases, wildcards, "
+            "nested () groups may contain only plain terms, quoted "
+            "phrases, +/-, AND/OR/NOT and nested groups (no wildcards, "
             f"fields, boosts, or ranges): {inner!r}")
     node = GroupNode()
     seq: list[tuple[str, object]] = []   # (occur, atom-or-node)
@@ -248,6 +290,19 @@ def parse_group_tree(inner: str) -> GroupNode:
         pending_and = False
         if not tok:
             raise ValueError("dangling +/- with no atom in group")
+        pm = _PHRASE_RE.match(tok)
+        if pm is not None:
+            # quoted phrase leaf (round 4): ("a b"~N c) — exact phrase
+            # matching, constituent-term scoring gated on the match set
+            if not pm.group(1).strip():
+                raise ValueError(f"empty phrase in group: {inner!r}")
+            seq.append((occur, PhraseLeaf(pm.group(1),
+                                          int(pm.group(2) or 0))))
+            continue
+        if '"' in tok or "~" in tok:
+            raise ValueError(
+                f"malformed phrase or unsupported fuzzy atom in "
+                f"group: {tok!r}")
         if _outer_parens_match(tok):
             child = parse_group_tree(tok[1:-1].strip())
             if not (child.musts or child.shoulds or child.nots):
@@ -334,10 +389,20 @@ def parse_query_string(q: str) -> list[Clause]:
             inner = tok[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if any(ch in inner for ch in '"^') or ":" in inner:
+            if "^" in inner or ":" in inner:
                 raise ValueError(
-                    "() groups may not contain phrases, member boosts, "
-                    "or fields: " + tok)
+                    "() groups may not contain member boosts or "
+                    "fields: " + tok)
+            if '"' in inner:
+                # quoted phrases inside () groups (round 4) ride the
+                # nested parser — PhraseLeaf leaves, exact phrase match
+                if any(ch in inner for ch in '*?/'):
+                    raise ValueError(
+                        "expansions and phrases may not mix in one "
+                        "() group: " + tok)
+                clauses.append(Clause(occur, "", "nested", inner,
+                                      boost=boost))
+                continue
             if _STRUCT_RE.search(inner):
                 # nesting or internal +/-/AND/NOT: boolean-structured group
                 if any(ch in inner for ch in '*?~/'):
