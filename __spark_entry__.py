@@ -413,6 +413,24 @@ def _q_lucene_qs_should_group(spark: SparkSession, sf_dir: str
     return _round6(qs.query_string(QS_SHOULD_GROUP_QUERY, k=10), "score")
 
 
+QS_NESTED_EXP_QUERY = "stream (+table wind*)"
+
+
+def _q_lucene_qs_nested_expansion(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Expansion member inside a STRUCTURED subgroup (round 4 — through
+    the first half expansions in structured/nested groups raised):
+    ``stream (+table wind*)``. The wildcard expands over the dictionary
+    (df desc, term asc, cap 128 — Lucene's SHOULD-of-expansions rewrite)
+    and, with the subgroup SHOULD-positioned and structured, its terms
+    AND the expansion gate on docs(table) via the gated sum: candidates
+    = docs(stream) ∪ docs(table); score = bm25(stream if present) +
+    [table present] × (bm25(table) + Σ present expansion terms)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_NESTED_EXP_QUERY, k=10), "score")
+
+
 QS_GROUP_PHRASE_QUERY = f'+("{INDEX_PHRASE}" stream) window'
 
 
@@ -1326,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_group_expansion": _q_lucene_qs_group_expansion,
         "lucene_qs_should_group": _q_lucene_qs_should_group,
         "lucene_qs_group_phrase": _q_lucene_qs_group_phrase,
+        "lucene_qs_nested_expansion": _q_lucene_qs_nested_expansion,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -2239,6 +2258,44 @@ contrib AS (
          * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
            + {BM25_B} * dl.doclen / s.avgdl)) AS c
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+gate AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'stream' THEN c
+                  WHEN doc_id IN (SELECT doc_id FROM gate) THEN c
+                  ELSE 0 END) AS score,
+         max(CASE WHEN term IN ('stream', 'table') THEN 1 ELSE 0
+             END) AS m
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+WHERE m = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # stream (+table wind*): expansion member inside a structured
+        # SHOULD-positioned subgroup — expansion terms (df-desc cap 128)
+        # gate on docs(table) together with table itself
+        "lucene_qs_nested_expansion": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+          GROUP BY term),
+exp AS (SELECT term FROM dfall WHERE term LIKE 'wind%'
+        ORDER BY df DESC, term ASC LIMIT 128),
+qt AS (SELECT DISTINCT term FROM (
+         SELECT 'stream' AS term UNION ALL SELECT 'table' AS term
+         UNION ALL SELECT term FROM exp)),
+tf AS (SELECT doc_id, tok.term, count(*)::DOUBLE AS tf FROM tok
+       JOIN qt USING (term) GROUP BY doc_id, tok.term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM tf JOIN dfall d USING (term) JOIN dl USING (doc_id)
   CROSS JOIN stats s),
 gate AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
 scored AS (

@@ -1963,6 +1963,26 @@ class QuerySession:
             [clause], {t: 1.0 for t in seq}, k=None,
             slop=slop).select("doc_id")
 
+    def _expand_leaf(self, e) -> tuple[list[str], "dict[str, float] | None"]:
+        """Expand a group ExpansionLeaf (round 4) against the dictionary:
+        (terms, fuzzy similarity weights or None). Same caps and
+        dictionary scans as the top-level expansion clauses; group
+        expansions are never field-scoped (the parser raises on fields
+        inside groups)."""
+        if e.kind == "prefix":
+            return self.expand_prefix(e.text.lower()), None
+        if e.kind == "wildcard":
+            return self.expand_wildcard(e.text.lower()), None
+        if e.kind == "regexp":
+            return self.expand_regexp(e.text), None
+        pat = e.text.lower()
+        pairs = self.expand_fuzzy_dists(pat, max_edits=e.num)
+        sims = {t: 1.0 - d / min(len(pat), len(t)) for t, d in pairs}
+        return [t for t, _ in pairs], sims
+
+    def _expand_leaf_terms(self, e) -> list[str]:
+        return self._expand_leaf(e)[0]
+
     def _match_tree(self, node) -> "DataFrame | None":
         """Match set of a nested boolean group (parser.GroupNode): doc_ids
         matching the tree. Term leaves batch into ONE grouped-map matcher
@@ -1971,7 +1991,7 @@ class QuerySession:
         distinct unions (SHOULD), and a left-anti join (MUST_NOT). Depth is
         query-proportional (tiny); every set stays distributed."""
         from ..tokenizer import tokenize_text
-        from .parser import GroupNode, PhraseLeaf
+        from .parser import ExpansionLeaf, GroupNode, PhraseLeaf
 
         def toks(items) -> list[str]:
             return [t for a in items if isinstance(a, str)
@@ -1991,6 +2011,17 @@ class QuerySession:
         def phs(items) -> list["PhraseLeaf"]:
             return [a for a in items if isinstance(a, PhraseLeaf)]
 
+        def exp_ids(e: "ExpansionLeaf") -> "DataFrame":
+            """Match set of an ExpansionLeaf (round 4): the expanded
+            terms' SHOULD union; an expansion matching no dictionary
+            term matches nothing."""
+            terms = self._expand_leaf_terms(e)
+            return (self._match_terms(terms, conjunctive=False) if terms
+                    else self.spark.createDataFrame([], "doc_id long"))
+
+        def exs(items) -> list["ExpansionLeaf"]:
+            return [a for a in items if isinstance(a, ExpansionLeaf)]
+
         # set operators (intersect / union+distinct / subtract), not joins:
         # every operand descends from the SAME cached postings relation, so
         # a join trips Spark's ambiguous-self-join analysis; set ops are
@@ -2005,6 +2036,9 @@ class QuerySession:
                 m = s if m is None else m.intersect(s)
             for p in phs(node.musts):
                 s = phrase_ids(p)
+                m = s if m is None else m.intersect(s)
+            for e in exs(node.musts):
+                s = exp_ids(e)
                 m = s if m is None else m.intersect(s)
         else:
             unioned = False
@@ -2025,6 +2059,13 @@ class QuerySession:
                 else:
                     m = m.union(s)
                     unioned = True
+            for e in exs(node.shoulds):
+                s = exp_ids(e)
+                if m is None:
+                    m = s
+                else:
+                    m = m.union(s)
+                    unioned = True
             if m is not None and unioned:
                 m = m.distinct()
         if m is None:
@@ -2038,6 +2079,9 @@ class QuerySession:
             neg = s if neg is None else neg.union(s)
         for p in phs(node.nots):
             s = phrase_ids(p)
+            neg = s if neg is None else neg.union(s)
+        for e in exs(node.nots):
+            s = exp_ids(e)
             neg = s if neg is None else neg.union(s)
         if neg is not None:
             m = m.subtract(neg)
@@ -2331,10 +2375,13 @@ class QuerySession:
                 from .parser import parse_group_tree
                 tree = parse_group_tree(c.text)
                 if c.occur == "-":
-                    if tree.is_pure_should() and not tree.has_phrase():
+                    if (tree.is_pure_should() and not tree.has_phrase()
+                            and not tree.has_expansion()):
                         # flat -(a b c): De Morgan onto the cheap
                         # in-scorer deny-terms path (unsound for phrase
-                        # members — their terms may co-occur apart)
+                        # members — their terms may co-occur apart —
+                        # and unavailable for expansions, which need
+                        # the dictionary)
                         deny_terms += [
                             t for a in tree.positive_leaves()
                             for t in tokenize_text(a)]
@@ -2356,21 +2403,40 @@ class QuerySession:
                 # positioned structured subgroup contributes only on docs
                 # it matches (a present leaf under an unmatched subgroup
                 # is stranded, never scored).
+                from .parser import ExpansionLeaf as _ExpLeaf
                 for gates, atoms in tree.leaf_gate_classes(
                         top_guaranteed=(c.occur == "+")):
-                    leaves = [t for a in atoms for t in tokenize_text(a)]
+                    leaves: list[str] = []
+                    w: dict[str, float] = {}
+                    for a in atoms:
+                        if isinstance(a, _ExpLeaf):
+                            # Lucene MultiTermQuery scoring-boolean
+                            # rewrite inside groups (round 4): a
+                            # SHOULD-of-expansions; fuzzy members keep
+                            # their edit-distance similarity weights
+                            exp, sims = self._expand_leaf(a)
+                            if sims is not None and exp:
+                                has_boost = True
+                            for t in exp:
+                                leaves.append(t)
+                                w[t] = (w.get(t, 0.0) + c.boost
+                                        * (sims[t] if sims else 1.0))
+                        else:
+                            for t in tokenize_text(a):
+                                leaves.append(t)
+                                w[t] = w.get(t, 0.0) + c.boost
                     lk = self._df_lookup(leaves)
                     exist = [t for t in dict.fromkeys(leaves) if t in lk]
                     if not gates:
                         should_terms += exist
-                        add_boost(exist, c.boost)
-                    elif exist:
                         # duplicate leaves in a class sum their boosts
-                        # (Lucene duplicate-clause scoring), mirroring
-                        # add_boost on the flatten path
-                        wts = {t: c.boost * leaves.count(t)
-                               for t in exist}
-                        gated_specs.append((gates, exist, wts))
+                        # (Lucene duplicate-clause scoring, as at top
+                        # level); fuzzy weights ride the same dict
+                        for t in exist:
+                            boost_acc[t] = boost_acc.get(t, 0.0) + w[t]
+                    elif exist:
+                        gated_specs.append(
+                            (gates, exist, {t: w[t] for t in exist}))
                 if c.occur == "+":
                     m = self._match_tree(tree)
                     if m is None:

@@ -115,8 +115,8 @@ def _outer_parens_match(tok: str) -> bool:
 
 
 #: chars legal inside a NESTED group: plain terms, occurs, nesting,
-#: quoted phrases with optional ~slop (round 4), spaces
-_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~]*$')
+#: quoted phrases with optional ~slop, expansions (round 4), spaces
+_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~*?/]*$')
 #: structure markers that route a group to the nested parser
 _STRUCT_RE = re.compile(r'[()]|(?:^|[\s(])[+\-]\S|\b(?:AND|NOT|&&)\b')
 
@@ -132,11 +132,24 @@ class PhraseLeaf:
     slop: int = 0
 
 
+@dataclass(frozen=True)
+class ExpansionLeaf:
+    """A multi-term expansion inside a () group (round 4):
+    ``(+par* main)``, ``(fuzz~1 (a b))``. Lucene rewrites a
+    MultiTermQuery inside a BooleanQuery to a SHOULD-of-expansions — a
+    pure-SHOULD subquery, auto-matched by any present expanded term, so
+    it never gates scoring. ``kind`` is prefix/wildcard/fuzzy/regexp;
+    ``num`` is fuzzy max edits."""
+    kind: str
+    text: str
+    num: int = 0
+
+
 @dataclass
 class GroupNode:
     """One boolean level of a nested () group. Children are raw atom
-    strings (analyzed by the engine), PhraseLeaf phrases, or nested
-    GroupNodes."""
+    strings (analyzed by the engine), PhraseLeaf phrases, ExpansionLeaf
+    expansions, or nested GroupNodes."""
     musts: list = _dc_field(default_factory=list)
     shoulds: list = _dc_field(default_factory=list)
     nots: list = _dc_field(default_factory=list)
@@ -150,7 +163,7 @@ class GroupNode:
         for item in self.musts + self.shoulds:
             if isinstance(item, GroupNode):
                 out += item.positive_leaves()
-            elif isinstance(item, PhraseLeaf):
+            elif isinstance(item, (PhraseLeaf, ExpansionLeaf)):
                 out.append(item.text)
             else:
                 out.append(item)
@@ -164,6 +177,15 @@ class GroupNode:
         return any(
             isinstance(i, PhraseLeaf)
             or (isinstance(i, GroupNode) and i.has_phrase())
+            for i in self.musts + self.shoulds + self.nots)
+
+    def has_expansion(self) -> bool:
+        """True when any bucket holds an ExpansionLeaf — deny groups then
+        ride the id channel (the engine expands against the dictionary,
+        which the parser cannot)."""
+        return any(
+            isinstance(i, ExpansionLeaf)
+            or (isinstance(i, GroupNode) and i.has_expansion())
             for i in self.musts + self.shoulds + self.nots)
 
     def validate_scoring_exact(self, guaranteed: bool = True) -> None:
@@ -258,8 +280,8 @@ def parse_group_tree(inner: str) -> GroupNode:
     if not _NESTED_OK_RE.match(inner):
         raise ValueError(
             "nested () groups may contain only plain terms, quoted "
-            "phrases, +/-, AND/OR/NOT and nested groups (no wildcards, "
-            f"fields, boosts, or ranges): {inner!r}")
+            "phrases, expansions, +/-, AND/OR/NOT and nested groups "
+            f"(no fields, boosts, or ranges): {inner!r}")
     node = GroupNode()
     seq: list[tuple[str, object]] = []   # (occur, atom-or-node)
     pending_not = False
@@ -299,19 +321,36 @@ def parse_group_tree(inner: str) -> GroupNode:
             seq.append((occur, PhraseLeaf(pm.group(1),
                                           int(pm.group(2) or 0))))
             continue
-        if '"' in tok or "~" in tok:
-            raise ValueError(
-                f"malformed phrase or unsupported fuzzy atom in "
-                f"group: {tok!r}")
+        if '"' in tok:
+            raise ValueError(f"malformed phrase in group: {tok!r}")
         if _outer_parens_match(tok):
             child = parse_group_tree(tok[1:-1].strip())
             if not (child.musts or child.shoulds or child.nots):
                 raise ValueError(f"empty () group in: {inner!r}")
             seq.append((occur, child))
-        elif "(" in tok or ")" in tok:
+            continue
+        if "(" in tok or ")" in tok:
             raise ValueError(f"malformed group atom: {tok!r}")
-        else:
-            seq.append((occur, tok))
+        rx = _REGEX_RE.match(tok)
+        if rx is not None:
+            seq.append((occur, ExpansionLeaf("regexp", rx.group(1))))
+            continue
+        fz = _FUZZY_RE.match(tok)
+        if fz is not None:
+            seq.append((occur, ExpansionLeaf("fuzzy", fz.group(1),
+                                             int(fz.group(2) or 2))))
+            continue
+        if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+            if len(tok) < 2:
+                raise ValueError("bare * inside a group")
+            seq.append((occur, ExpansionLeaf("prefix", tok[:-1])))
+            continue
+        if "*" in tok or "?" in tok:
+            seq.append((occur, ExpansionLeaf("wildcard", tok)))
+            continue
+        if "/" in tok:
+            raise ValueError(f"malformed regexp in group: {tok!r}")
+        seq.append((occur, tok))
     for occur, item in seq:
         (node.musts if occur == "+" else
          node.nots if occur == "-" else node.shoulds).append(item)
@@ -395,20 +434,15 @@ def parse_query_string(q: str) -> list[Clause]:
                     "fields: " + tok)
             if '"' in inner:
                 # quoted phrases inside () groups (round 4) ride the
-                # nested parser — PhraseLeaf leaves, exact phrase match
-                if any(ch in inner for ch in '*?/'):
-                    raise ValueError(
-                        "expansions and phrases may not mix in one "
-                        "() group: " + tok)
+                # nested parser — PhraseLeaf leaves, exact phrase match;
+                # expansion members (round 4) mix freely
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
                 continue
             if _STRUCT_RE.search(inner):
-                # nesting or internal +/-/AND/NOT: boolean-structured group
-                if any(ch in inner for ch in '*?~/'):
-                    raise ValueError(
-                        "expansions inside structured/nested groups are "
-                        "not supported (flat groups accept them): " + tok)
+                # nesting or internal +/-/AND/NOT: boolean-structured
+                # group; expansion members (round 4) become
+                # ExpansionLeaf SHOULD-of-expansions rewrites
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
             else:

@@ -1919,10 +1919,52 @@ def test_query_string_group_expansions(built_fields, spark):
     assert _hits(qs.query_string(f"({typo}~2)", k=10)) == \
         _hits(qs.query_string(f"{typo}~2", k=10))
 
-    # structured groups refuse expansions, loudly
+    # expansions inside STRUCTURED/NESTED groups (round 4, second half):
+    # Lucene's SHOULD-of-expansions rewrite composed through the boolean
+    # algebra — checked against a python BM25 recompute
+    import math
     import pytest as _pt
-    with _pt.raises(ValueError, match="structured"):
-        parse_query_string(f"+(+{HOT_TERM} ({RARE_TERM} x) wind*)")
+    cs = parse_query_string(f"+(+{HOT_TERM} ({RARE_TERM} x) {pre}*)")
+    assert cs[0].kind == "nested"
+    from luceneindexer_spark.tokenizer import tokenize_text
+    tl = {int(r.doc_id): tokenize_text(r.content) for r in
+          docmap.select("doc_id", "content").collect()}
+    n_all = len(tl)
+    dls = {d: len(t) for d, t in tl.items()}
+    avgdl = sum(dls.values()) / n_all
+    dfq: dict[str, int] = {}
+    for ts in tl.values():
+        for t in set(ts):
+            dfq[t] = dfq.get(t, 0) + 1
+
+    def bm25(d: int, t: str) -> float:
+        tf = tl[d].count(t)
+        idf = math.log(1 + (n_all - dfq.get(t, 0) + 0.5)
+                       / (dfq.get(t, 0) + 0.5))
+        return (idf * tf * 2.2
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl)))
+
+    b = RARE_TERM
+    # a (+b pre*): the structured subgroup (MUST b, SHOULD expansion)
+    # contributes bm25(b) + present expansions ONLY on docs with b
+    got5 = {int(r.doc_id): float(r.score) for r in
+            qs.query_string(f"{HOT_TERM} (+{b} {pre}*)",
+                            k=None).collect()}
+    cand5 = sorted(d for d in tl if HOT_TERM in tl[d] or b in tl[d])
+    assert sorted(got5) == cand5
+    for d in cand5:
+        e = ((bm25(d, HOT_TERM) if HOT_TERM in tl[d] else 0.0)
+             + ((bm25(d, b) + sum(bm25(d, t) for t in exp))
+                if b in tl[d] else 0.0))
+        assert got5[d] == _pt.approx(e, rel=1e-9), d
+    # discriminates: some candidate holds an expansion term without b
+    assert any(b not in tl[d] and any(t in tl[d] for t in exp)
+               for d in cand5)
+    # deny group with an expansion member rides the id channel
+    got6 = qs.query_string(f"{b} -(+{pre}* {b})", k=None)
+    want6 = sorted(d for d in tl
+                   if b in tl[d] and not any(t in tl[d] for t in exp))
+    assert sorted(int(r.doc_id) for r in got6.collect()) == want6
 
 
 def test_query_string_interaction_sweep(built_fields, spark):
