@@ -413,6 +413,38 @@ def _q_lucene_qs_should_group(spark: SparkSession, sf_dir: str
     return _round6(qs.query_string(QS_SHOULD_GROUP_QUERY, k=10), "score")
 
 
+QS_FIELD_IN_GROUP_QUERY = "stream (+lang:zh window)"
+QS_RANGE_IN_GROUP_QUERY = f"stream (+size:[{SIZE_LO} TO {SIZE_HI}] window)"
+
+
+def _q_lucene_qs_field_in_group(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Field-scoped term member inside a structured subgroup (round 4):
+    ``stream (+lang:zh window)`` — the lang:zh FieldLeaf matches/scores
+    in the lang namespace with lang-field norms; the SHOULD-positioned
+    structured subgroup gates its members (lang:zh, window) on
+    docs(lang=zh) via the gated sum. Candidates = docs(stream) ∪
+    docs(lang=zh)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_FIELD_IN_GROUP_QUERY, k=10),
+                   "score")
+
+
+def _q_lucene_qs_range_in_group(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Range member inside a structured subgroup (round 4):
+    ``stream (+size:[lo TO hi] window)`` — the RangeLeaf is a
+    matching-only MUST member (docmap predicate, pushed down); window
+    scores only on in-range docs. Docs matched ONLY by the range carry
+    no BM25 mass and are omitted (the pinned top-level constant-score
+    divergence)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_RANGE_IN_GROUP_QUERY, k=10),
+                   "score")
+
+
 QS_NESTED_EXP_QUERY = "stream (+table wind*)"
 
 
@@ -1345,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_should_group": _q_lucene_qs_should_group,
         "lucene_qs_group_phrase": _q_lucene_qs_group_phrase,
         "lucene_qs_nested_expansion": _q_lucene_qs_nested_expansion,
+        "lucene_qs_field_in_group": _q_lucene_qs_field_in_group,
+        "lucene_qs_range_in_group": _q_lucene_qs_range_in_group,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -2270,6 +2304,80 @@ scored AS (
   FROM contrib GROUP BY doc_id)
 SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
 WHERE m = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # stream (+lang:zh window): FieldLeaf inside a structured
+        # subgroup — lang:zh scores with lang-field norms; the subgroup
+        # (lang:zh, window) gates on docs(lang has zh)
+        "lucene_qs_field_in_group": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ltok AS ({duckdb_tokens_cte("documents", "doc_id", "lang")}),
+ldl AS (SELECT doc_id, count(*) AS dl FROM ltok GROUP BY doc_id),
+lst AS (SELECT (SELECT count(*) FROM ltok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ltok) AS avgdl),
+ltf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ltok
+        WHERE term = 'zh' GROUP BY doc_id),
+ldf AS (SELECT count(*)::DOUBLE AS df FROM ltf),
+lscore AS (
+  SELECT lt.doc_id,
+         ln(1 + (s.n_docs - ld.df + 0.5) / (ld.df + 0.5)) * lt.tf
+         * {K1_1} / (lt.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * ldl.dl / ls.avgdl)) AS c
+  FROM ltf lt CROSS JOIN ldf ld JOIN ldl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN lst ls),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT ctf.doc_id, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf JOIN cdf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+allc AS (
+  SELECT doc_id, c FROM contrib WHERE term = 'stream'
+  UNION ALL
+  SELECT doc_id, c FROM contrib
+   WHERE term = 'window' AND doc_id IN (SELECT doc_id FROM ltf)
+  UNION ALL
+  SELECT doc_id, c FROM lscore),
+scored AS (SELECT doc_id, sum(c) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # stream (+size:[lo TO hi] window): RangeLeaf inside a
+        # structured subgroup — window scores only on in-range docs;
+        # range-only matches carry no mass (pinned divergence)
+        "lucene_qs_range_in_group": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+gate AS (SELECT doc_id FROM documents
+         WHERE length(text) BETWEEN {SIZE_LO} AND {SIZE_HI}),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT ctf.doc_id, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf JOIN cdf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+allc AS (
+  SELECT doc_id, c FROM contrib WHERE term = 'stream'
+  UNION ALL
+  SELECT doc_id, c FROM contrib
+   WHERE term = 'window' AND doc_id IN (SELECT doc_id FROM gate)),
+scored AS (SELECT doc_id, sum(c) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # stream (+table wind*): expansion member inside a structured

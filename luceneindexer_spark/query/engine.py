@@ -1963,6 +1963,43 @@ class QuerySession:
             [clause], {t: 1.0 for t in seq}, k=None,
             slop=slop).select("doc_id")
 
+    def _range_match_ids(self, field: str, text: str,
+                         excl: int) -> DataFrame:
+        """Match set of a ``field:[lo TO hi]`` clause: the docmap scan
+        filtered by a pushed-down comparison predicate (typed literals,
+        never a column cast — a cast would block parquet pushdown,
+        pinned by test_plan_audit). ``excl`` carries the bracket
+        grammar: bit0/bit1 = lo/hi EXCLUSIVE ({lo TO hi} and mixed
+        forms). Shared by top-level range clauses and RangeLeaf members
+        inside () groups (round 4)."""
+        lo_s, hi_s = text.split(" TO ", 1)
+        dm = self.docmap()
+        if field not in dm.columns:
+            raise ValueError(f"unknown range field: {field!r}")
+        from pyspark.sql.types import NumericType
+        col = F.col(field)
+        lo_x, hi_x = bool(excl & 1), bool(excl & 2)
+
+        def mk_pred(lo_v, hi_v):
+            lo_p = (col > lo_v) if lo_x else (col >= lo_v)
+            hi_p = (col < hi_v) if hi_x else (col <= hi_v)
+            return lo_p & hi_p
+
+        if isinstance(dm.schema[field].dataType, NumericType):
+            try:
+                lo_n = (int(lo_s) if float(lo_s).is_integer()
+                        else float(lo_s))
+                hi_n = (int(hi_s) if float(hi_s).is_integer()
+                        else float(hi_s))
+            except ValueError:
+                raise ValueError(
+                    f"non-numeric bounds for numeric field "
+                    f"{field!r}: {text!r}")
+            pred = mk_pred(lo_n, hi_n)
+        else:
+            pred = mk_pred(lo_s, hi_s)       # lexicographic
+        return dm.filter(pred).select("doc_id")
+
     def _expand_leaf(self, e) -> tuple[list[str], "dict[str, float] | None"]:
         """Expand a group ExpansionLeaf (round 4) against the dictionary:
         (terms, fuzzy similarity weights or None). Same caps and
@@ -1991,11 +2028,23 @@ class QuerySession:
         distinct unions (SHOULD), and a left-anti join (MUST_NOT). Depth is
         query-proportional (tiny); every set stays distributed."""
         from ..tokenizer import tokenize_text
-        from .parser import ExpansionLeaf, GroupNode, PhraseLeaf
+        from .parser import (ExpansionLeaf, FieldLeaf, GroupNode,
+                             PhraseLeaf, RangeLeaf)
 
         def toks(items) -> list[str]:
-            return [t for a in items if isinstance(a, str)
-                    for t in tokenize_text(a)]
+            out: list[str] = []
+            for a in items:
+                if isinstance(a, str):
+                    out += tokenize_text(a)
+                elif isinstance(a, FieldLeaf):
+                    # field-scoped term member (round 4): the field's
+                    # namespaced dictionary slice
+                    out += [f"{a.field}:{t}"
+                            for t in tokenize_text(a.text)]
+            return out
+
+        def rngs(items) -> list["RangeLeaf"]:
+            return [a for a in items if isinstance(a, RangeLeaf)]
 
         def subs(items):
             return [a for a in items if isinstance(a, GroupNode)]
@@ -2040,6 +2089,9 @@ class QuerySession:
             for e in exs(node.musts):
                 s = exp_ids(e)
                 m = s if m is None else m.intersect(s)
+            for r in rngs(node.musts):
+                s = self._range_match_ids(r.field, r.text, r.num)
+                m = s if m is None else m.intersect(s)
         else:
             unioned = False
             st = toks(node.shoulds)
@@ -2082,6 +2134,9 @@ class QuerySession:
             neg = s if neg is None else neg.union(s)
         for e in exs(node.nots):
             s = exp_ids(e)
+            neg = s if neg is None else neg.union(s)
+        for r in rngs(node.nots):
+            s = self._range_match_ids(r.field, r.text, r.num)
             neg = s if neg is None else neg.union(s)
         if neg is not None:
             m = m.subtract(neg)
@@ -2246,40 +2301,7 @@ class QuerySession:
                 # channel) — semantically exact, ranges never score.
                 if c.boost != 1.0:
                     raise ValueError("range boosts are not supported")
-                lo_s, hi_s = c.text.split(" TO ", 1)
-                dm = self.docmap()
-                if c.field not in dm.columns:
-                    raise ValueError(f"unknown range field: {c.field!r}")
-                from pyspark.sql.types import NumericType
-                col = F.col(c.field)
-                # c.num carries the bracket grammar (round 4): bit0/bit1 =
-                # lo/hi EXCLUSIVE ({lo TO hi} and the mixed forms). Plain
-                # comparisons push down to the parquet scan exactly like
-                # between (between IS two comparisons).
-                lo_x, hi_x = bool(c.num & 1), bool(c.num & 2)
-
-                def mk_pred(lo_v, hi_v):
-                    lo_p = (col > lo_v) if lo_x else (col >= lo_v)
-                    hi_p = (col < hi_v) if hi_x else (col <= hi_v)
-                    return lo_p & hi_p
-
-                if isinstance(dm.schema[c.field].dataType, NumericType):
-                    # typed literals, never a column cast: a cast would
-                    # block parquet predicate pushdown on the docmap scan
-                    # (pinned by test_plan_audit)
-                    try:
-                        lo_n = (int(lo_s) if float(lo_s).is_integer()
-                                else float(lo_s))
-                        hi_n = (int(hi_s) if float(hi_s).is_integer()
-                                else float(hi_s))
-                    except ValueError:
-                        raise ValueError(
-                            f"non-numeric bounds for numeric field "
-                            f"{c.field!r}: {c.text!r}")
-                    pred = mk_pred(lo_n, hi_n)
-                else:
-                    pred = mk_pred(lo_s, hi_s)       # lexicographic
-                ids = dm.filter(pred).select("doc_id")
+                ids = self._range_match_ids(c.field, c.text, c.num)
                 (deny_id_sets if c.occur == "-" else allow_sets).append(ids)
                 continue
             if c.kind == "phrase":
@@ -2375,8 +2397,8 @@ class QuerySession:
                 from .parser import parse_group_tree
                 tree = parse_group_tree(c.text)
                 if c.occur == "-":
-                    if (tree.is_pure_should() and not tree.has_phrase()
-                            and not tree.has_expansion()):
+                    if (tree.is_pure_should()
+                            and not tree.has_nonterm_leaf()):
                         # flat -(a b c): De Morgan onto the cheap
                         # in-scorer deny-terms path (unsound for phrase
                         # members — their terms may co-occur apart —
@@ -2404,12 +2426,21 @@ class QuerySession:
                 # it matches (a present leaf under an unmatched subgroup
                 # is stranded, never scored).
                 from .parser import ExpansionLeaf as _ExpLeaf
+                from .parser import FieldLeaf as _FldLeaf
                 for gates, atoms in tree.leaf_gate_classes(
                         top_guaranteed=(c.occur == "+")):
                     leaves: list[str] = []
                     w: dict[str, float] = {}
                     for a in atoms:
-                        if isinstance(a, _ExpLeaf):
+                        if isinstance(a, _FldLeaf):
+                            # field-scoped term member (round 4): match
+                            # and score in the field's namespace with
+                            # the field's own norms
+                            for t in tokenize_text(a.text):
+                                nt = f"{a.field}:{t}"
+                                leaves.append(nt)
+                                w[nt] = w.get(nt, 0.0) + c.boost
+                        elif isinstance(a, _ExpLeaf):
                             # Lucene MultiTermQuery scoring-boolean
                             # rewrite inside groups (round 4): a
                             # SHOULD-of-expansions; fuzzy members keep

@@ -115,8 +115,9 @@ def _outer_parens_match(tok: str) -> bool:
 
 
 #: chars legal inside a NESTED group: plain terms, occurs, nesting,
-#: quoted phrases with optional ~slop, expansions (round 4), spaces
-_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~*?/]*$')
+#: quoted phrases with optional ~slop, expansions, field-scoped terms
+#: and ranges (round 4), spaces
+_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~*?/:\[\]{}]*$')
 #: structure markers that route a group to the nested parser
 _STRUCT_RE = re.compile(r'[()]|(?:^|[\s(])[+\-]\S|\b(?:AND|NOT|&&)\b')
 
@@ -145,11 +146,37 @@ class ExpansionLeaf:
     num: int = 0
 
 
+@dataclass(frozen=True)
+class FieldLeaf:
+    """A field-scoped term atom inside a () group (round 4):
+    ``(+lang:python parser)``. The engine analyzes ``text`` and matches
+    / scores the tokens in the field's ``field:token`` namespace with
+    the field's own norms."""
+    field: str
+    text: str
+
+
+@dataclass(frozen=True)
+class RangeLeaf:
+    """A ``field:[lo TO hi]`` member inside a () group (round 4) —
+    matching-only (ranges never score here, the same constant-score
+    divergence as top-level ranges), legal in MUST / MUST_NOT position;
+    a SHOULD-positioned range raises. A doc matched ONLY through range
+    members (no scoring term present anywhere) carries zero BM25 mass
+    and is omitted from results — the documented top-level range
+    convention (Lucene's constant-score rewrite would emit it at 1.0).
+    ``num`` = bracket exclusivity bits (bit0 lo, bit1 hi)."""
+    field: str
+    text: str
+    num: int = 0
+
+
 @dataclass
 class GroupNode:
     """One boolean level of a nested () group. Children are raw atom
     strings (analyzed by the engine), PhraseLeaf phrases, ExpansionLeaf
-    expansions, or nested GroupNodes."""
+    expansions, FieldLeaf field-scoped terms, RangeLeaf range filters,
+    or nested GroupNodes."""
     musts: list = _dc_field(default_factory=list)
     shoulds: list = _dc_field(default_factory=list)
     nots: list = _dc_field(default_factory=list)
@@ -163,9 +190,9 @@ class GroupNode:
         for item in self.musts + self.shoulds:
             if isinstance(item, GroupNode):
                 out += item.positive_leaves()
-            elif isinstance(item, (PhraseLeaf, ExpansionLeaf)):
+            elif isinstance(item, (PhraseLeaf, ExpansionLeaf, FieldLeaf)):
                 out.append(item.text)
-            else:
+            elif not isinstance(item, RangeLeaf):  # ranges never score
                 out.append(item)
         return out
 
@@ -186,6 +213,16 @@ class GroupNode:
         return any(
             isinstance(i, ExpansionLeaf)
             or (isinstance(i, GroupNode) and i.has_expansion())
+            for i in self.musts + self.shoulds + self.nots)
+
+    def has_nonterm_leaf(self) -> bool:
+        """True when any bucket (incl. MUST_NOT) holds a non-plain-term
+        leaf (phrase / expansion / field / range) — the deny fast path's
+        term-level De Morgan is then unsound or insufficient and the id
+        channel is required."""
+        return any(
+            (isinstance(i, GroupNode) and i.has_nonterm_leaf())
+            or not isinstance(i, (str, GroupNode))
             for i in self.musts + self.shoulds + self.nots)
 
     def validate_scoring_exact(self, guaranteed: bool = True) -> None:
@@ -256,6 +293,8 @@ class GroupNode:
                             leaf(gates, item.text)
                         else:
                             leaf(gates + (item,), item.text)
+                    elif isinstance(item, RangeLeaf):
+                        pass    # matching-only, never a scoring leaf
                     elif not isinstance(item, GroupNode):
                         leaf(gates, item)
                     elif item.musts or item.nots:  # structured subgroup
@@ -331,6 +370,26 @@ def parse_group_tree(inner: str) -> GroupNode:
             continue
         if "(" in tok or ")" in tok:
             raise ValueError(f"malformed group atom: {tok!r}")
+        fm = _FIELD_RE.match(tok)
+        if fm is not None:
+            f_inner = fm.group(2)
+            rm = _RANGE_RE.match(f_inner)
+            if rm is not None:
+                # field range member (round 4): matching-only — legal in
+                # MUST / MUST_NOT position (checked at distribution)
+                ex = ((1 if rm.group(1) == "{" else 0)
+                      | (2 if rm.group(4) == "}" else 0))
+                seq.append((occur, RangeLeaf(
+                    fm.group(1), f"{rm.group(2)} TO {rm.group(3)}", ex)))
+                continue
+            if any(ch in f_inner for ch in '*?/~"[]{}'):
+                raise ValueError(
+                    "field-scoped members inside groups may be plain "
+                    f"terms or ranges only: {tok!r}")
+            seq.append((occur, FieldLeaf(fm.group(1), f_inner)))
+            continue
+        if any(ch in tok for ch in '[]{}'):
+            raise ValueError(f"range member needs a field: {tok!r}")
         rx = _REGEX_RE.match(tok)
         if rx is not None:
             seq.append((occur, ExpansionLeaf("regexp", rx.group(1))))
@@ -352,6 +411,10 @@ def parse_group_tree(inner: str) -> GroupNode:
             raise ValueError(f"malformed regexp in group: {tok!r}")
         seq.append((occur, tok))
     for occur, item in seq:
+        if isinstance(item, RangeLeaf) and occur == "":
+            raise ValueError(
+                "a SHOULD-positioned range inside a group never scores "
+                f"— make it +must or -not: {item.field}:[{item.text}]")
         (node.musts if occur == "+" else
          node.nots if occur == "-" else node.shoulds).append(item)
     if node.nots and not (node.musts or node.shoulds):
@@ -428,14 +491,14 @@ def parse_query_string(q: str) -> list[Clause]:
             inner = tok[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if "^" in inner or ":" in inner:
+            if "^" in inner:
                 raise ValueError(
-                    "() groups may not contain member boosts or "
-                    "fields: " + tok)
-            if '"' in inner:
-                # quoted phrases inside () groups (round 4) ride the
-                # nested parser — PhraseLeaf leaves, exact phrase match;
-                # expansion members (round 4) mix freely
+                    "() groups may not contain member boosts: " + tok)
+            if '"' in inner or ":" in inner:
+                # quoted phrases, field-scoped terms, and field ranges
+                # inside () groups (round 4) ride the nested parser —
+                # PhraseLeaf / FieldLeaf / RangeLeaf leaves; expansion
+                # members mix freely
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
                 continue

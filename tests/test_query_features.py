@@ -1697,6 +1697,91 @@ def test_query_string_phrases_in_groups(built_fields, spark):
         assert got3[d] == _pt.approx(exp, rel=1e-9), d
 
 
+def test_query_string_fields_and_ranges_in_groups(built_fields, spark):
+    """Field-scoped terms and field ranges inside () groups (round 4):
+    FieldLeaf members match/score in the field's namespace with field
+    norms; RangeLeaf members are matching-only (MUST / MUST_NOT
+    position; SHOULD position raises), composed through the boolean set
+    algebra. Checked against engine-internal recomputes (gate × scorer)
+    and the docmap predicate."""
+    import pytest as _pt
+    from luceneindexer_spark.query.parser import (parse_group_tree,
+                                                  parse_query_string)
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+
+    assert parse_query_string(f"{HOT_TERM} (+lang:python x)")[1].kind \
+        == "nested"
+    with _pt.raises(ValueError, match="SHOULD-positioned range"):
+        parse_group_tree("size:[1 TO 2] x")
+    with _pt.raises(ValueError, match="plain terms or ranges"):
+        parse_group_tree("+lang:py* x")
+    with _pt.raises(ValueError, match="needs a field"):
+        parse_group_tree("[1 TO 2] x")
+
+    sizes = {int(r.doc_id): int(r.size) for r in
+             docmap.select("doc_id", "size").collect()}
+    lo = sorted(sizes.values())[len(sizes) // 4]
+    hi = sorted(sizes.values())[3 * len(sizes) // 4]
+    inr = sorted(d for d, s in sizes.items() if lo <= s <= hi)
+    assert inr and len(inr) < len(sizes)
+
+    # field member gated by a structured SHOULD group:
+    # a (+lang:python b) — lang:python scores with lang-field norms on
+    # docs having the lang, summed with the base
+    langs = {int(r.doc_id): r.lang for r in
+             docmap.select("doc_id", "lang").collect()}
+    lng = next(v for v in set(langs.values()) if v)
+    q1 = f"{HOT_TERM} (+lang:{lng} {HOT_TERM})"
+    got1 = {int(r.doc_id): round(float(r.score), 9) for r in
+            qs.query_string(q1, k=None).collect()}
+    gate = qs._match_terms([f"lang:{lng}"], conjunctive=True)
+    base = {r.doc_id: r.score for r in
+            qs._score_terms([HOT_TERM], None,
+                            conjunctive=False).collect()}
+    gp = {r.doc_id: r.score for r in
+          qs._score_terms([f"lang:{lng}", HOT_TERM], None, gate,
+                          conjunctive=False).collect()}
+    want1 = {d: round(base.get(d, 0.0) + gp.get(d, 0.0), 9)
+             for d in set(base) | set(gp)}
+    assert got1 == want1 and any(langs[d] == lng for d in got1)
+
+    # must-range member inside a structured SHOULD group: the subgroup's
+    # terms score only on in-range docs; pick a mid-frequency term that
+    # provably occurs outside the range too
+    from luceneindexer_spark.tokenizer import tokenize_text
+    tsets = {int(r.doc_id): set(tokenize_text(r.content)) for r in
+             docmap.select("doc_id", "content").collect()}
+    inr_set = set(inr)
+    b2 = next(t for t in sorted(set().union(*tsets.values()))
+              if t != HOT_TERM and not t.startswith("lang:")
+              and any(t in tsets[d] for d in inr)
+              and any(t in tsets[d] for d in tsets if d not in inr_set))
+    q2 = f"{HOT_TERM} (+size:[{lo} TO {hi}] {b2})"
+    got2 = {int(r.doc_id): round(float(r.score), 9) for r in
+            qs.query_string(q2, k=None).collect()}
+    allow = spark.createDataFrame([(d,) for d in inr], "doc_id long")
+    gp2 = {r.doc_id: r.score for r in
+           qs._score_terms([b2], None, allow,
+                           conjunctive=False).collect()}
+    want2 = {d: round(base.get(d, 0.0) + gp2.get(d, 0.0), 9)
+             for d in set(base) | set(gp2)}
+    assert got2 == want2
+    # discriminates: the rare term occurs somewhere out of range too
+    # (its bare ranking differs from the gated one)
+    bare2 = {r.doc_id for r in
+             qs._score_terms([b2], None,
+                             conjunctive=False).collect()}
+    assert set(gp2) < bare2
+
+    # deny group with a must-range member: -(+size:[lo TO hi]) a
+    got3 = {int(r.doc_id) for r in
+            qs.query_string(f"{HOT_TERM} -(+size:[{lo} TO {hi}])",
+                            k=None).collect()}
+    want3 = {d for d in base if d not in set(inr)}
+    assert got3 == want3 and got3 < set(base)
+
+
 def test_query_string_generalized_must_not(built_fields, spark):
     """Generalized MUST_NOT (round 4): deny phrases, deny ranges, and deny
     expansions all compile into the query — phrase/range deny sets ride
