@@ -27,7 +27,7 @@ Supported grammar (documented subset of the Lucene classic syntax):
   ``(a b)^2`` boosts every member; ``field:(a b)`` (round 4) scopes a
   group to a metadata field's namespace; flat-group members may be
   expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4). Member
-  boosts and fields INSIDE groups raise loudly
+  boosts INSIDE groups raise loudly
 - **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
   arbitrary nesting of plain terms and quoted phrases (round 4:
   ``+("a b" c)``, with ``~N`` slop) with
@@ -41,8 +41,11 @@ Supported grammar (documented subset of the Lucene classic syntax):
   phrase leaves, which gate on their own match set — score via the
   engine's gated sum (``leaf_gate_classes``), so a present leaf
   stranded by an unmatched enclosing subgroup contributes nothing.
-  Groups still may not contain expansions-mixed-with-phrases, member
-  boosts, fields, or ranges (loud ValueError)
+  Nested groups also accept expansion members (ExpansionLeaf —
+  Lucene's SHOULD-of-expansions rewrite), field-scoped terms
+  (FieldLeaf, field-namespace matching + field norms), and
+  matching-only field ranges in MUST/MUST_NOT position (RangeLeaf).
+  Member ^boosts remain a loud ValueError
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser

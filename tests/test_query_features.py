@@ -1628,8 +1628,10 @@ def test_query_string_phrases_in_groups(built_fields, spark):
 
     cs = parse_query_string(f'+("{PHRASE}" {HOT_TERM})')
     assert cs[0].kind == "nested"
-    with _pt.raises(ValueError, match="may not mix"):
-        parse_query_string(f'(wind* "{PHRASE}")')
+    # expansions and phrases mix freely in one group (round 4, second
+    # half): both route to the nested parser
+    cs_mix = parse_query_string(f'(wind* "{PHRASE}")')
+    assert cs_mix[0].kind == "nested"
     with _pt.raises(ValueError, match="boosts"):
         parse_query_string(f'("{PHRASE}"^2 x)')
 
