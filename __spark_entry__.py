@@ -413,6 +413,22 @@ def _q_lucene_qs_should_group(spark: SparkSession, sf_dir: str
     return _round6(qs.query_string(QS_SHOULD_GROUP_QUERY, k=10), "score")
 
 
+QS_MEMBER_BOOST_QUERY = "+(table^2 stream) window"
+
+
+def _q_lucene_qs_member_boost(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Member boost inside a flat MUST group (round 4, 2nd half —
+    Lucene boosts each SHOULD clause of the group independently):
+    ``+(table^2 stream) window``. Allowlist semantics unchanged (docs
+    must contain table or stream); table's idf is doubled inside the
+    SHOULD union (member and group boosts multiply; duplicate member
+    tokens would SUM)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_MEMBER_BOOST_QUERY, k=10), "score")
+
+
 QS_FIELD_IN_GROUP_QUERY = "stream (+lang:zh window)"
 QS_RANGE_IN_GROUP_QUERY = f"stream (+size:[{SIZE_LO} TO {SIZE_HI}] window)"
 
@@ -1375,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_excl_range": _q_lucene_qs_excl_range,
         "lucene_qs_group_expansion": _q_lucene_qs_group_expansion,
         "lucene_qs_should_group": _q_lucene_qs_should_group,
+        "lucene_qs_member_boost": _q_lucene_qs_member_boost,
         "lucene_qs_group_phrase": _q_lucene_qs_group_phrase,
         "lucene_qs_nested_expansion": _q_lucene_qs_nested_expansion,
         "lucene_qs_field_in_group": _q_lucene_qs_field_in_group,
@@ -2216,6 +2233,12 @@ ORDER BY size DESC, doc_id ASC LIMIT 20
         # restricted to docs containing table or stream
         "lucene_qs_group": _bm25_sql(BM25_QUERY, 10, conjunctive=False,
                                      any_of=["table", "stream"]),
+        # +(table^2 stream) window: same allowlist, table's idf doubled
+        # by the in-group member boost
+        "lucene_qs_member_boost": _bm25_sql(
+            BM25_QUERY, 10, conjunctive=False,
+            any_of=["table", "stream"],
+            boosts={"table": 2.0, "stream": 1.0, "window": 1.0}),
         # +(+table +(stream window) -slow) fast: union scoring over the
         # positive leaves + rider, candidates = table AND (stream OR
         # window) AND NOT slow — the nested _match_tree algebra

@@ -2226,7 +2226,11 @@ class QuerySession:
         - ``(a b)`` groups: ``+(a b)`` restricts candidates to the group's
           match union via the allowlist (Lucene MUST-of-SHOULDs scoring),
           ``-(a b)`` denies every group term (De Morgan), ``(a b)^2``
-          boosts each group term.
+          boosts each group term. Members of flat and field-scoped groups
+          may carry their own ``^B`` (``(a^2 wind*^3 b)``) — member and
+          group boosts multiply, duplicate member tokens SUM (so
+          ``(a^2 b)`` ≡ ``(a a b)``, Lucene's per-SHOULD-clause scoring);
+          member boosts inside STRUCTURED groups raise loudly.
         - **nested boolean groups** (``+(+a +(b c) -d)``): exact boolean
           matching via ``_match_tree`` set algebra; scoring is exact
           Lucene BooleanQuery for EVERY nesting shape (round 4) — leaves
@@ -2343,27 +2347,39 @@ class QuerySession:
                        else "")
                 toks: list[str] = []
                 wts: dict[str, float] = {}
+
+                def add_member(ts: list[str], w: float) -> None:
+                    # duplicate member tokens SUM (Lucene scores each
+                    # SHOULD clause of the group independently)
+                    for t in ts:
+                        toks.append(t)
+                        wts[t] = wts.get(t, 0.0) + w
+
                 for sub in _pqs(c.text):
                     # the parser guarantees flat SHOULD members: terms or
-                    # prefix/wildcard/fuzzy/regexp, no occur/field/boost
+                    # prefix/wildcard/fuzzy/regexp, no occur/field —
+                    # each optionally ^boosted (round 4, 2nd half)
                     if sub.kind == "term":
-                        toks += [ns(t) for t in tokenize_text(sub.text)]
+                        add_member([ns(t) for t in
+                                    tokenize_text(sub.text)], sub.boost)
                     elif sub.kind == "prefix":
-                        toks += self.expand_prefix(ns(sub.text.lower()))
+                        add_member(self.expand_prefix(ns(
+                            sub.text.lower())), sub.boost)
                     elif sub.kind == "wildcard":
-                        toks += self.expand_wildcard(sub.text.lower(),
-                                                     field=fld)
+                        add_member(self.expand_wildcard(
+                            sub.text.lower(), field=fld), sub.boost)
                     elif sub.kind == "fuzzy":
                         pat = sub.text.lower()
                         pairs = self.expand_fuzzy_dists(
                             pat, max_edits=sub.num, field=fld)
                         pre = f"{fld}:" if fld else ""
                         for t, dist in pairs:
-                            toks.append(t)
-                            wts[t] = 1.0 - dist / min(len(pat),
-                                                      len(t) - len(pre))
+                            sim = 1.0 - dist / min(len(pat),
+                                                   len(t) - len(pre))
+                            add_member([t], sub.boost * sim)
                     elif sub.kind == "regexp":
-                        toks += self.expand_regexp(sub.text, field=fld)
+                        add_member(self.expand_regexp(
+                            sub.text, field=fld), sub.boost)
                     else:
                         raise ValueError(
                             f"unsupported member inside () group: "

@@ -494,18 +494,21 @@ def parse_query_string(q: str) -> list[Clause]:
             inner = tok[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if "^" in inner:
-                raise ValueError(
-                    "() groups may not contain member boosts: " + tok)
             if '"' in inner or ":" in inner:
                 # quoted phrases, field-scoped terms, and field ranges
                 # inside () groups (round 4) ride the nested parser —
                 # PhraseLeaf / FieldLeaf / RangeLeaf leaves; expansion
                 # members mix freely
+                if "^" in inner:
+                    raise ValueError("member boosts inside structured "
+                                     "() groups are not supported: " + tok)
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
                 continue
             if _STRUCT_RE.search(inner):
+                if "^" in inner:
+                    raise ValueError("member boosts inside structured "
+                                     "() groups are not supported: " + tok)
                 # nesting or internal +/-/AND/NOT: boolean-structured
                 # group; expansion members (round 4) become
                 # ExpansionLeaf SHOULD-of-expansions rewrites
@@ -513,7 +516,9 @@ def parse_query_string(q: str) -> list[Clause]:
                                       boost=boost))
             else:
                 # flat SHOULD group; members may be plain terms or
-                # expansions (wind* t?ble fuzz~1 /re.ex/) — round 4
+                # expansions (wind* t?ble fuzz~1 /re.ex/) — round 4 —
+                # optionally member-boosted (a^2 wind*^3): Lucene
+                # boosts each SHOULD clause inside the group
                 clauses.append(Clause(occur, "", "group", inner,
                                       boost=boost))
             continue
@@ -526,7 +531,7 @@ def parse_query_string(q: str) -> list[Clause]:
             inner = fm.group(2)[1:-1].strip()
             if not inner:
                 raise ValueError("empty () group")
-            if (any(ch in inner for ch in '"^:()')
+            if (any(ch in inner for ch in '":()')
                     or _STRUCT_RE.search(inner)):
                 raise ValueError(
                     "field-scoped () groups may contain only plain "

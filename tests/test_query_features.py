@@ -1507,6 +1507,68 @@ def test_query_string_paren_groups(built_fields, spark):
     assert qs.query_string(f"+(zzqqxx{HOT_TERM}zz) {t2}").count() == 0
 
 
+def test_query_string_group_member_boosts(built_fields, spark):
+    """Member boosts inside flat / field-scoped () groups (round 4, 2nd
+    half — Lucene boosts each SHOULD clause of the group): ``(a^2 b)``
+    equals the direct boosted union, composes multiplicatively with the
+    group boost, and — because duplicate member tokens SUM — equals
+    ``(a a b)``; expansion members scale their whole expansion; member
+    boosts inside STRUCTURED groups still raise loudly."""
+    from luceneindexer_spark.corpus import RARE_TERM
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+
+    t2 = next(t for t in tokenize_text(
+        docmap.orderBy("doc_id").first().content)
+        if t not in (HOT_TERM, RARE_TERM))
+
+    # (a^2 b) == direct boosted SHOULD union
+    want = _hits(qs._score_terms([HOT_TERM, t2], 10, conjunctive=False,
+                                 boosts={HOT_TERM: 2.0, t2: 1.0}))
+    got = _hits(qs.query_string(f"({HOT_TERM}^2 {t2})"))
+    assert got == want
+
+    # duplicate-sum identity: (a^2 b) == (a a b)
+    assert got == _hits(qs.query_string(f"({HOT_TERM} {HOT_TERM} {t2})"))
+
+    # group boost composes multiplicatively: (a^2 b)^3 == {a:6, b:3}
+    want2 = _hits(qs._score_terms([HOT_TERM, t2], 10, conjunctive=False,
+                                  boosts={HOT_TERM: 6.0, t2: 3.0}))
+    assert _hits(qs.query_string(f"({HOT_TERM}^2 {t2})^3")) == want2
+
+    # expansion member boost: (pre*^2 b) scales every expanded term
+    pre = HOT_TERM[:4]
+    exp = qs.expand_prefix(pre)
+    assert exp, "prefix must expand for this test"
+    boosts = {t: 2.0 for t in exp}
+    boosts[t2] = boosts.get(t2, 0.0) + 1.0
+    want3 = _hits(qs._score_terms(
+        sorted(set(exp) | {t2}), 10, conjunctive=False, boosts=boosts))
+    assert _hits(qs.query_string(f"({pre}*^2 {t2})")) == want3
+
+    # +group with member boosts keeps the allowlist semantics
+    allow = qs._match_terms([HOT_TERM, RARE_TERM], conjunctive=False)
+    want4 = _hits(qs._score_terms(
+        [HOT_TERM, RARE_TERM, t2], 10, allow, conjunctive=False,
+        boosts={HOT_TERM: 3.0, RARE_TERM: 1.0, t2: 1.0}))
+    got4 = _hits(qs.query_string(f"+({HOT_TERM}^3 {RARE_TERM}) {t2}"))
+    assert got4 == want4
+
+    # field-scoped group member boost: lang:(x^2 y) == lang:(x x y)
+    langs = sorted(r.lang for r in
+                   docmap.select("lang").distinct().collect())
+    if len(langs) >= 2:
+        x, y = langs[0], langs[1]
+        assert (_hits(qs.query_string(f"lang:({x}^2 {y})"))
+                == _hits(qs.query_string(f"lang:({x} {x} {y})")))
+
+    # structured groups still refuse member boosts, loudly
+    for bad in (f"+(+{HOT_TERM} {t2}^2)", f'("{HOT_TERM} {t2}"^2 {t2})'):
+        with pytest.raises(ValueError, match="member boosts"):
+            qs.query_string(bad)
+
+
 def test_query_string_nested_groups(built_fields, spark):
     """Nested boolean groups (round 4): matching is exact set algebra over
     per-subtree match sets, scoring flattens the positive leaves — both
