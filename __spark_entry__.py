@@ -497,6 +497,90 @@ def _q_lucene_qs_group_phrase(spark: SparkSession, sf_dir: str
     return _round6(qs.query_string(QS_GROUP_PHRASE_QUERY, k=10), "score")
 
 
+QS_STRUCT_BOOST_QUERY = "stream (+table window^2)"
+
+
+def _q_lucene_qs_struct_boost(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Member ^boost inside a STRUCTURED subgroup (round 4, final —
+    raised loudly until now): ``stream (+table window^2)``. Same gated
+    sum as lucene_qs_should_group — the subgroup's leaves (table,
+    window) score only on docs(table) — but window's idf is doubled by
+    its member boost (Lucene boosts each clause of the BooleanQuery
+    independently; member and clause boosts multiply)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_STRUCT_BOOST_QUERY, k=10), "score")
+
+
+QS_SUBGROUP_BOOST_QUERY = "+(stream (table window)^2) fast"
+
+
+def _q_lucene_qs_subgroup_boost(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Subquery ^boost on a nested () group (round 4, final — Lucene
+    BooleanQuery boost): ``+(stream (table window)^2) fast``. The
+    boosted subtree is pure-SHOULD so it flattens exactly; the boost
+    multiplies down into each leaf's weight (table 2x, window 2x,
+    stream 1x), candidates = docs matching any group member, fast rides
+    as a SHOULD term."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_SUBGROUP_BOOST_QUERY, k=10),
+                   "score")
+
+
+QS_FIELD_PHRASE_GROUP_QUERY = 'stream (+path:"notes txt" window)'
+
+
+def _q_lucene_qs_field_phrase_group(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Field-scoped phrase inside a () group (round 4, final):
+    ``stream (+path:"notes txt" window)`` — the phrase matches
+    consecutive positions in the PATH namespace (docs whose synthetic
+    path ends notes.txt, i.e. doc_id % 3 != 0); its constituent terms
+    (path:notes, path:txt) score with path-field norms, and window
+    gates with them on the phrase's match set via the gated sum."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_FIELD_PHRASE_GROUP_QUERY, k=10),
+                   "score")
+
+
+QS_FIELD_EXP_GROUP_QUERY = "stream (+lang:z* window)"
+
+
+def _q_lucene_qs_field_exp_group(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Field-scoped expansion inside a () group (round 4, final):
+    ``stream (+lang:z* window)`` — the prefix expands over the LANG
+    namespace's dictionary slice (here exactly lang:zh), scores with
+    lang-field norms, and the structured subgroup gates (lang:zh,
+    window) on docs matching the expansion. Equivalent ranking to
+    lucene_qs_field_in_group's explicit lang:zh — what's new is the
+    in-group dictionary-expansion path, which raised until now."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_FIELD_EXP_GROUP_QUERY, k=10),
+                   "score")
+
+
+QS_SHOULD_RANGE_QUERY = f"+(stream size:[{SIZE_LO} TO {SIZE_HI}]) window"
+
+
+def _q_lucene_qs_should_range(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """SHOULD-positioned range inside a () group (round 4, final —
+    raised until now): ``+(stream size:[lo TO hi]) window``. The range
+    joins the MUST group's match union — an in-range doc is a candidate
+    even without stream — but contributes zero score (the pinned
+    constant-score divergence), so in-range docs score through window
+    alone and range-only matches with no scoring term are omitted."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_SHOULD_RANGE_QUERY, k=10), "score")
+
+
 QS_EXCL_RANGE_QUERY = "+stream lang:{de TO fr}"
 
 
@@ -1396,6 +1480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_nested_expansion": _q_lucene_qs_nested_expansion,
         "lucene_qs_field_in_group": _q_lucene_qs_field_in_group,
         "lucene_qs_range_in_group": _q_lucene_qs_range_in_group,
+        # --- round 4, final parser surface ---
+        "lucene_qs_struct_boost": _q_lucene_qs_struct_boost,
+        "lucene_qs_subgroup_boost": _q_lucene_qs_subgroup_boost,
+        "lucene_qs_field_phrase_group": _q_lucene_qs_field_phrase_group,
+        "lucene_qs_field_exp_group": _q_lucene_qs_field_exp_group,
+        "lucene_qs_should_range": _q_lucene_qs_should_range,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -2400,6 +2490,172 @@ allc AS (
   SELECT doc_id, c FROM contrib
    WHERE term = 'window' AND doc_id IN (SELECT doc_id FROM gate)),
 scored AS (SELECT doc_id, sum(c) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # stream (+table window^2): member boost inside a STRUCTURED
+        # subgroup — same gated sum as lucene_qs_should_group, window's
+        # idf doubled by its member boost
+        "lucene_qs_struct_boost": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('stream', 'table', 'window')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+gate AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'stream' THEN c
+                  WHEN doc_id IN (SELECT doc_id FROM gate) THEN
+                       (CASE WHEN term = 'window' THEN 2 * c ELSE c END)
+                  ELSE 0 END) AS score,
+         max(CASE WHEN term IN ('stream', 'table') THEN 1 ELSE 0
+             END) AS m
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+WHERE m = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # +(stream (table window)^2) fast: subquery boost on a
+        # pure-SHOULD subtree — flattens exactly with table/window
+        # weighted 2x; candidates = docs matching any group member
+        "lucene_qs_subgroup_boost": _bm25_sql(
+            "stream table window fast", 10, conjunctive=False,
+            any_of=["stream", "table", "window"],
+            boosts={"stream": 1.0, "table": 2.0, "window": 2.0,
+                    "fast": 1.0}),
+        # stream (+path:"notes txt" window): field-scoped phrase inside
+        # a structured subgroup — path:notes/path:txt score with
+        # path-field norms, window with content norms, all gated on the
+        # path-namespace consecutive match (doc_id % 3 != 0 paths)
+        "lucene_qs_field_phrase_group": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ptok AS ({duckdb_tokens_cte("documents", "doc_id", DOC_PATH_SQL)}),
+pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pst AS (SELECT (SELECT count(*) FROM ptok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ptok) AS avgdl),
+ptokp AS ({duckdb_tokens_pos_cte("documents", "doc_id", DOC_PATH_SQL)}),
+gate AS (SELECT DISTINCT a.doc_id FROM ptokp a JOIN ptokp b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = 'notes' AND b.term = 'txt'),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptok
+        WHERE term IN ('notes', 'txt') GROUP BY doc_id, term),
+pdf2 AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+pcontrib AS (
+  SELECT ptf.doc_id, ptf.term,
+         ln(1 + (s.n_docs - pdf2.df + 0.5) / (pdf2.df + 0.5))
+         * ptf.tf * {K1_1} / (ptf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * pdl.dl / ps.avgdl)) AS c
+  FROM ptf JOIN pdf2 USING (term) JOIN pdl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN pst ps),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT ctf.doc_id, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf JOIN cdf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+allc AS (
+  SELECT doc_id, c FROM contrib WHERE term = 'stream'
+  UNION ALL
+  SELECT doc_id, c FROM contrib
+   WHERE term = 'window' AND doc_id IN (SELECT doc_id FROM gate)
+  UNION ALL
+  SELECT doc_id, c FROM pcontrib
+   WHERE doc_id IN (SELECT doc_id FROM gate)),
+scored AS (SELECT doc_id, sum(c) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # stream (+lang:z* window): field-scoped expansion inside a
+        # structured subgroup — z* expands over the lang namespace to
+        # exactly lang:zh, so the ranking equals the explicit
+        # lucene_qs_field_in_group; the new surface is the in-group
+        # dictionary-expansion path (raised until round 4 final)
+        "lucene_qs_field_exp_group": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ltok AS ({duckdb_tokens_cte("documents", "doc_id", "lang")}),
+ldl AS (SELECT doc_id, count(*) AS dl FROM ltok GROUP BY doc_id),
+lst AS (SELECT (SELECT count(*) FROM ltok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ltok) AS avgdl),
+ltf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ltok
+        WHERE term = 'zh' GROUP BY doc_id),
+ldf AS (SELECT count(*)::DOUBLE AS df FROM ltf),
+lscore AS (
+  SELECT lt.doc_id,
+         ln(1 + (s.n_docs - ld.df + 0.5) / (ld.df + 0.5)) * lt.tf
+         * {K1_1} / (lt.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * ldl.dl / ls.avgdl)) AS c
+  FROM ltf lt CROSS JOIN ldf ld JOIN ldl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN lst ls),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT ctf.doc_id, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf JOIN cdf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+allc AS (
+  SELECT doc_id, c FROM contrib WHERE term = 'stream'
+  UNION ALL
+  SELECT doc_id, c FROM contrib
+   WHERE term = 'window' AND doc_id IN (SELECT doc_id FROM ltf)
+  UNION ALL
+  SELECT doc_id, c FROM lscore),
+scored AS (SELECT doc_id, sum(c) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # +(stream size:[lo TO hi]) window: SHOULD-positioned range
+        # inside a MUST group — the range joins the candidate union
+        # (in-range docs score through window alone) but never scores
+        "lucene_qs_should_range": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT ctf.doc_id, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf JOIN cdf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+cand AS (SELECT DISTINCT doc_id FROM ctf WHERE term = 'stream'
+         UNION
+         SELECT doc_id FROM documents
+         WHERE length(text) BETWEEN {SIZE_LO} AND {SIZE_HI}),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib
+           WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id)
 SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,

@@ -2003,18 +2003,24 @@ class QuerySession:
     def _expand_leaf(self, e) -> tuple[list[str], "dict[str, float] | None"]:
         """Expand a group ExpansionLeaf (round 4) against the dictionary:
         (terms, fuzzy similarity weights or None). Same caps and
-        dictionary scans as the top-level expansion clauses; group
-        expansions are never field-scoped (the parser raises on fields
-        inside groups)."""
+        dictionary scans as the top-level expansion clauses. A
+        field-scoped leaf (round 4, final: ``(+lang:py* x)``) scans the
+        field's ``field:token`` namespace slice, exactly like top-level
+        field expansions."""
+        fld = e.field if e.field and e.field != "content" else ""
+        pre = f"{fld}:" if fld else ""
         if e.kind == "prefix":
-            return self.expand_prefix(e.text.lower()), None
+            return self.expand_prefix(pre + e.text.lower()), None
         if e.kind == "wildcard":
-            return self.expand_wildcard(e.text.lower()), None
+            return self.expand_wildcard(e.text.lower(), field=fld), None
         if e.kind == "regexp":
-            return self.expand_regexp(e.text), None
+            return self.expand_regexp(e.text, field=fld), None
         pat = e.text.lower()
-        pairs = self.expand_fuzzy_dists(pat, max_edits=e.num)
-        sims = {t: 1.0 - d / min(len(pat), len(t)) for t, d in pairs}
+        pairs = self.expand_fuzzy_dists(pat, max_edits=e.num, field=fld)
+        # Lucene FuzzyQuery similarity on the bare token (namespace
+        # prefix excluded from the length)
+        sims = {t: 1.0 - d / min(len(pat), len(t) - len(pre))
+                for t, d in pairs}
         return [t for t, _ in pairs], sims
 
     def _expand_leaf_terms(self, e) -> list[str]:
@@ -2029,13 +2035,17 @@ class QuerySession:
         query-proportional (tiny); every set stays distributed."""
         from ..tokenizer import tokenize_text
         from .parser import (ExpansionLeaf, FieldLeaf, GroupNode,
-                             PhraseLeaf, RangeLeaf)
+                             PhraseLeaf, RangeLeaf, TermLeaf)
 
         def toks(items) -> list[str]:
             out: list[str] = []
             for a in items:
                 if isinstance(a, str):
                     out += tokenize_text(a)
+                elif isinstance(a, TermLeaf):
+                    # boosted plain term (round 4, final): boosts never
+                    # affect matching
+                    out += tokenize_text(a.text)
                 elif isinstance(a, FieldLeaf):
                     # field-scoped term member (round 4): the field's
                     # namespaced dictionary slice
@@ -2050,10 +2060,13 @@ class QuerySession:
             return [a for a in items if isinstance(a, GroupNode)]
 
         def phrase_ids(p: "PhraseLeaf") -> "DataFrame":
-            """Match set of a PhraseLeaf (round 4); a phrase with an
-            absent constituent term matches nothing."""
-            s = self._phrase_match_ids(None, tokenize_text(p.text),
-                                       slop=p.slop)
+            """Match set of a PhraseLeaf (round 4, optionally
+            field-scoped — positions in the field's namespace); a phrase
+            with an absent constituent term matches nothing."""
+            seq = tokenize_text(p.text)
+            if p.field and p.field != "content":
+                seq = [f"{p.field}:{t}" for t in seq]
+            s = self._phrase_match_ids(p.field or None, seq, slop=p.slop)
             return (s if s is not None else
                     self.spark.createDataFrame([], "doc_id long"))
 
@@ -2113,6 +2126,16 @@ class QuerySession:
                     unioned = True
             for e in exs(node.shoulds):
                 s = exp_ids(e)
+                if m is None:
+                    m = s
+                else:
+                    m = m.union(s)
+                    unioned = True
+            for r in rngs(node.shoulds):
+                # SHOULD-positioned range (round 4, final): joins the
+                # match union — a doc can MATCH through it — but never
+                # scores (the pinned constant-score divergence)
+                s = self._range_match_ids(r.field, r.text, r.num)
                 if m is None:
                     m = s
                 else:
@@ -2226,11 +2249,13 @@ class QuerySession:
         - ``(a b)`` groups: ``+(a b)`` restricts candidates to the group's
           match union via the allowlist (Lucene MUST-of-SHOULDs scoring),
           ``-(a b)`` denies every group term (De Morgan), ``(a b)^2``
-          boosts each group term. Members of flat and field-scoped groups
-          may carry their own ``^B`` (``(a^2 wind*^3 b)``) — member and
-          group boosts multiply, duplicate member tokens SUM (so
-          ``(a^2 b)`` ≡ ``(a a b)``, Lucene's per-SHOULD-clause scoring);
-          member boosts inside STRUCTURED groups raise loudly.
+          boosts each group term. Members of EVERY group shape — flat,
+          field-scoped, and structured/nested (round 4, final) — may
+          carry their own ``^B`` (``(a^2 wind*^3 b)``, ``(+a b^2)``), and
+          whole subgroups may too (``(a (b c)^2)``): member, subgroup,
+          and group boosts multiply down the tree, duplicate member
+          tokens SUM (so ``(a^2 b)`` ≡ ``(a a b)``, Lucene's
+          per-SHOULD-clause scoring).
         - **nested boolean groups** (``+(+a +(b c) -d)``): exact boolean
           matching via ``_match_tree`` set algebra; scoring is exact
           Lucene BooleanQuery for EVERY nesting shape (round 4) — leaves
@@ -2238,6 +2263,10 @@ class QuerySession:
           over that subgroup's match set and SUM per doc with the base
           frame (``_gated_sum``); ungated leaves flatten into the SHOULD
           union, and the plan is unchanged when no gated class exists.
+          Groups accept field-scoped phrases (``(path:"file txt"~N c)``,
+          positions + norms in the field namespace), field-scoped
+          expansions (``(+lang:py* x)``), and ranges in ANY occur
+          position (a SHOULD range joins the match union, never scores).
 
         Field-scoped expansions (``path:parse*``, ``lang:pyth~1``,
         ``path:/t.st/``) scan the field's namespaced dictionary slice and
@@ -2443,11 +2472,19 @@ class QuerySession:
                 # is stranded, never scored).
                 from .parser import ExpansionLeaf as _ExpLeaf
                 from .parser import FieldLeaf as _FldLeaf
+                from .parser import PhraseLeaf as _PhrLeaf
+                from .parser import TermLeaf as _TrmLeaf
                 for gates, atoms in tree.leaf_gate_classes(
                         top_guaranteed=(c.occur == "+")):
                     leaves: list[str] = []
                     w: dict[str, float] = {}
                     for a in atoms:
+                        # member ^boosts (round 4, final) — and
+                        # subgroup boosts, pre-folded into a.boost by
+                        # leaf_gate_classes — multiply the clause boost
+                        ab = getattr(a, "boost", 1.0)
+                        if ab != 1.0:
+                            has_boost = True
                         if isinstance(a, _FldLeaf):
                             # field-scoped term member (round 4): match
                             # and score in the field's namespace with
@@ -2455,19 +2492,34 @@ class QuerySession:
                             for t in tokenize_text(a.text):
                                 nt = f"{a.field}:{t}"
                                 leaves.append(nt)
-                                w[nt] = w.get(nt, 0.0) + c.boost
+                                w[nt] = w.get(nt, 0.0) + c.boost * ab
                         elif isinstance(a, _ExpLeaf):
                             # Lucene MultiTermQuery scoring-boolean
                             # rewrite inside groups (round 4): a
-                            # SHOULD-of-expansions; fuzzy members keep
-                            # their edit-distance similarity weights
+                            # SHOULD-of-expansions, optionally
+                            # field-scoped; fuzzy members keep their
+                            # edit-distance similarity weights
                             exp, sims = self._expand_leaf(a)
                             if sims is not None and exp:
                                 has_boost = True
                             for t in exp:
                                 leaves.append(t)
-                                w[t] = (w.get(t, 0.0) + c.boost
+                                w[t] = (w.get(t, 0.0) + c.boost * ab
                                         * (sims[t] if sims else 1.0))
+                        elif isinstance(a, _PhrLeaf):
+                            # a phrase atom's constituent terms (scored
+                            # over the phrase's own match set via its
+                            # gate), in the field namespace when scoped
+                            pre = (f"{a.field}:" if a.field
+                                   and a.field != "content" else "")
+                            for t in tokenize_text(a.text):
+                                nt = pre + t
+                                leaves.append(nt)
+                                w[nt] = w.get(nt, 0.0) + c.boost * ab
+                        elif isinstance(a, _TrmLeaf):
+                            for t in tokenize_text(a.text):
+                                leaves.append(t)
+                                w[t] = w.get(t, 0.0) + c.boost * ab
                         else:
                             for t in tokenize_text(a):
                                 leaves.append(t)
@@ -2681,9 +2733,13 @@ class QuerySession:
             for g in gates:
                 if isinstance(g, PhraseLeaf):
                     # a phrase leaf gates its own constituent terms on
-                    # the phrase's exact match set (round 4)
+                    # the phrase's exact match set (round 4) — in the
+                    # field's namespace when scoped (round 4, final)
+                    seq = tokenize_text(g.text)
+                    if g.field and g.field != "content":
+                        seq = [f"{g.field}:{t}" for t in seq]
                     s = self._phrase_match_ids(
-                        None, tokenize_text(g.text), slop=g.slop)
+                        g.field or None, seq, slop=g.slop)
                 else:
                     s = self._match_tree(g)
                 if s is None:

@@ -26,8 +26,8 @@ Supported grammar (documented subset of the Lucene classic syntax):
   at least one member), ``-(a b)`` MUST_NOT (doc must match none),
   ``(a b)^2`` boosts every member; ``field:(a b)`` (round 4) scopes a
   group to a metadata field's namespace; flat-group members may be
-  expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4). Member
-  boosts INSIDE groups raise loudly
+  expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4) and may carry
+  member ``^boosts`` (``(a^2 wind*^3 b)``)
 - **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
   arbitrary nesting of plain terms and quoted phrases (round 4:
   ``+("a b" c)``, with ``~N`` slop) with
@@ -42,10 +42,14 @@ Supported grammar (documented subset of the Lucene classic syntax):
   engine's gated sum (``leaf_gate_classes``), so a present leaf
   stranded by an unmatched enclosing subgroup contributes nothing.
   Nested groups also accept expansion members (ExpansionLeaf —
-  Lucene's SHOULD-of-expansions rewrite), field-scoped terms
-  (FieldLeaf, field-namespace matching + field norms), and
-  matching-only field ranges in MUST/MUST_NOT position (RangeLeaf).
-  Member ^boosts remain a loud ValueError
+  Lucene's SHOULD-of-expansions rewrite, optionally field-scoped:
+  ``(+lang:py* x)``), field-scoped terms and phrases (FieldLeaf /
+  PhraseLeaf with ``field`` — field-namespace matching + field norms),
+  and matching-only field ranges in ANY occur position (RangeLeaf; a
+  SHOULD range joins the match union but never scores). Members and
+  whole subgroups may carry ``^boosts`` (round 4, final:
+  ``(+a b^2)``, ``(a (b c)^2)``) — boosts multiply down the tree into
+  each leaf's scoring weight; range boosts raise (ranges never score)
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser
@@ -118,57 +122,78 @@ def _outer_parens_match(tok: str) -> bool:
 
 
 #: chars legal inside a NESTED group: plain terms, occurs, nesting,
-#: quoted phrases with optional ~slop, expansions, field-scoped terms
-#: and ranges (round 4), spaces
-_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~*?/:\[\]{}]*$')
+#: quoted phrases with optional ~slop, expansions, field-scoped terms,
+#: phrases and ranges, ^boosts (round 4), spaces
+_NESTED_OK_RE = re.compile(r'^[\w .+\-()"~*?/:\[\]{}^]*$')
 #: structure markers that route a group to the nested parser
 _STRUCT_RE = re.compile(r'[()]|(?:^|[\s(])[+\-]\S|\b(?:AND|NOT|&&)\b')
 
 
 @dataclass(frozen=True)
+class TermLeaf:
+    """A ``^boosted`` plain term inside a () group (round 4, final:
+    member boosts inside STRUCTURED groups — ``(+a b^2)``). Unboosted
+    terms stay raw strings (the pre-existing leaf shape); the engine
+    multiplies ``boost`` into the leaf's scoring weight."""
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhraseLeaf:
-    """A quoted phrase inside a () group (round 4): ``("a b"~1 c)``.
-    Matching is exact (consecutive / span-near positions); scoring gates
-    the phrase's constituent terms on the phrase's own match set — the
-    same term-scoring-over-phrase-docs convention as top-level
-    query-string phrases (pinned divergence from Lucene phrase-freq)."""
+    """A quoted phrase inside a () group (round 4): ``("a b"~1 c)``,
+    field-scoped ``(path:"file txt" c)`` and ``^boosted`` forms included
+    (round 4, final). Matching is exact (consecutive / span-near
+    positions, in ``field``'s namespace when scoped); scoring gates the
+    phrase's constituent terms on the phrase's own match set — the same
+    term-scoring-over-phrase-docs convention as top-level query-string
+    phrases (pinned divergence from Lucene phrase-freq)."""
     text: str
     slop: int = 0
+    field: str = ""
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class ExpansionLeaf:
     """A multi-term expansion inside a () group (round 4):
-    ``(+par* main)``, ``(fuzz~1 (a b))``. Lucene rewrites a
-    MultiTermQuery inside a BooleanQuery to a SHOULD-of-expansions — a
-    pure-SHOULD subquery, auto-matched by any present expanded term, so
-    it never gates scoring. ``kind`` is prefix/wildcard/fuzzy/regexp;
-    ``num`` is fuzzy max edits."""
+    ``(+par* main)``, ``(fuzz~1 (a b))``, field-scoped and ``^boosted``
+    forms included (round 4, final: ``(+lang:pyth* x)``, ``(par*^2 b)``).
+    Lucene rewrites a MultiTermQuery inside a BooleanQuery to a
+    SHOULD-of-expansions — a pure-SHOULD subquery, auto-matched by any
+    present expanded term, so it never gates scoring. ``kind`` is
+    prefix/wildcard/fuzzy/regexp; ``num`` is fuzzy max edits; ``field``
+    scopes the expansion to that field's ``field:token`` namespace."""
     kind: str
     text: str
     num: int = 0
+    field: str = ""
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class FieldLeaf:
     """A field-scoped term atom inside a () group (round 4):
-    ``(+lang:python parser)``. The engine analyzes ``text`` and matches
-    / scores the tokens in the field's ``field:token`` namespace with
-    the field's own norms."""
+    ``(+lang:python parser)``, optionally ``^boosted``. The engine
+    analyzes ``text`` and matches / scores the tokens in the field's
+    ``field:token`` namespace with the field's own norms."""
     field: str
     text: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class RangeLeaf:
     """A ``field:[lo TO hi]`` member inside a () group (round 4) —
     matching-only (ranges never score here, the same constant-score
-    divergence as top-level ranges), legal in MUST / MUST_NOT position;
-    a SHOULD-positioned range raises. A doc matched ONLY through range
-    members (no scoring term present anywhere) carries zero BM25 mass
-    and is omitted from results — the documented top-level range
-    convention (Lucene's constant-score rewrite would emit it at 1.0).
-    ``num`` = bracket exclusivity bits (bit0 lo, bit1 hi)."""
+    divergence as top-level ranges), legal in any occur position.
+    A SHOULD-positioned range (round 4, final) joins the group's match
+    union — a doc can MATCH through it — but contributes zero score, so
+    a doc matched ONLY through range members (no scoring term present
+    anywhere) carries zero BM25 mass and is omitted from results — the
+    documented top-level range convention (Lucene's constant-score
+    rewrite would emit it at 1.0). ``num`` = bracket exclusivity bits
+    (bit0 lo, bit1 hi). Range boosts raise (they would never apply)."""
     field: str
     text: str
     num: int = 0
@@ -177,12 +202,15 @@ class RangeLeaf:
 @dataclass
 class GroupNode:
     """One boolean level of a nested () group. Children are raw atom
-    strings (analyzed by the engine), PhraseLeaf phrases, ExpansionLeaf
-    expansions, FieldLeaf field-scoped terms, RangeLeaf range filters,
-    or nested GroupNodes."""
+    strings (analyzed by the engine), TermLeaf boosted terms, PhraseLeaf
+    phrases, ExpansionLeaf expansions, FieldLeaf field-scoped terms,
+    RangeLeaf range filters, or nested GroupNodes. ``boost`` (round 4,
+    final — Lucene subquery boost ``(a (b c)^2)``) multiplies the
+    scoring weight of every leaf under this node."""
     musts: list = _dc_field(default_factory=list)
     shoulds: list = _dc_field(default_factory=list)
     nots: list = _dc_field(default_factory=list)
+    boost: float = 1.0
 
     def positive_leaves(self) -> list[str]:
         """Raw term atoms that contribute to scoring (everything not under
@@ -193,7 +221,8 @@ class GroupNode:
         for item in self.musts + self.shoulds:
             if isinstance(item, GroupNode):
                 out += item.positive_leaves()
-            elif isinstance(item, (PhraseLeaf, ExpansionLeaf, FieldLeaf)):
+            elif isinstance(item, (TermLeaf, PhraseLeaf, ExpansionLeaf,
+                                   FieldLeaf)):
                 out.append(item.text)
             elif not isinstance(item, RangeLeaf):  # ranges never score
                 out.append(item)
@@ -222,10 +251,11 @@ class GroupNode:
         """True when any bucket (incl. MUST_NOT) holds a non-plain-term
         leaf (phrase / expansion / field / range) — the deny fast path's
         term-level De Morgan is then unsound or insufficient and the id
-        channel is required."""
+        channel is required. A boosted TermLeaf counts as plain: boosts
+        never affect matching, so De Morgan stays sound."""
         return any(
             (isinstance(i, GroupNode) and i.has_nonterm_leaf())
-            or not isinstance(i, (str, GroupNode))
+            or not isinstance(i, (str, TermLeaf, GroupNode))
             for i in self.musts + self.shoulds + self.nots)
 
     def validate_scoring_exact(self, guaranteed: bool = True) -> None:
@@ -254,7 +284,7 @@ class GroupNode:
                         for s in self.shoulds))
 
     def leaf_gate_classes(self, top_guaranteed: bool = True
-                          ) -> list[tuple[tuple, list[str]]]:
+                          ) -> list[tuple[tuple, list]]:
         """Positive leaves grouped by their scoring GATE (round 4): the
         tuple of STRUCTURED strict-ancestor subgroups (ones with +/-
         children) that must all match a doc for the leaf to score under
@@ -271,19 +301,36 @@ class GroupNode:
         yield all-empty gates, and the caller keeps the pre-round-4
         flatten plan bit-identically. An empty-gate class flattens
         exactly; each non-empty class scores only over its gates'
-        match-set intersection. Returns [(gates, [raw leaf atoms])] in
-        first-seen order, duplicates preserved."""
-        classes: dict[tuple, tuple[tuple, list[str]]] = {}
+        match-set intersection. Returns [(gates, [leaf atoms])] in
+        first-seen order, duplicates preserved; atoms are raw strings,
+        TermLeaf/PhraseLeaf/ExpansionLeaf/FieldLeaf objects. Subgroup
+        ``boost`` multipliers (round 4, final) fold into each descendant
+        leaf's effective boost — an unboosted raw-string leaf under a
+        boosted subgroup is emitted as a TermLeaf carrying the product,
+        so boost-free trees return bit-identical atoms to pre-boost
+        rounds."""
+        from dataclasses import replace as _replace
+        classes: dict[tuple, tuple[tuple, list]] = {}
         order: list[tuple] = []
 
-        def leaf(gates: tuple, atom: str) -> None:
+        def leaf(gates: tuple, atom) -> None:
             key = tuple(id(g) for g in gates)  # GroupNode is unhashable
             if key not in classes:
                 classes[key] = (gates, [])
                 order.append(key)
             classes[key][1].append(atom)
 
-        def walk(node: "GroupNode", gates: tuple, covered: bool) -> None:
+        def boosted(item, mult: float):
+            """Fold an enclosing-subgroup multiplier into the leaf."""
+            if mult == 1.0:
+                return item
+            if isinstance(item, str):
+                return TermLeaf(item, mult)
+            return _replace(item, boost=item.boost * mult)
+
+        def walk(node: "GroupNode", gates: tuple, covered: bool,
+                 mult: float) -> None:
+            mult = mult * node.boost
             for bucket, is_must in ((node.musts, True),
                                     (node.shoulds, False)):
                 for item in bucket:
@@ -293,37 +340,60 @@ class GroupNode:
                         # already implied (MUST position on the covered
                         # spine), where plain term scoring is identical
                         if covered and is_must:
-                            leaf(gates, item.text)
+                            leaf(gates, boosted(item, mult))
                         else:
-                            leaf(gates + (item,), item.text)
+                            leaf(gates + (item,), boosted(item, mult))
                     elif isinstance(item, RangeLeaf):
                         pass    # matching-only, never a scoring leaf
                     elif not isinstance(item, GroupNode):
-                        leaf(gates, item)
+                        leaf(gates, boosted(item, mult))
                     elif item.musts or item.nots:  # structured subgroup
                         if covered and is_must:
-                            walk(item, gates, True)  # MUST-spine implied
+                            # MUST-spine implied
+                            walk(item, gates, True, mult)
                         else:
-                            walk(item, gates + (item,), True)
+                            walk(item, gates + (item,), True, mult)
                     else:  # pure-SHOULD: auto-matched by any present leaf
-                        walk(item, gates, False)
+                        walk(item, gates, False, mult)
 
         if (self.musts or self.nots) and not top_guaranteed:
-            walk(self, (self,), True)
+            walk(self, (self,), True, 1.0)
         else:
-            walk(self, (), top_guaranteed)
+            walk(self, (), top_guaranteed, 1.0)
         return [classes[key] for key in order]
+
+
+def _classify_expansion(text: str) -> "tuple[str, str, int] | None":
+    """(kind, text, num) when ``text`` is an expansion atom (regexp /
+    fuzzy / prefix / wildcard), else None. Shared by the bare and the
+    field-scoped member paths of ``parse_group_tree``."""
+    rx = _REGEX_RE.match(text)
+    if rx is not None:
+        return ("regexp", rx.group(1), 0)
+    fz = _FUZZY_RE.match(text)
+    if fz is not None:
+        return ("fuzzy", fz.group(1), int(fz.group(2) or 2))
+    if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
+        if len(text) < 2:
+            raise ValueError("bare * inside a group")
+        return ("prefix", text[:-1], 0)
+    if "*" in text or "?" in text:
+        return ("wildcard", text, 0)
+    return None
 
 
 def parse_group_tree(inner: str) -> GroupNode:
     """Parse the inside of a nested () group: plain terms, +/- occurs,
     AND/OR/NOT connectives, and nested groups. Same connective semantics
-    as the top level (AND promotes both neighbors to MUST, NOT == -)."""
+    as the top level (AND promotes both neighbors to MUST, NOT == -).
+    Members may carry ``^boosts`` (round 4, final) — terms, phrases,
+    expansions, field-scoped terms, and whole subgroups; a range boost
+    raises (ranges never score)."""
     if not _NESTED_OK_RE.match(inner):
         raise ValueError(
             "nested () groups may contain only plain terms, quoted "
-            "phrases, expansions, +/-, AND/OR/NOT and nested groups "
-            f"(no fields, boosts, or ranges): {inner!r}")
+            "phrases, expansions, field terms/phrases/ranges, ^boosts, "
+            f"+/-, AND/OR/NOT and nested groups: {inner!r}")
     node = GroupNode()
     seq: list[tuple[str, object]] = []   # (occur, atom-or-node)
     pending_not = False
@@ -354,6 +424,14 @@ def parse_group_tree(inner: str) -> GroupNode:
         pending_and = False
         if not tok:
             raise ValueError("dangling +/- with no atom in group")
+        # member ^boost (round 4, final) — parsed outermost, exactly as
+        # at top level ('"a b"~1^2', '(b c)^2', 'lang:py*^3')
+        boost = 1.0
+        bm = _BOOST_RE.match(tok)
+        if bm is not None and not tok.endswith('"'):
+            tok, boost = bm.group(1), float(bm.group(2))
+            if not tok:
+                raise ValueError("dangling ^boost with no atom in group")
         pm = _PHRASE_RE.match(tok)
         if pm is not None:
             # quoted phrase leaf (round 4): ("a b"~N c) — exact phrase
@@ -361,63 +439,75 @@ def parse_group_tree(inner: str) -> GroupNode:
             if not pm.group(1).strip():
                 raise ValueError(f"empty phrase in group: {inner!r}")
             seq.append((occur, PhraseLeaf(pm.group(1),
-                                          int(pm.group(2) or 0))))
+                                          int(pm.group(2) or 0),
+                                          boost=boost)))
             continue
-        if '"' in tok:
+        if tok.startswith('"'):
             raise ValueError(f"malformed phrase in group: {tok!r}")
         if _outer_parens_match(tok):
             child = parse_group_tree(tok[1:-1].strip())
             if not (child.musts or child.shoulds or child.nots):
                 raise ValueError(f"empty () group in: {inner!r}")
+            child.boost = boost   # subquery boost '(b c)^2' (round 4)
             seq.append((occur, child))
             continue
         if "(" in tok or ")" in tok:
             raise ValueError(f"malformed group atom: {tok!r}")
         fm = _FIELD_RE.match(tok)
         if fm is not None:
-            f_inner = fm.group(2)
+            fname, f_inner = fm.group(1), fm.group(2)
             rm = _RANGE_RE.match(f_inner)
             if rm is not None:
-                # field range member (round 4): matching-only — legal in
-                # MUST / MUST_NOT position (checked at distribution)
+                # field range member (round 4): matching-only, legal in
+                # any occur position (a SHOULD range joins the match
+                # union but never scores)
+                if boost != 1.0:
+                    raise ValueError("range boosts are not supported")
                 ex = ((1 if rm.group(1) == "{" else 0)
                       | (2 if rm.group(4) == "}" else 0))
                 seq.append((occur, RangeLeaf(
-                    fm.group(1), f"{rm.group(2)} TO {rm.group(3)}", ex)))
+                    fname, f"{rm.group(2)} TO {rm.group(3)}", ex)))
+                continue
+            fpm = _PHRASE_RE.match(f_inner)
+            if fpm is not None:
+                # field-scoped phrase member (round 4, final):
+                # (path:"file txt"~N c) — exact positions in the
+                # field's namespace, field norms
+                if not fpm.group(1).strip():
+                    raise ValueError(f"empty phrase in group: {inner!r}")
+                seq.append((occur, PhraseLeaf(fpm.group(1),
+                                              int(fpm.group(2) or 0),
+                                              field=fname, boost=boost)))
+                continue
+            if '"' in f_inner:
+                raise ValueError(f"malformed phrase in group: {tok!r}")
+            exp = _classify_expansion(f_inner)
+            if exp is not None:
+                # field-scoped expansion member (round 4, final):
+                # (+lang:py* x) — the field's namespaced dictionary slice
+                kind, text, num = exp
+                seq.append((occur, ExpansionLeaf(kind, text, num,
+                                                 field=fname,
+                                                 boost=boost)))
                 continue
             if any(ch in f_inner for ch in '*?/~"[]{}'):
                 raise ValueError(
                     "field-scoped members inside groups may be plain "
-                    f"terms or ranges only: {tok!r}")
-            seq.append((occur, FieldLeaf(fm.group(1), f_inner)))
+                    f"terms, phrases, expansions or ranges only: {tok!r}")
+            seq.append((occur, FieldLeaf(fname, f_inner, boost=boost)))
             continue
         if any(ch in tok for ch in '[]{}'):
             raise ValueError(f"range member needs a field: {tok!r}")
-        rx = _REGEX_RE.match(tok)
-        if rx is not None:
-            seq.append((occur, ExpansionLeaf("regexp", rx.group(1))))
+        exp = _classify_expansion(tok)
+        if exp is not None:
+            kind, text, num = exp
+            seq.append((occur, ExpansionLeaf(kind, text, num,
+                                             boost=boost)))
             continue
-        fz = _FUZZY_RE.match(tok)
-        if fz is not None:
-            seq.append((occur, ExpansionLeaf("fuzzy", fz.group(1),
-                                             int(fz.group(2) or 2))))
-            continue
-        if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
-            if len(tok) < 2:
-                raise ValueError("bare * inside a group")
-            seq.append((occur, ExpansionLeaf("prefix", tok[:-1])))
-            continue
-        if "*" in tok or "?" in tok:
-            seq.append((occur, ExpansionLeaf("wildcard", tok)))
-            continue
-        if "/" in tok:
-            raise ValueError(f"malformed regexp in group: {tok!r}")
-        seq.append((occur, tok))
+        if "/" in tok or '"' in tok:
+            raise ValueError(f"malformed atom in group: {tok!r}")
+        seq.append((occur, TermLeaf(tok, boost) if boost != 1.0 else tok))
     for occur, item in seq:
-        if isinstance(item, RangeLeaf) and occur == "":
-            raise ValueError(
-                "a SHOULD-positioned range inside a group never scores "
-                f"— make it +must or -not: {item.field}:[{item.text}]")
         (node.musts if occur == "+" else
          node.nots if occur == "-" else node.shoulds).append(item)
     if node.nots and not (node.musts or node.shoulds):
@@ -495,23 +585,19 @@ def parse_query_string(q: str) -> list[Clause]:
             if not inner:
                 raise ValueError("empty () group")
             if '"' in inner or ":" in inner:
-                # quoted phrases, field-scoped terms, and field ranges
-                # inside () groups (round 4) ride the nested parser —
-                # PhraseLeaf / FieldLeaf / RangeLeaf leaves; expansion
-                # members mix freely
-                if "^" in inner:
-                    raise ValueError("member boosts inside structured "
-                                     "() groups are not supported: " + tok)
+                # quoted phrases, field-scoped terms/phrases/expansions,
+                # and field ranges inside () groups (round 4) ride the
+                # nested parser — PhraseLeaf / FieldLeaf / RangeLeaf /
+                # ExpansionLeaf leaves, each optionally ^boosted
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
                 continue
             if _STRUCT_RE.search(inner):
-                if "^" in inner:
-                    raise ValueError("member boosts inside structured "
-                                     "() groups are not supported: " + tok)
                 # nesting or internal +/-/AND/NOT: boolean-structured
                 # group; expansion members (round 4) become
-                # ExpansionLeaf SHOULD-of-expansions rewrites
+                # ExpansionLeaf SHOULD-of-expansions rewrites; member
+                # and subgroup ^boosts (round 4, final) fold into the
+                # leaves' scoring weights
                 clauses.append(Clause(occur, "", "nested", inner,
                                       boost=boost))
             else:

@@ -1776,12 +1776,17 @@ def test_query_string_fields_and_ranges_in_groups(built_fields, spark):
 
     assert parse_query_string(f"{HOT_TERM} (+lang:python x)")[1].kind \
         == "nested"
-    with _pt.raises(ValueError, match="SHOULD-positioned range"):
-        parse_group_tree("size:[1 TO 2] x")
-    with _pt.raises(ValueError, match="plain terms or ranges"):
-        parse_group_tree("+lang:py* x")
+    # round 4, final: SHOULD-positioned ranges and field-scoped
+    # expansions inside groups PARSE now (they raised earlier in r4)
+    from luceneindexer_spark.query.parser import ExpansionLeaf, RangeLeaf
+    tr = parse_group_tree("size:[1 TO 2] x")
+    assert tr.shoulds[0] == RangeLeaf("size", "1 TO 2", 0)
+    tr = parse_group_tree("+lang:py* x")
+    assert tr.musts[0] == ExpansionLeaf("prefix", "py", 0, field="lang")
     with _pt.raises(ValueError, match="needs a field"):
         parse_group_tree("[1 TO 2] x")
+    with _pt.raises(ValueError, match="range boosts"):
+        parse_group_tree("+size:[1 TO 2]^2 x")
 
     sizes = {int(r.doc_id): int(r.size) for r in
              docmap.select("doc_id", "size").collect()}
@@ -1844,6 +1849,131 @@ def test_query_string_fields_and_ranges_in_groups(built_fields, spark):
                             k=None).collect()}
     want3 = {d for d in base if d not in set(inr)}
     assert got3 == want3 and got3 < set(base)
+
+
+def test_query_string_final_group_surface(built_fields, spark):
+    """Round-4 final parser surface: member ^boosts inside STRUCTURED
+    groups, subgroup boosts, field-scoped phrases and expansions inside
+    groups, and SHOULD-positioned in-group ranges. Each shape is checked
+    for exact score parity against an engine-internal recompute
+    (gate match set × scorer with explicit weights) — the same
+    primitives the oracle-green base queries ride."""
+    import pytest as _pt
+    from luceneindexer_spark.tokenizer import tokenize_text
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    a, b, c = HOT_TERM, "stream", "merge"
+
+    def scores(df):
+        return {int(r.doc_id): round(float(r.score), 9)
+                for r in df.collect()}
+
+    def merge(*frames):
+        out: dict = {}
+        for f in frames:
+            for d, s in f.items():
+                out[d] = out.get(d, 0.0) + s
+        return {d: round(s, 9) for d, s in out.items()}
+
+    base = {r.doc_id: r.score for r in
+            qs._score_terms([a], None, conjunctive=False).collect()}
+
+    # 1. member boost inside a structured SHOULD-positioned subgroup:
+    # a (+b c^2) — c's idf doubled, both gated on docs(b)
+    gate_b = qs._match_terms([b], conjunctive=True)
+    gp1 = {r.doc_id: r.score for r in
+           qs._score_terms([b, c], None, gate_b, conjunctive=False,
+                           boosts={b: 1.0, c: 2.0}).collect()}
+    got1 = scores(qs.query_string(f"{a} (+{b} {c}^2)", k=None))
+    assert got1 == merge(base, gp1)
+    # the boost discriminates: c also occurs on gated docs
+    got1u = scores(qs.query_string(f"{a} (+{b} {c})", k=None))
+    assert got1 != got1u
+
+    # 2. subgroup boost on a pure-SHOULD subtree: a (b c)^2 flattens to
+    # the same ranking as explicit member boosts a (b^2 c^2)
+    got2 = scores(qs.query_string(f"{a} ({b} {c})^2", k=None))
+    want2 = scores(qs.query_string(f"{a} ({b}^2 {c}^2)", k=None))
+    assert got2 == want2
+    # boost products multiply down the tree: (+a (b c^3)^2) ≡ weights
+    # b:2, c:6 gated on nothing (pure-SHOULD child of a MUST group)
+    got2b = scores(qs.query_string(f"+({a} ({b} {c}^3)^2)", k=None))
+    allow_a = qs._match_terms([a, b, c], conjunctive=False)
+    want2b = scores(qs._score_terms(
+        [a, b, c], None, allow_a, conjunctive=False,
+        boosts={a: 1.0, b: 2.0, c: 6.0}))
+    assert got2b == want2b
+
+    # 3. field-scoped phrase inside a group: a (+path:"p0 p1" b) — the
+    # phrase matches consecutive tokens in the PATH namespace; its
+    # constituent terms score with path-field norms, gated (with b) on
+    # the phrase's match set
+    paths = {int(r.doc_id): r.path for r in
+             docmap.select("doc_id", "path").collect()}
+    ptoks = tokenize_text(paths[0])
+    p0, p1 = ptoks[0], ptoks[1]   # shared 'src'/'m*' prefix tokens
+    pseq = [f"path:{p0}", f"path:{p1}"]
+    pgate = qs._phrase_match_ids("path", pseq)
+    assert pgate is not None and pgate.count() > 0
+    gp3 = {r.doc_id: r.score for r in
+           qs._score_terms(pseq + [b], None, pgate,
+                           conjunctive=False).collect()}
+    got3 = scores(qs.query_string(f'{a} (+path:"{p0} {p1}" {b})',
+                                  k=None))
+    assert got3 == merge(base, gp3)
+
+    # 4. field-scoped expansion inside a group: a (+lang:py* b) — the
+    # prefix expands over the lang namespace dictionary slice; the
+    # subgroup gates on docs matching any expansion
+    exp = qs.expand_prefix("lang:py")
+    assert exp   # python docs exist in the synth corpus
+    egate = qs._match_terms(exp, conjunctive=False)
+    gp4 = {r.doc_id: r.score for r in
+           qs._score_terms(exp + [b], None, egate,
+                           conjunctive=False).collect()}
+    got4 = scores(qs.query_string(f"{a} (+lang:py* {b})", k=None))
+    assert got4 == merge(base, gp4)
+
+    # 5. SHOULD-positioned range inside a MUST group:
+    # +(a size:[lo TO hi]) b — the range joins the group's match union
+    # (a doc can be a candidate through it) but never scores
+    sizes = {int(r.doc_id): int(r.size) for r in
+             docmap.select("doc_id", "size").collect()}
+    lo = sorted(sizes.values())[len(sizes) // 4]
+    hi = sorted(sizes.values())[3 * len(sizes) // 4]
+    rng_ids = spark.createDataFrame(
+        [(d,) for d, s in sizes.items() if lo <= s <= hi], "doc_id long")
+    allow5 = qs._match_terms([a], conjunctive=False).union(
+        rng_ids).distinct()
+    want5 = scores(qs._score_terms([a, b], None, allow5,
+                                   conjunctive=False))
+    got5 = scores(qs.query_string(f"+({a} size:[{lo} TO {hi}]) {b}",
+                                  k=None))
+    assert got5 == want5
+    # discriminates: some in-range doc lacking a scores through b only
+    only_range = [d for d in got5
+                  if d not in base and sizes[d] and lo <= sizes[d] <= hi]
+    assert only_range
+
+    # 6. boosted phrase member in SHOULD position of a structured
+    # subgroup: a (+b "PHRASE"^2) — phrase terms score x2 over
+    # docs(b) ∩ phrase-docs (its own gate stacked on the subgroup's)
+    pseq6 = tokenize_text(PHRASE)
+    ph6 = qs._phrase_match_ids(None, pseq6)
+    gp6a = {r.doc_id: r.score for r in
+            qs._score_terms([b], None, gate_b,
+                            conjunctive=False).collect()}
+    gate6 = gate_b.intersect(ph6)
+    gp6b = {r.doc_id: r.score for r in
+            qs._score_terms(list(dict.fromkeys(pseq6)), None, gate6,
+                            conjunctive=False,
+                            boosts={t: 2.0 for t in pseq6}).collect()}
+    got6 = scores(qs.query_string(f'{a} (+{b} "{PHRASE}"^2)', k=None))
+    assert got6 == merge(base, gp6a, gp6b)
+
+    # loud raises that must survive: range boosts, malformed atoms
+    with _pt.raises(ValueError, match="range boosts"):
+        qs.query_string(f"{a} (+size:[1 TO 2]^2 {b})", k=None)
 
 
 def test_query_string_generalized_must_not(built_fields, spark):
