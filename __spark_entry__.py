@@ -581,6 +581,54 @@ def _q_lucene_qs_should_range(spark: SparkSession, sf_dir: str
     return _round6(qs.query_string(QS_SHOULD_RANGE_QUERY, k=10), "score")
 
 
+QS_MATCHALL_QUERY = f"*:* size:[* TO {SIZE_HI}] -stream"
+
+
+def _q_lucene_qs_matchall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MatchAllDocsQuery (round 4, final): ``*:*`` matches every
+    live doc at constant score 1.0 (boosts sum); range filters intersect
+    and MUST_NOT clauses subtract, also constant-score — the filtered
+    form here discriminates. Ordering is deterministic doc_id asc (all
+    scores tie). The open ``[* TO hi]`` bound is the Lucene null-bound
+    TermRangeQuery form."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_MATCHALL_QUERY, k=10), "score")
+
+
+QS_OPEN_RANGE_QUERY = f"window size:[{SIZE_HI} TO *]"
+
+
+def _q_lucene_qs_open_range(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Open-ended range bound (round 4, final): ``size:[lo TO *]`` drops
+    the high comparison entirely (Lucene's null upper bound) and keeps
+    the low one pushed to the docmap parquet scan; BM25 scoring of the
+    term clause is unchanged, restricted to the range's match set."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_OPEN_RANGE_QUERY, k=10), "score")
+
+
+QS_NESTED_FIELD_GROUP_QUERY = "stream (+lang:(zh es) window)"
+
+
+def _q_lucene_qs_nested_field_group(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Field-scoped group at nesting depth (round 4, final — raised
+    until now): ``stream (+lang:(zh es) window)``. The inner
+    ``lang:(zh es)`` is a pure-SHOULD group of field-scoped members on
+    the subgroup's MUST spine: the subgroup matches docs whose lang is
+    zh or es, and its leaves — lang:zh / lang:es (scored with the lang
+    field's own norms) and window — score only over that match set,
+    summing per doc with the ungated stream frame (exact BooleanQuery
+    gated-sum scoring)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_NESTED_FIELD_GROUP_QUERY, k=10),
+                   "score")
+
+
 QS_EXCL_RANGE_QUERY = "+stream lang:{de TO fr}"
 
 
@@ -1442,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # followed by entries already driver-green in CORRECTNESS_r03.json.
     return {
         # --- never driver-checked before round 4 ---
-        "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
         "shared_span_pairs": _q_shared_spans,
@@ -1486,6 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_field_phrase_group": _q_lucene_qs_field_phrase_group,
         "lucene_qs_field_exp_group": _q_lucene_qs_field_exp_group,
         "lucene_qs_should_range": _q_lucene_qs_should_range,
+        "lucene_qs_matchall": _q_lucene_qs_matchall,
+        "lucene_qs_open_range": _q_lucene_qs_open_range,
+        "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
         "sloppy_phrase_scored": _q_sloppy_phrase_scored,
         "fuzzy_field_search": _q_fuzzy_field_search,
@@ -1493,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": _q_repetition,
         "search_after_page2": _q_search_after,
         # --- driver-green in CORRECTNESS_r03.json ---
+        "quality_features": _q_quality,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -2634,6 +2685,84 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         # +(stream size:[lo TO hi]) window: SHOULD-positioned range
         # inside a MUST group — the range joins the candidate union
         # (in-range docs score through window alone) but never scores
+        # *:* size:[* TO hi] -stream: MatchAllDocsQuery at constant
+        # score 1.0, intersected with the open-bounded range filter,
+        # minus docs containing stream; deterministic doc_id order
+        "lucene_qs_matchall": f"""
+WITH tok AS ({_TOK}),
+s AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+SELECT d.doc_id, 1.0::DOUBLE AS score FROM documents d
+WHERE length(d.text) <= {SIZE_HI}
+  AND d.doc_id NOT IN (SELECT doc_id FROM s)
+ORDER BY d.doc_id ASC LIMIT 10
+""",
+        # window size:[lo TO *]: open upper bound — BM25 on window
+        # restricted to length(text) >= lo
+        "lucene_qs_open_range": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+wtf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+        WHERE term = 'window' GROUP BY doc_id),
+wdf AS (SELECT count(*)::DOUBLE AS df FROM wtf)
+SELECT w.doc_id,
+       round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * w.tf
+             * {K1_1} / (w.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl)), 6)::DOUBLE AS score
+FROM wtf w JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN wdf d
+WHERE w.doc_id IN (SELECT doc_id FROM documents
+                   WHERE length(text) >= {SIZE_HI})
+ORDER BY score DESC, w.doc_id ASC LIMIT 10
+""",
+        # stream (+lang:(zh es) window): field-scoped group on the
+        # subgroup's MUST spine — gate = docs with lang zh/es; gated
+        # leaves are lang:zh / lang:es (lang-field norms, global-n idf —
+        # the engine's documented field-scoring convention) and window;
+        # stream rides ungated
+        "lucene_qs_nested_field_group": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ltok AS ({duckdb_tokens_cte("documents", "doc_id", "lang")}),
+ldl AS (SELECT doc_id, count(*) AS dl FROM ltok GROUP BY doc_id),
+lst AS (SELECT (SELECT count(*) FROM ltok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ltok) AS avgdl),
+ltf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ltok
+        WHERE term IN ('zh', 'es') GROUP BY doc_id, term),
+ldf AS (SELECT term, count(*)::DOUBLE AS df FROM ltf GROUP BY term),
+gate AS (SELECT DISTINCT doc_id FROM ltf),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT ctf.doc_id, ctf.term,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf JOIN cdf USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+lcontrib AS (
+  SELECT lt.doc_id,
+         ln(1 + (s.n_docs - ld.df + 0.5) / (ld.df + 0.5)) * lt.tf
+         * {K1_1} / (lt.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * ldl.dl / ls.avgdl)) AS c
+  FROM ltf lt JOIN ldf ld USING (term) JOIN ldl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN lst ls),
+parts AS (
+  SELECT doc_id, c FROM contrib WHERE term = 'stream'
+  UNION ALL
+  SELECT doc_id, c FROM contrib WHERE term = 'window'
+    AND doc_id IN (SELECT doc_id FROM gate)
+  UNION ALL
+  SELECT doc_id, c FROM lcontrib),
+scored AS (SELECT doc_id, sum(c) AS score FROM parts GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "lucene_qs_should_range": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),

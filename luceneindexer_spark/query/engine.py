@@ -1979,17 +1979,32 @@ class QuerySession:
         from pyspark.sql.types import NumericType
         col = F.col(field)
         lo_x, hi_x = bool(excl & 1), bool(excl & 2)
+        # Lucene open-ended bounds: [* TO x] / [x TO *] drop that side
+        # of the predicate; [* TO *] matches docs where the field is
+        # present (TermRangeQuery's null-bound form). The surviving
+        # comparisons stay pushdown-able typed literals.
+        lo_open, hi_open = lo_s == "*", hi_s == "*"
 
         def mk_pred(lo_v, hi_v):
-            lo_p = (col > lo_v) if lo_x else (col >= lo_v)
-            hi_p = (col < hi_v) if hi_x else (col <= hi_v)
+            lo_p = (None if lo_open else
+                    (col > lo_v) if lo_x else (col >= lo_v))
+            hi_p = (None if hi_open else
+                    (col < hi_v) if hi_x else (col <= hi_v))
+            if lo_p is None and hi_p is None:
+                return col.isNotNull()
+            if lo_p is None:
+                return hi_p
+            if hi_p is None:
+                return lo_p
             return lo_p & hi_p
 
         if isinstance(dm.schema[field].dataType, NumericType):
             try:
-                lo_n = (int(lo_s) if float(lo_s).is_integer()
+                lo_n = (None if lo_open else
+                        int(lo_s) if float(lo_s).is_integer()
                         else float(lo_s))
-                hi_n = (int(hi_s) if float(hi_s).is_integer()
+                hi_n = (None if hi_open else
+                        int(hi_s) if float(hi_s).is_integer()
                         else float(hi_s))
             except ValueError:
                 raise ValueError(
@@ -2265,12 +2280,23 @@ class QuerySession:
           union, and the plan is unchanged when no gated class exists.
           Groups accept field-scoped phrases (``(path:"file txt"~N c)``,
           positions + norms in the field namespace), field-scoped
-          expansions (``(+lang:py* x)``), and ranges in ANY occur
-          position (a SHOULD range joins the match union, never scores).
+          expansions (``(+lang:py* x)``), field-scoped GROUPS at any
+          depth (``(+lang:(en fr) x)``, round 4 final), and ranges in
+          ANY occur position (a SHOULD range joins the match union,
+          never scores).
+        - ``*:*`` (round 4, final): Lucene MatchAllDocsQuery — every
+          live doc at constant score Σ boosts, minus tombstones and
+          MUST_NOT sets, intersected with range filters; deterministic
+          doc_id order. Raises beside BM25-scoring clauses (no mixed
+          constant+BM25 channel).
 
         Field-scoped expansions (``path:parse*``, ``lang:pyth~1``,
         ``path:/t.st/``) scan the field's namespaced dictionary slice and
         match the bare token (round 4 — MultiFieldQueryParser parity).
+        Fuzzy suffixes accept legacy fractional similarity (``term~0.8``
+        → max edits via FuzzyQuery.floatToEdits); range bounds accept
+        ``*`` (open-ended) and ``field:*`` is FieldExistsQuery sugar for
+        ``field:[* TO *]`` (round 4, final).
 
         **Generalized MUST_NOT** (round 4): ``-"a b"`` (phrases, with
         ``~N`` slop), ``-field:[lo TO hi]`` (ranges), ``-(+a (b c))``
@@ -2318,6 +2344,7 @@ class QuerySession:
             for t in toks:
                 boost_acc[t] = boost_acc.get(t, 0.0) + b
 
+        matchall_boost = 0.0
         for c in clauses:
             if c.field and c.field != "content":
                 def ns(t, _f=c.field):
@@ -2325,6 +2352,15 @@ class QuerySession:
             else:
                 def ns(t):
                     return t
+            if c.kind == "matchall":
+                # Lucene MatchAllDocsQuery (`*:*`): every live doc at
+                # constant score boost·1.0; SHOULD clauses sum. `-*:*`
+                # is an all-negative query — nothing it can enumerate.
+                if c.occur == "-":
+                    raise ValueError(
+                        "-*:* matches nothing it can enumerate")
+                matchall_boost += c.boost
+                continue
             if c.kind == "range":
                 # field:[lo TO hi] — a non-scoring MUST filter (Lucene's
                 # constant-score rewrite adds a flat 1.0; documented
@@ -2595,6 +2631,36 @@ class QuerySession:
         for s in deny_id_sets:
             deny_ids = s if deny_ids is None else deny_ids.union(s)
         # no .distinct(): _pseudo_rows_df np.unique's per range anyway
+        if matchall_boost:
+            # *:* — the constant-score path: every live doc (minus
+            # tombstones and MUST_NOT sets, intersected with range
+            # filters) at score Σ boosts, deterministic doc_id order.
+            # Combining with BM25-scoring clauses would need a mixed
+            # constant+BM25 channel the engine does not model — raise
+            # loudly rather than misrank (documented subset).
+            if (must_terms or should_terms or phrase_specs
+                    or gated_specs):
+                raise ValueError(
+                    "*:* cannot combine with scoring clauses; drop *:* "
+                    "(it never changes which docs the terms match)")
+            ids = self.docmap().select("doc_id")
+            if allow_df is not None:
+                ids = ids.join(allow_df, "doc_id")
+            if deny_terms:
+                m = self._match_terms(deny_terms, conjunctive=False)
+                deny_ids = m if deny_ids is None else deny_ids.union(m)
+            if deny_ids is not None:
+                ids = ids.join(deny_ids.select("doc_id"), "doc_id",
+                               "left_anti")
+            from ..ops.maintenance import delete_list_path, read_deletes
+            import os as _os
+            if _os.path.exists(delete_list_path(self.root)):
+                ids = ids.join(
+                    F.broadcast(read_deletes(self.spark, self.root)),
+                    "doc_id", "left_anti")
+            out = (ids.withColumn("score", F.lit(float(matchall_boost)))
+                   .orderBy("doc_id"))
+            return out.limit(k) if k is not None else out
         if ((allow_df is not None or deny_ids is not None)
                 and not phrase_specs and not gated_specs
                 and not must_terms and not should_terms):

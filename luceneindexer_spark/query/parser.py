@@ -11,6 +11,8 @@ Supported grammar (documented subset of the Lucene classic syntax):
   including quoted phrases (``path:"file txt"``)
 - ``"a b"`` quoted phrase; ``"a b"~3`` span-near with slop 3
 - ``te*`` prefix, ``t?ble``/``ta*le`` wildcard, ``term~``/``term~1`` fuzzy
+  — including legacy fractional similarity (``term~0.8``), mapped to max
+  edits via Lucene ``FuzzyQuery.floatToEdits`` (round 4, final)
 - ``/regex/`` RegexpQuery (anchored, Lucene ``RegexpQuery``; whitespace
   inside the pattern is not supported — atoms split on whitespace)
 - ``field:[lo TO hi]`` inclusive range (Lucene ``TermRangeQuery`` /
@@ -19,7 +21,12 @@ Supported grammar (documented subset of the Lucene classic syntax):
   (Lucene's constant-score rewrite contributes a flat 1.0 — documented
   divergence). Exclusive ``{lo TO hi}`` and the mixed ``[lo TO hi}`` /
   ``{lo TO hi]`` forms (round 4) exclude the marked endpoint, exactly
-  Lucene's bracket grammar
+  Lucene's bracket grammar; a ``*`` bound is open-ended (round 4,
+  final — Lucene's null bound), ``[* TO *]`` and the ``field:*``
+  FieldExistsQuery sugar match docs with the field present
+- ``*:*`` MatchAllDocsQuery (round 4, final): every live doc at
+  constant score ``Σ boosts``; composes with range filters and
+  MUST_NOT clauses, raises loudly beside BM25-scoring clauses
 - ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
 - ``(a b)`` parenthesized SHOULD group: ``+(a b)`` MUST (doc must match
@@ -45,8 +52,11 @@ Supported grammar (documented subset of the Lucene classic syntax):
   Lucene's SHOULD-of-expansions rewrite, optionally field-scoped:
   ``(+lang:py* x)``), field-scoped terms and phrases (FieldLeaf /
   PhraseLeaf with ``field`` — field-namespace matching + field norms),
+  field-scoped GROUPS at any depth (``(+lang:(en fr) x)``, round 4
+  final — a pure-SHOULD GroupNode of field-namespace leaves),
   and matching-only field ranges in ANY occur position (RangeLeaf; a
-  SHOULD range joins the match union but never scores). Members and
+  SHOULD range joins the match union but never scores; ``field:*``
+  presence members ride the same leaf). Members and
   whole subgroups may carry ``^boosts`` (round 4, final:
   ``(+a b^2)``, ``(a (b c)^2)``) — boosts multiply down the tree into
   each leaf's scoring weight; range boosts raise (ranges never score)
@@ -372,7 +382,8 @@ def _classify_expansion(text: str) -> "tuple[str, str, int] | None":
         return ("regexp", rx.group(1), 0)
     fz = _FUZZY_RE.match(text)
     if fz is not None:
-        return ("fuzzy", fz.group(1), int(fz.group(2) or 2))
+        return ("fuzzy", fz.group(1),
+                _fuzzy_edits(fz.group(1), fz.group(2)))
     if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
         if len(text) < 2:
             raise ValueError("bare * inside a group")
@@ -451,11 +462,54 @@ def parse_group_tree(inner: str) -> GroupNode:
             child.boost = boost   # subquery boost '(b c)^2' (round 4)
             seq.append((occur, child))
             continue
+        fgm = _FIELD_RE.match(tok)
+        if fgm is not None and _outer_parens_match(fgm.group(2)):
+            # field-scoped group member (round 4, final):
+            # (+lang:(en fr) x) — Lucene's field-grouped syntax at any
+            # nesting depth. A pure-SHOULD GroupNode of FieldLeaf /
+            # field-scoped ExpansionLeaf members over the field's
+            # namespace; plain terms and expansions only (the same
+            # member grammar as top-level field groups), each
+            # optionally ^boosted; the whole group's ^boost rides
+            # GroupNode.boost.
+            g_field, g_inner = fgm.group(1), fgm.group(2)[1:-1].strip()
+            if not g_inner:
+                raise ValueError(f"empty () group in: {inner!r}")
+            if any(ch in g_inner for ch in '":()[]{}'):
+                raise ValueError(
+                    "field-scoped () groups may contain only plain "
+                    f"terms and expansions: {tok!r}")
+            child = GroupNode(boost=boost)
+            for mem in g_inner.split():
+                m_boost = 1.0
+                mb = _BOOST_RE.match(mem)
+                if mb is not None:
+                    mem, m_boost = mb.group(1), float(mb.group(2))
+                    if not mem:
+                        raise ValueError(
+                            "dangling ^boost with no atom in group")
+                exp = _classify_expansion(mem)
+                if exp is not None:
+                    kind, text, num = exp
+                    child.shoulds.append(ExpansionLeaf(
+                        kind, text, num, field=g_field, boost=m_boost))
+                else:
+                    child.shoulds.append(
+                        FieldLeaf(g_field, mem, boost=m_boost))
+            seq.append((occur, child))
+            continue
         if "(" in tok or ")" in tok:
             raise ValueError(f"malformed group atom: {tok!r}")
         fm = _FIELD_RE.match(tok)
         if fm is not None:
             fname, f_inner = fm.group(1), fm.group(2)
+            if f_inner == "*":
+                # field-presence member (Lucene FieldExistsQuery):
+                # matching-only, same as the open range [* TO *]
+                if boost != 1.0:
+                    raise ValueError("range boosts are not supported")
+                seq.append((occur, RangeLeaf(fname, "* TO *", 0)))
+                continue
             rm = _RANGE_RE.match(f_inner)
             if rm is not None:
                 # field range member (round 4): matching-only, legal in
@@ -515,7 +569,23 @@ def parse_group_tree(inner: str) -> GroupNode:
             f"group with only MUST_NOT clauses matches nothing it can "
             f"enumerate: {inner!r}")
     return node
-_FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
+_FUZZY_RE = re.compile(r'^(.+?)~(\d*(?:\.\d+)?)$')
+
+
+def _fuzzy_edits(text: str, spec: str) -> int:
+    """Map a fuzzy suffix to max edit distance, Lucene
+    ``FuzzyQuery.floatToEdits`` semantics: bare ``~`` = 2; a value
+    ≥ 1 is the edit distance itself, capped at 2 (Lucene's
+    ``MAXIMUM_SUPPORTED_DISTANCE``); a fraction in (0, 1) is legacy
+    minimum-similarity — edits = ⌊(1 − sim) · len(term)⌋ capped at 2."""
+    if not spec:
+        return 2
+    val = float(spec)
+    if val >= 1.0:
+        return int(min(val, 2.0))
+    if val == 0.0:
+        return 0
+    return min(int((1.0 - val) * len(text)), 2)
 _BOOST_RE = re.compile(r'^(.+?)\^(\d+(?:\.\d+)?)$')
 _REGEX_RE = re.compile(r'^/(.+)/$', re.S)
 #: inclusive [lo TO hi], exclusive {lo TO hi}, and the mixed forms
@@ -531,7 +601,9 @@ class Clause:
                      #      | group (text = space-separated plain terms)
                      #      | nested (text = raw inner string; parse with
                      #        parse_group_tree)
-                     #      | range (text = "lo TO hi", inclusive)
+                     #      | range (text = "lo TO hi", inclusive; "*"
+                     #        bound = open-ended, Lucene null bound)
+                     #      | matchall (Lucene MatchAllDocsQuery, `*:*`)
     text: str        # raw atom text (unanalyzed)
     num: int = 0     # phrase slop / fuzzy max edits / range-exclusivity
                      #   bits (bit0 = lo exclusive, bit1 = hi exclusive)
@@ -580,6 +652,11 @@ def parse_query_string(q: str) -> list[Clause]:
             tok, boost = m.group(1), float(m.group(2))
             if not tok:
                 raise ValueError("dangling ^boost with no atom")
+        if tok == "*:*":
+            # Lucene MatchAllDocsQuery: every live doc at constant score
+            clauses.append(Clause(occur, "", "matchall", "*:*",
+                                  boost=boost))
+            continue
         if _outer_parens_match(tok):
             inner = tok[1:-1].strip()
             if not inner:
@@ -632,6 +709,13 @@ def parse_query_string(q: str) -> list[Clause]:
             m = _FIELD_RE.match(tok)
             if m:
                 field, tok = m.group(1), m.group(2)
+        if field and tok == "*":
+            # Lucene FieldExistsQuery (`field:*`): a non-scoring
+            # field-presence filter — identical to the open range
+            # `field:[* TO *]`
+            clauses.append(Clause(occur, field, "range", "* TO *",
+                                  boost=boost))
+            continue
         m = _RANGE_RE.match(tok)
         if m is not None:
             if not field:
@@ -658,8 +742,8 @@ def parse_query_string(q: str) -> list[Clause]:
             continue
         m = _FUZZY_RE.match(tok)
         if m is not None and '"' not in tok:
-            clauses.append(Clause(occur, field, "fuzzy",
-                                  m.group(1), int(m.group(2) or 2),
+            clauses.append(Clause(occur, field, "fuzzy", m.group(1),
+                                  _fuzzy_edits(m.group(1), m.group(2)),
                                   boost))
             continue
         if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:

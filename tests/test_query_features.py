@@ -1563,10 +1563,12 @@ def test_query_string_group_member_boosts(built_fields, spark):
         assert (_hits(qs.query_string(f"lang:({x}^2 {y})"))
                 == _hits(qs.query_string(f"lang:({x} {x} {y})")))
 
-    # structured groups still refuse member boosts, loudly
-    for bad in (f"+(+{HOT_TERM} {t2}^2)", f'("{HOT_TERM} {t2}"^2 {t2})'):
-        with pytest.raises(ValueError, match="member boosts"):
-            qs.query_string(bad)
+    # member boosts inside STRUCTURED groups execute too (round 4,
+    # final — exact parity pinned by
+    # test_query_string_final_group_surface); the remaining loud raise
+    # is a boost on something that can never score: an in-group range
+    with pytest.raises(ValueError, match="range boosts"):
+        qs.query_string(f"(+size:[1 TO 2]^2 {t2})")
 
 
 def test_query_string_nested_groups(built_fields, spark):
@@ -1694,8 +1696,12 @@ def test_query_string_phrases_in_groups(built_fields, spark):
     # half): both route to the nested parser
     cs_mix = parse_query_string(f'(wind* "{PHRASE}")')
     assert cs_mix[0].kind == "nested"
-    with _pt.raises(ValueError, match="boosts"):
-        parse_query_string(f'("{PHRASE}"^2 x)')
+    # boosted phrase members parse too (round 4, final) — the boost
+    # lands on the PhraseLeaf, exact scoring pinned by
+    # test_query_string_final_group_surface
+    from luceneindexer_spark.query.parser import parse_group_tree
+    ph_b = parse_group_tree(f'"{PHRASE}"^2 x').shoulds[0]
+    assert ph_b.text == PHRASE and ph_b.boost == 2.0
 
     tl = {int(r.doc_id): tokenize_text(r.content) for r in
           docmap.select("doc_id", "content").collect()}
@@ -1974,6 +1980,111 @@ def test_query_string_final_group_surface(built_fields, spark):
     # loud raises that must survive: range boosts, malformed atoms
     with _pt.raises(ValueError, match="range boosts"):
         qs.query_string(f"{a} (+size:[1 TO 2]^2 {b})", k=None)
+
+
+def test_query_string_matchall_openrange_fuzzy_fieldgroup(built_fields,
+                                                          spark):
+    """Round-4 closing parser surface: `*:*` (MatchAllDocsQuery),
+    open-ended range bounds and field presence (`[* TO x]`, `field:*`),
+    legacy fractional fuzzy similarity (FuzzyQuery.floatToEdits), and
+    field-scoped groups at any nesting depth (`(+lang:(en fr) x)`) —
+    each checked against a python recompute from the raw docmap or the
+    equivalent explicit query."""
+    import pytest as _pt
+    from luceneindexer_spark.query.parser import (_fuzzy_edits,
+                                                  parse_query_string)
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    a, b = HOT_TERM, "stream"
+
+    def hits(df):
+        return [(int(r.doc_id), round(float(r.score), 9))
+                for r in df.collect()]
+
+    # --- *:* match-all: every doc, constant score, doc_id order ---
+    n_docs = docmap.count()
+    all_rows = hits(qs.query_string("*:*", k=None))
+    assert len(all_rows) == n_docs
+    assert all(s == 1.0 for _, s in all_rows)
+    assert [d for d, _ in all_rows[:5]] == sorted(
+        d for d, _ in all_rows)[:5]
+    assert len(hits(qs.query_string("*:*", k=7))) == 7
+    # SHOULD clauses sum; ^boost scales the constant
+    assert hits(qs.query_string("*:*^2.5", k=1))[0][1] == 2.5
+    assert hits(qs.query_string("*:* *:*", k=1))[0][1] == 2.0
+    # range filters intersect, MUST_NOT terms subtract — python oracle
+    sizes = {int(r.doc_id): int(r.size) for r in
+             docmap.select("doc_id", "size").collect()}
+    mid = sorted(sizes.values())[len(sizes) // 2]
+    with_a = {d for d, _ in hits(qs._score_terms([a], None,
+                                                 conjunctive=False))}
+    want = sorted(d for d, s in sizes.items()
+                  if s <= mid and d not in with_a)
+    got = hits(qs.query_string(f"*:* size:[* TO {mid}] -{a}", k=None))
+    assert [d for d, _ in got] == want
+    assert all(s == 1.0 for _, s in got)
+    with _pt.raises(ValueError, match="enumerate"):
+        qs.query_string("-*:* x")
+    with _pt.raises(ValueError, match="scoring clauses"):
+        qs.query_string(f"*:* {a}")
+
+    # --- open-ended ranges and field presence ---
+    lo_all = min(sizes.values())
+    assert (hits(qs.query_string(f"{a} size:[* TO {mid}]", k=None))
+            == hits(qs.query_string(f"{a} size:[{lo_all} TO {mid}]",
+                                    k=None)))
+    base = hits(qs.query_string(a, k=None))
+    # [x TO *] with x = min is a no-op filter; [* TO *] and field:*
+    # match every doc with the field present (all of them here)
+    assert hits(qs.query_string(f"{a} size:[{lo_all} TO *]",
+                                k=None)) == base
+    assert hits(qs.query_string(f"{a} lang:[* TO *]", k=None)) == base
+    assert hits(qs.query_string(f"{a} lang:*", k=None)) == base
+    # exclusive open bound: {lo TO *] drops docs at the minimum
+    excl = hits(qs.query_string(f"{a} size:{{{lo_all} TO *]", k=None))
+    assert [d for d, _ in excl] == [d for d, _ in base
+                                    if sizes[d] > lo_all]
+    # in-group RangeLeaf shares the open-bound path (the gated k=None
+    # frame is unsorted — compare as a mapping)
+    g = hits(qs.query_string(f"(+size:[* TO {mid}] {a})", k=None))
+    assert dict(g) == {d: s for d, s in base if sizes[d] <= mid}
+
+    # --- fractional fuzzy (FuzzyQuery.floatToEdits) ---
+    assert _fuzzy_edits("stream", "") == 2
+    assert _fuzzy_edits("stream", "1") == 1
+    assert _fuzzy_edits("stream", "9") == 2      # capped, not an error
+    assert _fuzzy_edits("stream", "0.75") == 1   # (1-.75)*6 = 1.5 -> 1
+    assert _fuzzy_edits("stream", "0.5") == 2    # 3 capped at 2
+    assert _fuzzy_edits("stream", "0.99") == 0
+    assert (parse_query_string("stream~0.75")
+            == parse_query_string("stream~1"))
+    assert hits(qs.query_string(f"{b}~0.75", k=None)) == hits(
+        qs.query_string(f"{b}~1", k=None))
+    # ~0 / sim→1: the exact term only, scored like a plain term
+    assert hits(qs.query_string(f"{b}~0", k=None)) == hits(
+        qs.query_string(b, k=None))
+
+    # --- field-scoped groups inside nested groups ---
+    langs = sorted(r.lang for r in docmap.select("lang")
+                   .distinct().collect())
+    x, y = langs[0], langs[1]
+    assert hits(qs.query_string(f"{b} (+lang:({x} {y}) {a})",
+                                k=None)) == hits(
+        qs.query_string(f"{b} (+(lang:{x} lang:{y}) {a})", k=None))
+    # member boosts and whole-group boosts fold through
+    assert hits(qs.query_string(f"{b} (+lang:({x}^2 {y}) {a})",
+                                k=None)) == hits(
+        qs.query_string(f"{b} (+(lang:{x}^2 lang:{y}) {a})", k=None))
+    assert hits(qs.query_string(f"({b} lang:({x} {y})^2)",
+                                k=None)) == hits(
+        qs.query_string(f"({b} (lang:{x} lang:{y})^2)", k=None))
+    # expansion members expand over the field's namespace slice
+    assert hits(qs.query_string(f"{b} (+lang:({x[:-1]}* {y}) {a})",
+                                k=None)) == hits(
+        qs.query_string(f"{b} (+(lang:{x[:-1]}* lang:{y}) {a})",
+                        k=None))
+    with _pt.raises(ValueError, match="plain terms and expansions"):
+        qs.query_string(f'({b} lang:("{x}" {y}))')
 
 
 def test_query_string_generalized_must_not(built_fields, spark):
