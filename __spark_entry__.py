@@ -596,6 +596,24 @@ def _q_lucene_qs_matchall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_MATCHALL_QUERY, k=10), "score")
 
 
+MIX_SIZE = 150  # keeps ~5 'dup' docs in range → k=10 mixes both channels
+QS_MATCHALL_MIXED_QUERY = f"*:*^2 dup size:[* TO {MIX_SIZE}]"
+
+
+def _q_lucene_qs_matchall_mixed(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """``*:*`` beside a BM25-scoring clause (round 4, final — exact
+    BooleanQuery mixing): docs matching the SHOULD term score
+    BM25 + 2.0 (the boosted constant), every other in-range live doc
+    matches at exactly 2.0 in doc_id order. The size cutoff keeps few
+    enough term docs that the k=10 page exercises BOTH channels —
+    ranked scored rows first, then doc_id-ordered constant padding."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_MATCHALL_MIXED_QUERY, k=10),
+                   "score")
+
+
 QS_OPEN_RANGE_QUERY = f"window size:[{SIZE_HI} TO *]"
 
 
@@ -1534,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_field_exp_group": _q_lucene_qs_field_exp_group,
         "lucene_qs_should_range": _q_lucene_qs_should_range,
         "lucene_qs_matchall": _q_lucene_qs_matchall,
+        "lucene_qs_matchall_mixed": _q_lucene_qs_matchall_mixed,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -2695,6 +2714,33 @@ SELECT d.doc_id, 1.0::DOUBLE AS score FROM documents d
 WHERE length(d.text) <= {SIZE_HI}
   AND d.doc_id NOT IN (SELECT doc_id FROM s)
 ORDER BY d.doc_id ASC LIMIT 10
+""",
+        # *:*^2 dup size:[* TO mid]: exact BooleanQuery mixing — docs
+        # with the term score BM25 + 2.0 (global-df idf; the range
+        # restricts matching, not stats), the rest of the in-range
+        # docs pad at exactly 2.0 in doc_id order
+        "lucene_qs_matchall_mixed": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+wtf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+        WHERE term = 'dup' GROUP BY doc_id),
+wdf AS (SELECT count(*)::DOUBLE AS df FROM wtf),
+inr AS (SELECT doc_id FROM documents WHERE length(text) <= {MIX_SIZE}),
+scored AS (
+  SELECT w.doc_id,
+         round(2.0 + ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * w.tf * {K1_1} / (w.tf + {BM25_K1} * (1 - {BM25_B}
+                 + {BM25_B} * dl.doclen / s.avgdl)), 6) AS score
+  FROM wtf w JOIN inr USING (doc_id) JOIN dl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN wdf d),
+pads AS (SELECT doc_id, 2.0 AS score FROM inr
+         WHERE doc_id NOT IN (SELECT doc_id FROM scored))
+SELECT doc_id, score::DOUBLE AS score
+FROM (SELECT * FROM scored UNION ALL SELECT * FROM pads)
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # window size:[lo TO *]: open upper bound — BM25 on window
         # restricted to length(text) >= lo

@@ -2287,8 +2287,10 @@ class QuerySession:
         - ``*:*`` (round 4, final): Lucene MatchAllDocsQuery — every
           live doc at constant score Σ boosts, minus tombstones and
           MUST_NOT sets, intersected with range filters; deterministic
-          doc_id order. Raises beside BM25-scoring clauses (no mixed
-          constant+BM25 channel).
+          doc_id order. Beside BM25-scoring clauses it mixes exactly
+          like Lucene's BooleanQuery: scored docs gain the constant,
+          and (absent a MUST scoring clause) every other live doc
+          matches at exactly the constant, doc_id order.
 
         Field-scoped expansions (``path:parse*``, ``lang:pyth~1``,
         ``path:/t.st/``) scan the field's namespaced dictionary slice and
@@ -2632,25 +2634,29 @@ class QuerySession:
             deny_ids = s if deny_ids is None else deny_ids.union(s)
         # no .distinct(): _pseudo_rows_df np.unique's per range anyway
         if matchall_boost:
-            # *:* — the constant-score path: every live doc (minus
-            # tombstones and MUST_NOT sets, intersected with range
-            # filters) at score Σ boosts, deterministic doc_id order.
-            # Combining with BM25-scoring clauses would need a mixed
-            # constant+BM25 channel the engine does not model — raise
-            # loudly rather than misrank (documented subset).
-            if (must_terms or should_terms or phrase_specs
-                    or gated_specs):
-                raise ValueError(
-                    "*:* cannot combine with scoring clauses; drop *:* "
-                    "(it never changes which docs the terms match)")
+            # *:* — Lucene MatchAllDocsQuery. Alone (or with only range
+            # / MUST_NOT / group filters): every live doc (minus
+            # tombstones and deny sets, intersected with the filters)
+            # at constant score Σ boosts, deterministic doc_id order.
+            # Beside scoring clauses (round 4, final — exact
+            # BooleanQuery mixing): every scored doc gains the
+            # constant, and when no MUST scoring clause restricts the
+            # match set, the remaining live docs join at exactly the
+            # constant. BM25 contributions are strictly positive, so
+            # scored docs always outrank constant-only docs; the final
+            # top-k is therefore the scorer's top-k plus doc_id-ordered
+            # padding, and the padding anti-join is complete whenever
+            # it matters (a scorer that filled k rows makes the padding
+            # moot; one that did not has returned its FULL match set).
             ids = self.docmap().select("doc_id")
             if allow_df is not None:
                 ids = ids.join(allow_df, "doc_id")
+            pad_deny = deny_ids
             if deny_terms:
                 m = self._match_terms(deny_terms, conjunctive=False)
-                deny_ids = m if deny_ids is None else deny_ids.union(m)
-            if deny_ids is not None:
-                ids = ids.join(deny_ids.select("doc_id"), "doc_id",
+                pad_deny = m if pad_deny is None else pad_deny.union(m)
+            if pad_deny is not None:
+                ids = ids.join(pad_deny.select("doc_id"), "doc_id",
                                "left_anti")
             from ..ops.maintenance import delete_list_path, read_deletes
             import os as _os
@@ -2658,9 +2664,34 @@ class QuerySession:
                 ids = ids.join(
                     F.broadcast(read_deletes(self.spark, self.root)),
                     "doc_id", "left_anti")
-            out = (ids.withColumn("score", F.lit(float(matchall_boost)))
-                   .orderBy("doc_id"))
-            return out.limit(k) if k is not None else out
+            mb = F.lit(float(matchall_boost))
+            if not (must_terms or should_terms or phrase_specs
+                    or gated_specs):
+                out = ids.withColumn("score", mb).orderBy("doc_id")
+                return out.limit(k) if k is not None else out
+            if gated_specs:
+                scored = self._gated_sum(k, gated_specs, phrase_specs,
+                                         must_terms, should_terms,
+                                         deny_terms, allow_df, deny_ids,
+                                         boost_acc, has_boost)
+            else:
+                scored = self._dispatch_score(
+                    k, phrase_specs, must_terms, should_terms,
+                    deny_terms, allow_df, deny_ids, boost_acc,
+                    has_boost)
+            scored = ((empty if scored is None else scored)
+                      .withColumn("score", F.col("score") + mb))
+            if must_terms or phrase_specs:
+                # a MUST scoring clause already bounds the match set —
+                # *:* only shifts every score by the constant
+                return scored
+            pad = (ids.join(scored.select("doc_id"), "doc_id",
+                            "left_anti").withColumn("score", mb))
+            if k is None:
+                # unsorted, like every other k=None scoring frame
+                return scored.unionByName(pad)
+            return (scored.unionByName(pad.orderBy("doc_id").limit(k))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         if ((allow_df is not None or deny_ids is not None)
                 and not phrase_specs and not gated_specs
                 and not must_terms and not should_terms):

@@ -25,8 +25,9 @@ Supported grammar (documented subset of the Lucene classic syntax):
   final — Lucene's null bound), ``[* TO *]`` and the ``field:*``
   FieldExistsQuery sugar match docs with the field present
 - ``*:*`` MatchAllDocsQuery (round 4, final): every live doc at
-  constant score ``Σ boosts``; composes with range filters and
-  MUST_NOT clauses, raises loudly beside BM25-scoring clauses
+  constant score ``Σ boosts``; composes with range filters, MUST_NOT
+  clauses, and BM25-scoring clauses (exact BooleanQuery mixing —
+  scored docs gain the constant, the rest match at the constant)
 - ``atom^2`` / ``atom^0.5`` boost (Lucene query boost), valid on terms,
   phrases, and multi-term atoms; parsed outermost (``term~1^2``)
 - ``(a b)`` parenthesized SHOULD group: ``+(a b)`` MUST (doc must match

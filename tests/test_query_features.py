@@ -2025,8 +2025,37 @@ def test_query_string_matchall_openrange_fuzzy_fieldgroup(built_fields,
     assert all(s == 1.0 for _, s in got)
     with _pt.raises(ValueError, match="enumerate"):
         qs.query_string("-*:* x")
-    with _pt.raises(ValueError, match="scoring clauses"):
-        qs.query_string(f"*:* {a}")
+
+    # --- *:* mixed with scoring clauses (exact BooleanQuery sum) ---
+    # every doc matching the SHOULD term scores BM25 + constant; every
+    # other live doc matches at exactly the constant, doc_id order
+    term_hits = hits(qs.query_string(a, k=None))
+    mixed = hits(qs.query_string(f"*:*^2 {a}", k=None))
+    assert dict(mixed) == {
+        **{d: 2.0 for d, _ in all_rows},
+        **{d: round(s + 2.0, 9) for d, s in term_hits}}
+    # top-k: scored docs first (BM25 order), then doc_id-ordered pads
+    n_t = len(term_hits)
+    page = hits(qs.query_string(f"*:* {a}", k=n_t + 3))
+    assert page[:n_t] == [(d, round(s + 1.0, 9))
+                          for d, s in sorted(term_hits,
+                                             key=lambda p: (-p[1], p[0]))]
+    assert page[n_t:] == [(d, 1.0) for d, _ in all_rows
+                          if d not in dict(term_hits)][:3]
+    # a MUST scoring clause bounds the match set — no padding, scores
+    # shift by the constant only
+    assert hits(qs.query_string(f"*:* +{a}", k=None)) == [
+        (d, round(s + 1.0, 9)) for d, s in term_hits]
+    # range filters restrict the padding too
+    got_mix = hits(qs.query_string(f"*:* {a} size:[* TO {mid}]", k=None))
+    t_in = {d: s for d, s in term_hits if sizes[d] <= mid}
+    assert dict(got_mix) == {
+        **{d: 1.0 for d, s in sizes.items() if s <= mid},
+        **{d: round(s + 1.0, 9) for d, s in t_in.items()}}
+    # an absent SHOULD term contributes nothing: pure constant result
+    # (the mixed k=None frame is unsorted — compare as sets)
+    assert sorted(hits(qs.query_string("*:* zzzqqqxyz",
+                                       k=None))) == all_rows
 
     # --- open-ended ranges and field presence ---
     lo_all = min(sizes.values())
