@@ -198,9 +198,11 @@ REGEXP_PAT = "st.*m"     # whole-term anchored; matches stream/...
 
 
 def _q_lucene_qs_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lucene classic query string through the parser+executor: a MUST term
-    riding a slop phrase — both compile into ONE whole-words cogroup pass
-    (the term is a 1-token clause)."""
+    """Lucene classic query string through the parser+executor: a MUST
+    term beside a bare (SHOULD, round 4 final) slop phrase — both compile
+    into ONE whole-words cogroup pass (the term is a 1-token MUST
+    clause); match = the MUST term's docs, the span-near clause adds its
+    terms' contributions exactly where it matches within the slack."""
     root = _index_root(spark, sf_dir)
     qs = engine.QuerySession(spark, root, cache=False)
     return _round6(qs.query_string(QS_PHRASE_QUERY, k=10), "score")
@@ -296,12 +298,13 @@ QS_SHOULD_PHRASE_QUERY = f'stream "{INDEX_PHRASE}" window'
 
 def _q_lucene_qs_should_phrase(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
-    """SHOULD terms beside a phrase (round 4): ``stream "table hash"
-    window`` — the quoted phrase is MUST (pinned divergence), the bare
-    terms ride as scoring-only SHOULD 1-token clauses in the SAME
-    whole-words cogroup pass (exact Lucene BooleanQuery occur semantics:
-    match = phrase docs, each present SHOULD term adds its BM25
-    contribution). Through round 3 this shape raised loudly."""
+    """SHOULD terms beside a SHOULD phrase (round 4, final — true
+    classic-parser default-OR): ``stream "table hash" window`` — all
+    three clauses are optional, so the match set is the UNION of the
+    two terms' docs and the phrase docs, and each doc sums the
+    contributions of exactly the clauses it matches (phrase terms count
+    only where the consecutive phrase occurs). One whole-words cogroup
+    pass, exact Lucene BooleanQuery occur semantics."""
     root = _index_root(spark, sf_dir)
     qs = engine.QuerySession(spark, root, cache=False)
     return _round6(qs.query_string(QS_SHOULD_PHRASE_QUERY, k=10), "score")
@@ -310,10 +313,11 @@ def _q_lucene_qs_should_phrase(spark: SparkSession, sf_dir: str
 def _q_phrase_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase boost (round 4): ``+stream "table hash"^2`` — the boost
     multiplies the PhraseQuery clause's score (Lucene ^boost on a quoted
-    phrase); the MUST rider scores unboosted. Clause scoring is the
-    pinned "terms" mode (conjunctive BM25 of the phrase's constituent
-    terms), so score = BM25(stream) + 2*(BM25(table)+BM25(hash)) over
-    docs containing the consecutive phrase AND the rider."""
+    phrase); the MUST term scores unboosted. The bare phrase is a SHOULD
+    clause (round 4, final), so match = docs with the MUST term, and
+    score = BM25(stream) + 2*(BM25(table)+BM25(hash)) exactly where the
+    consecutive phrase occurs (stream-only docs keep their term
+    score)."""
     root = _index_root(spark, sf_dir)
     qs = engine.QuerySession(spark, root, cache=False)
     return _round6(qs.query_string(QS_PHRASE_BOOST_QUERY, k=10), "score")
@@ -1508,8 +1512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # followed by entries already driver-green in CORRECTNESS_r03.json.
     return {
         # --- never driver-checked before round 4 ---
-        "token_counts": _q_token_counts,
-        "fingerprint_summary": _q_fingerprints,
         "shared_span_pairs": _q_shared_spans,
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1563,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         # --- driver-green in CORRECTNESS_r03.json ---
         "quality_features": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint_summary": _q_fingerprints,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -1833,6 +1837,67 @@ SELECT doc_id, round(score, 6)::DOUBLE AS score{extra_col}
 FROM scored{" JOIN documents USING (doc_id)" if need_docs else ""}
 WHERE nt {f"= {len(terms)}" if conjunctive else f">= {min_match}"}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+"""
+
+
+def _phrase_mix_sql(must: list, should: list, phrase: str, slop: int,
+                    phrase_boost: float, k: int) -> str:
+    """Occur-aware phrase-mix oracle (round 4, final — bare phrases are
+    SHOULD clauses): match = docs with ALL ``must`` terms when any exist,
+    else the union of the ``should`` terms' docs and the phrase docs;
+    score = Σ present bare-term BM25 contributions plus
+    ``phrase_boost`` × the phrase terms' contributions exactly on docs
+    where the phrase matches (consecutively, or within ``slop`` as
+    ordered span-near). idf uses each term's GLOBAL df, the engine's
+    convention."""
+    pterms = query_terms(phrase)
+    assert len(pterms) == 2  # oracle limited to 2-term phrases here
+    bare = list(dict.fromkeys(must + should))
+    assert not set(bare) & set(pterms)
+    all_terms = list(dict.fromkeys(bare + pterms))
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    bare_in = ", ".join(f"'{t}'" for t in bare)
+    pos_cond = ("b.pos = a.pos + 1" if slop == 0 else
+                f"b.pos > a.pos AND b.pos - a.pos <= {slop + 1}")
+    if must:
+        match = " INTERSECT ".join(
+            f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'"
+            for t in must)
+    else:
+        sh_in = ", ".join(f"'{t}'" for t in should)
+        match = (f"SELECT DISTINCT doc_id FROM tok WHERE term IN ({sh_in})"
+                 " UNION SELECT doc_id FROM phrase_docs")
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tokp AS ({_TOKP}),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id FROM tokp a JOIN tokp b
+    ON b.doc_id = a.doc_id AND {pos_cond}
+  WHERE a.term = '{pterms[0]}' AND b.term = '{pterms[1]}'),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({bare_in}) THEN c
+                  WHEN doc_id IN (SELECT doc_id FROM phrase_docs)
+                       THEN {float(phrase_boost)} * c
+                  ELSE 0 END) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+WHERE doc_id IN ({match})
+ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -2326,10 +2391,11 @@ SELECT count(*)::BIGINT AS n_matches FROM m
 """,
         # snippet = width chars around the rarest term's first occurrence
         "highlight_search": _bm25_sql(HL_QUERY, 10, snippet_term=HL_RARE),
-        # query string '+stream "table hash"~N': conjunctive BM25 of all 3
-        # terms over docs matching the span-near AND containing 'stream'
-        "lucene_qs_phrase": _bm25_sql(f"stream {INDEX_PHRASE}", 10,
-                                      phrase=INDEX_PHRASE, slop=NEAR_SLOP),
+        # query string '+stream "table hash"~N' (round 4, final — bare
+        # phrases are SHOULD): match = stream docs; the span-near
+        # clause's terms contribute exactly where it matches
+        "lucene_qs_phrase": _phrase_mix_sql(
+            ["stream"], [], INDEX_PHRASE, NEAR_SLOP, 1.0, 10),
         # query string 'table AND stream -merge wind*': SHOULD union of
         # MUST terms + prefix expansion over docs with every MUST, minus
         # docs containing the deny term
@@ -2908,18 +2974,16 @@ SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
 WHERE has_s = 1 OR doc_id IN (SELECT doc_id FROM phrase_docs)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
-        # stream "table hash" window: phrase docs only (phrase = MUST,
-        # pinned divergence), SHOULD riders contribute where present —
-        # union scoring over all 4 terms restricted to phrase docs
-        "lucene_qs_should_phrase": _bm25_sql("stream table hash window",
-                                             10, conjunctive=False,
-                                             phrase=INDEX_PHRASE),
-        # +stream "table hash"^2: conjunctive BM25 of all 3 terms over
-        # phrase-matching docs, phrase terms weighted 2x (clause boost)
-        "phrase_boost_search": _bm25_sql(f"stream {INDEX_PHRASE}", 10,
-                                         phrase=INDEX_PHRASE,
-                                         boosts={"table": 2.0,
-                                                 "hash": 2.0}),
+        # stream "table hash" window (round 4, final — all-SHOULD): match
+        # = stream docs ∪ window docs ∪ phrase docs; each doc sums the
+        # clauses it matches (phrase terms only where consecutive)
+        "lucene_qs_should_phrase": _phrase_mix_sql(
+            [], ["stream", "window"], INDEX_PHRASE, 0, 1.0, 10),
+        # +stream "table hash"^2 (round 4, final — the phrase is SHOULD):
+        # match = stream docs; phrase terms weighted 2x where the
+        # consecutive phrase occurs
+        "phrase_boost_search": _phrase_mix_sql(
+            ["stream"], [], INDEX_PHRASE, 0, 2.0, 10),
         # GroupingSearch: top-5 lang groups by best hit, top-2 docs each
         "grouped_by_lang": _grouped_sql(BM25_QUERY, "lang",
                                         N_GROUPS, DOCS_PER_GROUP),

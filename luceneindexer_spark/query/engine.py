@@ -1570,8 +1570,8 @@ class QuerySession:
         k_cut = k if k is not None else meta.range_size + 1
         terms_all = sorted({t for _, td, _, _ in clauses for t in td})
         sentinels = sorted({s for _, _, s, _ in clauses})
-        if occurs is not None and not any(o == "+" for o in occurs):
-            raise ValueError("phrase-mode queries need >= 1 MUST clause")
+        # all-SHOULD clause sets are legal (round 4, final): the scorer's
+        # no-MUST path matches the union of the SHOULD clauses' matches
         post = self.post.filter(F.col("term").isin(terms_all))
         norms = self.norms.filter(F.col("term").isin(sentinels))
         if not self._cached:
@@ -2242,11 +2242,16 @@ class QuerySession:
           join the SHOULD union (Lucene's scoring-boolean rewrite). A MUST
           expansion additionally restricts candidates to the expansion's
           match set via the exact allowlist.
-        - quoted phrases (always MUST here — documented divergence) compile
-          to whole-words clauses with per-clause slop; bare MUST terms ride
-          along as 1-token MUST clauses and bare SHOULD terms (round 4) as
-          scoring-only SHOULD clauses, so ``+table "stream window"~3 fast``
-          is ONE cogroup pass with exact BooleanQuery occur semantics.
+        - quoted phrases carry their occur (round 4, final — the earlier
+          always-MUST divergence is CLOSED): ``+"a b"`` restricts the
+          match set, a bare ``"a b"`` is a SHOULD clause that scores
+          where it matches (over the MUST candidates when MUSTs exist,
+          else joining the match union — exact classic-parser
+          default-OR semantics). Phrases compile to whole-words clauses
+          with per-clause slop; bare MUST terms ride along as 1-token
+          MUST clauses and bare SHOULD terms as scoring-only SHOULD
+          clauses, so ``+table "stream window"~3 fast`` is ONE cogroup
+          pass with exact BooleanQuery occur semantics.
         - mixed MUST + SHOULD terms: the SHOULD union scorer runs restricted
           to ``match_ids(MUST)`` through the allowlist — score = sum of all
           present terms over docs matching every MUST, which is exactly
@@ -2321,7 +2326,9 @@ class QuerySession:
         must_terms: list[str] = []
         should_terms: list[str] = []
         deny_terms: list[str] = []
-        phrase_specs: list[tuple[str, list[str], int, float]] = []
+        # (field, tokens, slop, boost, occur) — occur "+" restricts the
+        # match set, "" is a scoring-only SHOULD clause (round 4, final)
+        phrase_specs: list[tuple[str, list[str], int, float, str]] = []
         allow_sets: list[DataFrame] = []
         # Generalized MUST_NOT (round 4): deny phrases / ranges /
         # structured nested groups compile to doc-id match sets that ride
@@ -2387,7 +2394,8 @@ class QuerySession:
                         deny_id_sets.append(m)
                 elif toks:
                     phrase_specs.append(
-                        (c.field, [ns(t) for t in toks], c.num, c.boost))
+                        (c.field, [ns(t) for t in toks], c.num, c.boost,
+                         c.occur))
             elif c.kind == "term":
                 toks = [ns(t) for t in tokenize_text(c.text)]
                 if c.occur == "-":
@@ -2681,7 +2689,8 @@ class QuerySession:
                     has_boost)
             scored = ((empty if scored is None else scored)
                       .withColumn("score", F.col("score") + mb))
-            if must_terms or phrase_specs:
+            if must_terms or any(oc == "+"
+                                 for *_, oc in phrase_specs):
                 # a MUST scoring clause already bounds the match set —
                 # *:* only shifts every score by the constant
                 return scored
@@ -2730,7 +2739,8 @@ class QuerySession:
             # BooleanQuery occur semantics across clauses. A SHOULD term
             # that is also a MUST rider is dropped (its boost already
             # summed into the MUST clause — the duplicate-clause rule).
-            raw = ([(f, seq, sl, b, "+") for f, seq, sl, b in phrase_specs]
+            raw = ([(f, seq, sl, b, "+" if oc == "+" else "")
+                    for f, seq, sl, b, oc in phrase_specs]
                    + [("" if ":" not in t else t.split(":", 1)[0],
                        [t], 0, boost_acc.get(t, 1.0), "+")
                       for t in dict.fromkeys(must_terms)]
@@ -2810,7 +2820,9 @@ class QuerySession:
             mm = self._match_terms(uniq, conjunctive=True)
             gate_allow = (mm if gate_allow is None
                           else gate_allow.intersect(mm))
-        for f, seq, sl, _b in phrase_specs:
+        for f, seq, sl, _b, oc in phrase_specs:
+            if oc != "+":
+                continue  # a SHOULD phrase scores via the base frame only
             pm = self._phrase_match_ids(f or None, seq, slop=sl)
             if pm is None:
                 return empty  # a MUST phrase term absent corpus-wide

@@ -1230,49 +1230,58 @@ def test_query_string_compiles_to_engine_calls(built_fields, spark):
     np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
                                rtol=0, atol=1e-6)
 
-    # phrase + MUST term rider: phrase docs ∩ HOT docs, clause scores sum
+    # phrase occur semantics (round 4, final — classic-parser default
+    # OR; the earlier always-MUST phrase divergence is closed)
     ph_all = {int(r.doc_id): float(r.score) for r in
               qs.topk(PHRASE, mode="phrase", k=10 ** 6).collect()}
-    dfh = {HOT_TERM: sum(1 for v in toks.values() if HOT_TERM in set(v))}
-    rider = []
-    for d, base in ph_all.items():
-        c = collections.Counter(toks[d])
-        tf = float(c.get(HOT_TERM, 0))
+    dfm2 = {t: sum(1 for v in toks.values() if t in set(v))
+            for t in (HOT_TERM, RARE_TERM)}
+
+    def contrib(d: int, t: str) -> float:
+        tf = float(collections.Counter(toks[d]).get(t, 0))
         if not tf:
-            continue
-        s = base + (engine._idf(meta.n_docs, dfh[HOT_TERM]) * tf
-                    * (BM25_K1 + 1)
-                    / (tf + BM25_K1 * (1 - BM25_B + BM25_B
-                                       * len(toks[d]) / meta.avgdl)))
-        rider.append((d, round(s, 9)))
+            return 0.0
+        return (engine._idf(meta.n_docs, dfm2[t]) * tf * (BM25_K1 + 1)
+                / (tf + BM25_K1 * (1 - BM25_B
+                                   + BM25_B * len(toks[d]) / meta.avgdl)))
+
+    # +"phrase" term: the MUST phrase restricts the match set, the
+    # SHOULD term adds score where present
+    rider = [(d, round(base + contrib(d, HOT_TERM), 9))
+             for d, base in ph_all.items()]
     want_r = sorted(rider, key=lambda kv: (-kv[1], kv[0]))[:10]
-    got_r = _hits(qs.query_string(f'+{HOT_TERM} "{PHRASE}"'))
+    got_r = _hits(qs.query_string(f'+"{PHRASE}" {HOT_TERM}'))
     assert [g[0] for g in got_r] == [w[0] for w in want_r]
     np.testing.assert_allclose([g[1] for g in got_r],
                                [w[1] for w in want_r], rtol=0, atol=1e-6)
 
-    # SHOULD terms beside a phrase (round 4): scoring-only riders — match
-    # set = the (always-MUST) phrase docs, each present SHOULD term adds
-    # its BM25 contribution (exact BooleanQuery occur semantics)
-    dfm2 = {t: sum(1 for v in toks.values() if t in set(v))
-            for t in (HOT_TERM, RARE_TERM)}
-    riders = []
-    for d, base in ph_all.items():
-        c = collections.Counter(toks[d])
-        s = base
-        for t in (HOT_TERM, RARE_TERM):
-            tf = float(c.get(t, 0))
-            if tf:
-                s += (engine._idf(meta.n_docs, dfm2[t]) * tf * (BM25_K1 + 1)
-                      / (tf + BM25_K1 * (1 - BM25_B
-                                         + BM25_B * len(toks[d])
-                                         / meta.avgdl)))
-        riders.append((d, round(s, 9)))
-    want_s = sorted(riders, key=lambda kv: (-kv[1], kv[0]))[:10]
+    # +term "phrase": the bare phrase is a SHOULD rider — match set =
+    # the MUST term's docs, phrase score added where the phrase occurs
+    rider2 = [(d, round(contrib(d, HOT_TERM) + ph_all.get(d, 0.0), 9))
+              for d in toks if HOT_TERM in set(toks[d])]
+    want_m = sorted(rider2, key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_m = _hits(qs.query_string(f'+{HOT_TERM} "{PHRASE}"'))
+    assert [g[0] for g in got_m] == [w[0] for w in want_m]
+    np.testing.assert_allclose([g[1] for g in got_m],
+                               [w[1] for w in want_m], rtol=0, atol=1e-6)
+
+    # all-SHOULD mix: match set = union of the three clauses' matches,
+    # each present clause adds its contribution (exact BooleanQuery)
+    union = []
+    for d in toks:
+        s = (contrib(d, HOT_TERM) + contrib(d, RARE_TERM)
+             + ph_all.get(d, 0.0))
+        if s > 0.0:
+            union.append((d, round(s, 9)))
+    want_s = sorted(union, key=lambda kv: (-kv[1], kv[0]))[:10]
     got_s = _hits(qs.query_string(f'{HOT_TERM} "{PHRASE}" {RARE_TERM}'))
     assert [g[0] for g in got_s] == [w[0] for w in want_s]
     np.testing.assert_allclose([g[1] for g in got_s],
                                [w[1] for w in want_s], rtol=0, atol=1e-6)
+
+    # a lone bare phrase still means the phrase must match
+    assert _hits(qs.query_string(f'"{PHRASE}"')) == \
+        _hits(qs.query_string(f'+"{PHRASE}"'))
 
     # loud errors: pure-negative query, unbalanced quote
     import pytest as _pt
@@ -1360,18 +1369,21 @@ def test_query_string_boosts_and_regexp(built_fields, spark):
     assert b1 and [d for d, _ in b1] == [d for d, _ in b2]
     np.testing.assert_allclose([s for _, s in b2],
                                [s * 2 for _, s in b1], rtol=0, atol=1e-8)
-    # a boosted MUST rider in phrase mode rescales ONLY its own clause:
-    # score(+hot^2 "p") = phrase + 2*hot = score(+hot "p") + hot, where
-    # hot = score(+hot "p") - score("p") per doc
+    # a boosted MUST term beside a SHOULD phrase rescales ONLY its own
+    # clause: score(+hot^2 "p") = phrase-if-present + 2*hot
+    # = score(+hot "p") + hot, where hot = score(+hot "p") minus the
+    # doc's phrase score (0 for the MUST docs without the phrase)
     r1 = {d: s for d, s in
           _hits(qs.query_string(f'+{HOT_TERM} "{PHRASE}"', k=10 ** 6))}
     r2 = {d: s for d, s in
           _hits(qs.query_string(f'+{HOT_TERM}^2 "{PHRASE}"', k=10 ** 6))}
     ph = dict(b1)
     assert r1 and set(r1) == set(r2)
+    assert set(ph) - set(r1), "some phrase docs lack the MUST term"
     np.testing.assert_allclose(
         [r2[d] for d in sorted(r1)],
-        [r1[d] + (r1[d] - ph[d]) for d in sorted(r1)], rtol=0, atol=1e-8)
+        [r1[d] + (r1[d] - ph.get(d, 0.0)) for d in sorted(r1)],
+        rtol=0, atol=1e-8)
 
 
 def test_search_after_pages_tile_full_ranking(built, spark):
@@ -2492,17 +2504,17 @@ def test_query_string_interaction_sweep(built_fields, spark):
             tb[must[0]] = 2.0
         pb = (2.0 if boost is not None and boost[0] == "phrase"
               else 1.0)
-        if ph is not None:
-            cand = phrase_docs(P, ph[1])
-            for t in must:
-                cand &= {d for d in toks if t in toks[d]}
-        elif must:
+        # occur-aware phrases (round 4, final): a bare phrase is a
+        # SHOULD clause — it joins the match union only when no MUST
+        # clause exists, and contributes score exactly where it matches
+        pdocs = phrase_docs(P, ph[1]) if ph is not None else set()
+        if must:
             cand = set(toks)
             for t in must:
                 cand &= {d for d in toks if t in toks[d]}
         else:
             cand = {d for d in toks
-                    if any(t in toks[d] for t in should)}
+                    if any(t in toks[d] for t in should)} | pdocs
         if deny is not None:
             if deny[0] == "term":
                 cand -= {d for d in toks if deny[1] in toks[d]}
@@ -2515,7 +2527,7 @@ def test_query_string_interaction_sweep(built_fields, spark):
         riders = list(dict.fromkeys(must + should))
         for d in sorted(cand):
             s = sum(tb[t] * bm25(t, d) for t in riders)
-            if ph is not None:
+            if ph is not None and d in pdocs:
                 s += pb * sum(bm25(t, d)
                               for t in dict.fromkeys(p_terms))
             scored.append((d, s))
