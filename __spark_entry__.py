@@ -600,6 +600,25 @@ def _q_lucene_qs_matchall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(qs.query_string(QS_MATCHALL_QUERY, k=10), "score")
 
 
+QS_FIELD_GROUPED_QUERY = 'stream path:("notes txt" read)'
+
+
+def _q_lucene_qs_field_grouped(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Field-grouping sugar over the full member grammar (round 4,
+    final — raised until now): ``path:("notes txt" read)`` distributes
+    the field over its members — exactly ``(path:"notes txt"
+    path:read)`` (Lucene MultiFieldQueryParser field grouping). The
+    phrase member matches consecutively in the path namespace and gates
+    its constituent terms (path-field norms); the plain member scores
+    where present; the whole subgroup is pure-SHOULD, so everything
+    flattens into the union beside the ungated stream clause."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    return _round6(qs.query_string(QS_FIELD_GROUPED_QUERY, k=10),
+                   "score")
+
+
 MIX_SIZE = 150  # keeps ~5 'dup' docs in range → k=10 mixes both channels
 QS_MATCHALL_MIXED_QUERY = f"*:*^2 dup size:[* TO {MIX_SIZE}]"
 
@@ -1555,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_should_range": _q_lucene_qs_should_range,
         "lucene_qs_matchall": _q_lucene_qs_matchall,
         "lucene_qs_matchall_mixed": _q_lucene_qs_matchall_mixed,
+        "lucene_qs_field_grouped": _q_lucene_qs_field_grouped,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -2675,6 +2695,54 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         # a structured subgroup — path:notes/path:txt score with
         # path-field norms, window with content norms, all gated on the
         # path-namespace consecutive match (doc_id % 3 != 0 paths)
+        # stream path:("notes txt" read): field-grouping sugar — the
+        # field distributes over the members, so the phrase gates its
+        # path-namespace terms on the consecutive match and path:read
+        # scores where present; pure-SHOULD, so everything flattens
+        # into the union beside stream
+        "lucene_qs_field_grouped": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+ptok AS ({duckdb_tokens_cte("documents", "doc_id", DOC_PATH_SQL)}),
+pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pst AS (SELECT (SELECT count(*) FROM ptok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM ptok) AS avgdl),
+ptokp AS ({duckdb_tokens_pos_cte("documents", "doc_id", DOC_PATH_SQL)}),
+gate AS (SELECT DISTINCT a.doc_id FROM ptokp a JOIN ptokp b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = 'notes' AND b.term = 'txt'),
+ptf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptok
+        WHERE term IN ('notes', 'txt', 'read') GROUP BY doc_id, term),
+pdf2 AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+pcontrib AS (
+  SELECT ptf.doc_id, ptf.term,
+         ln(1 + (s.n_docs - pdf2.df + 0.5) / (pdf2.df + 0.5))
+         * ptf.tf * {K1_1} / (ptf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * pdl.dl / ps.avgdl)) AS c
+  FROM ptf JOIN pdf2 USING (term) JOIN pdl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN pst ps),
+ctf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+        WHERE term = 'stream' GROUP BY doc_id),
+cdf AS (SELECT count(*)::DOUBLE AS df FROM ctf),
+allc AS (
+  SELECT ctf.doc_id,
+         ln(1 + (s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+         * ctf.tf * {K1_1} / (ctf.tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.doclen / s.avgdl)) AS c
+  FROM ctf CROSS JOIN cdf JOIN dl USING (doc_id) CROSS JOIN stats s
+  UNION ALL
+  SELECT doc_id, c FROM pcontrib
+   WHERE term IN ('notes', 'txt')
+     AND doc_id IN (SELECT doc_id FROM gate)
+  UNION ALL
+  SELECT doc_id, c FROM pcontrib WHERE term = 'read'),
+scored AS (SELECT doc_id, sum(c) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "lucene_qs_field_phrase_group": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),

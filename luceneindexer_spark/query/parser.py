@@ -476,10 +476,19 @@ def parse_group_tree(inner: str) -> GroupNode:
             g_field, g_inner = fgm.group(1), fgm.group(2)[1:-1].strip()
             if not g_inner:
                 raise ValueError(f"empty () group in: {inner!r}")
-            if any(ch in g_inner for ch in '":()[]{}'):
-                raise ValueError(
-                    "field-scoped () groups may contain only plain "
-                    f"terms and expansions: {tok!r}")
+            if (any(ch in g_inner for ch in '":()[]{}')
+                    or _STRUCT_RE.search(g_inner)
+                    or any(m.upper() in ("AND", "OR", "NOT", "&&", "||")
+                           for m in g_inner.split())):
+                # members beyond plain terms/expansions (quoted phrases,
+                # occur prefixes, connectives): distribute the field and
+                # recurse — f:("a b" -c) == (f:"a b" -f:c) (round 4,
+                # final; MultiFieldQueryParser field-grouping sugar)
+                child = parse_group_tree(
+                    _distribute_field(g_field, g_inner))
+                child.boost = boost
+                seq.append((occur, child))
+                continue
             child = GroupNode(boost=boost)
             for mem in g_inner.split():
                 m_boost = 1.0
@@ -570,6 +579,40 @@ def parse_group_tree(inner: str) -> GroupNode:
             f"group with only MUST_NOT clauses matches nothing it can "
             f"enumerate: {inner!r}")
     return node
+def _distribute_field(field: str, inner: str) -> str:
+    """Lucene field grouping is syntax sugar: ``f:(a "b c" -d)`` is
+    ``(f:a f:"b c" -f:d)`` — the field distributes over every member
+    atom (``MultiFieldQueryParser`` semantics). Reroutes field-scoped
+    groups whose members go beyond plain terms/expansions (quoted
+    phrases, ``+``/``-`` occur prefixes, AND/OR/NOT connectives)
+    through the structured-group substrate. Nested subgroups, ranges,
+    and already-fielded members inside a field group raise loudly."""
+    out: list[str] = []
+    for tok in _split_tokens(inner):
+        if tok.upper() in ("AND", "OR", "NOT", "&&", "||"):
+            out.append(tok)
+            continue
+        pre = ""
+        if tok[:1] in "+-":
+            pre, tok = tok[0], tok[1:]
+            if not tok:
+                raise ValueError(
+                    f"dangling +/- in field group: {inner!r}")
+        if "(" in tok or ")" in tok:
+            raise ValueError(
+                f"nested () inside a field-scoped group: {tok!r}")
+        if "[" in tok or "{" in tok:
+            raise ValueError(
+                "ranges inside a field-scoped group are not "
+                f"supported: {tok!r}")
+        if not tok.startswith('"') and ":" in tok:
+            raise ValueError(
+                "field-scoped member inside a field-scoped group: "
+                f"{tok!r}")
+        out.append(f"{pre}{field}:{tok}")
+    return " ".join(out)
+
+
 _FUZZY_RE = re.compile(r'^(.+?)~(\d*(?:\.\d+)?)$')
 
 
@@ -697,9 +740,16 @@ def parse_query_string(q: str) -> list[Clause]:
                 raise ValueError("empty () group")
             if (any(ch in inner for ch in '":()')
                     or _STRUCT_RE.search(inner)):
-                raise ValueError(
-                    "field-scoped () groups may contain only plain "
-                    f"terms and expansions: {tok!r}")
+                # members beyond plain terms/expansions — quoted
+                # phrases, occur prefixes, AND/NOT connectives:
+                # distribute the field and reroute through the
+                # structured-group substrate (round 4, final) —
+                # f:("a b" -c) == (f:"a b" -f:c), Lucene's
+                # MultiFieldQueryParser field-grouping sugar
+                clauses.append(Clause(
+                    occur, "", "nested",
+                    _distribute_field(fm.group(1), inner), boost=boost))
+                continue
             clauses.append(Clause(occur, fm.group(1), "group", inner,
                                   boost=boost))
             continue

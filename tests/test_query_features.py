@@ -2124,8 +2124,64 @@ def test_query_string_matchall_openrange_fuzzy_fieldgroup(built_fields,
                                 k=None)) == hits(
         qs.query_string(f"{b} (+(lang:{x[:-1]}* lang:{y}) {a})",
                         k=None))
-    with _pt.raises(ValueError, match="plain terms and expansions"):
-        qs.query_string(f'({b} lang:("{x}" {y}))')
+    # phrase members in field groups no longer raise (round 4, final):
+    # the field distributes — exact parity pinned by
+    # test_query_string_field_group_distribution (k=None frames are
+    # unsorted, so compare as sets)
+    assert sorted(hits(qs.query_string(f'({b} lang:("{x}" {y}))',
+                                       k=None))) == sorted(hits(
+        qs.query_string(f"({b} (lang:{x} lang:{y}))", k=None)))
+
+
+def test_query_string_field_group_distribution(built_fields, spark):
+    """Field-grouping sugar over the full member grammar (round 4,
+    final): ``f:(a "b c" -d)`` distributes the field over every member —
+    exactly ``(f:a f:"b c" -f:d)`` (Lucene MultiFieldQueryParser
+    semantics). Pinned by exact-score parity against the explicit
+    distributed form for phrases, occur prefixes, AND/OR connectives,
+    boosts, and the nested-member route; unsupported shapes (nested
+    subgroups, ranges, double fields) raise loudly."""
+    import pytest as _pt
+    from luceneindexer_spark.query.parser import (_distribute_field,
+                                                  parse_query_string)
+    root, docmap = built_fields
+    qs = engine.QuerySession(spark, root)
+    a = HOT_TERM
+    langs = sorted(r.lang for r in docmap.select("lang")
+                   .distinct().collect())
+    x, y = langs[0], langs[1]
+
+    # the rewrite itself
+    assert (_distribute_field("f", 'a "b c"~2 -d +e^2 g OR h')
+            == 'f:a f:"b c"~2 -f:d +f:e^2 f:g OR f:h')
+    assert parse_query_string(f'lang:("{x}" {y})')[0].kind == "nested"
+    # plain-term field groups keep the flat (cheap) path
+    assert parse_query_string(f"lang:({x} {y})")[0].kind == "group"
+
+    def hits(q):
+        return sorted((int(r.doc_id), round(float(r.score), 9))
+                      for r in qs.query_string(q, k=None).collect())
+
+    pairs = [
+        (f'{a} lang:("{x}" {y})', f"{a} (lang:{x} lang:{y})"),
+        (f'{a} +lang:("{x}" {y})', f"{a} +(lang:{x} lang:{y})"),
+        (f"{a} lang:({x} OR {y})", f"{a} lang:({x} {y})"),
+        (f"{a} lang:(+{x} {y})", f"{a} (+lang:{x} lang:{y})"),
+        (f"{a} lang:({x} -{y})", f"{a} (lang:{x} -lang:{y})"),
+        (f'{a} lang:("{x}"^2 {y})^3', f"{a} (lang:{x}^2 lang:{y})^3"),
+        # nested-member route: a field group inside a () group
+        (f'{a} (stream lang:("{x}" {y}))',
+         f"{a} (stream (lang:{x} lang:{y}))"),
+    ]
+    for q1, q2 in pairs:
+        h1 = hits(q1)
+        assert h1 and h1 == hits(q2), q1
+
+    # loud raises for shapes the sugar cannot express
+    for bad in (f"lang:({x} (a b))", "size:(+a [1 TO 2])",
+                f"lang:({x} path:f1)", f"(x lang:({x} (a b)))"):
+        with _pt.raises(ValueError):
+            qs.query_string(bad)
 
 
 def test_query_string_generalized_must_not(built_fields, spark):
