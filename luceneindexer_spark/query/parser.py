@@ -584,9 +584,10 @@ def _distribute_field(field: str, inner: str) -> str:
     ``(f:a f:"b c" -f:d)`` — the field distributes over every member
     atom (``MultiFieldQueryParser`` semantics). Reroutes field-scoped
     groups whose members go beyond plain terms/expansions (quoted
-    phrases, ``+``/``-`` occur prefixes, AND/OR/NOT connectives)
-    through the structured-group substrate. Nested subgroups, ranges,
-    and already-fielded members inside a field group raise loudly."""
+    phrases, ``+``/``-`` occur prefixes, AND/OR/NOT connectives,
+    nested subgroups — distributed recursively) through the
+    structured-group substrate. Ranges and already-fielded members
+    inside a field group raise loudly."""
     out: list[str] = []
     for tok in _split_tokens(inner):
         if tok.upper() in ("AND", "OR", "NOT", "&&", "||"):
@@ -599,8 +600,22 @@ def _distribute_field(field: str, inner: str) -> str:
                 raise ValueError(
                     f"dangling +/- in field group: {inner!r}")
         if "(" in tok or ")" in tok:
-            raise ValueError(
-                f"nested () inside a field-scoped group: {tok!r}")
+            # nested subgroup inside a field group (round 4, final):
+            # the field distributes recursively — f:(a (b c)^2) ==
+            # (f:a (f:b f:c)^2); anything else paren-shaped raises
+            core, suffix = tok, ""
+            bm = _BOOST_RE.match(tok)
+            if bm is not None and bm.group(1):
+                core, suffix = bm.group(1), tok[len(bm.group(1)):]
+            if not _outer_parens_match(core):
+                raise ValueError(
+                    f"malformed () inside a field-scoped group: {tok!r}")
+            sub = core[1:-1].strip()
+            if not sub:
+                raise ValueError(f"empty () group in: {inner!r}")
+            out.append(
+                f"{pre}({_distribute_field(field, sub)}){suffix}")
+            continue
         if "[" in tok or "{" in tok:
             raise ValueError(
                 "ranges inside a field-scoped group are not "

@@ -2172,14 +2172,20 @@ def test_query_string_field_group_distribution(built_fields, spark):
         # nested-member route: a field group inside a () group
         (f'{a} (stream lang:("{x}" {y}))',
          f"{a} (stream (lang:{x} lang:{y}))"),
+        # nested subgroups distribute recursively (round 4, final)
+        (f"{a} lang:(+{x} ({y} {x}))", f"{a} (+lang:{x} (lang:{y} lang:{x}))"),
     ]
     for q1, q2 in pairs:
         h1 = hits(q1)
         assert h1 and h1 == hits(q2), q1
 
+    # the recursive rewrite itself
+    assert (_distribute_field("f", 'a (b "c d")^2 -(e g)')
+            == 'f:a (f:b f:"c d")^2 -(f:e f:g)')
+
     # loud raises for shapes the sugar cannot express
-    for bad in (f"lang:({x} (a b))", "size:(+a [1 TO 2])",
-                f"lang:({x} path:f1)", f"(x lang:({x} (a b)))"):
+    for bad in ("size:(+a [1 TO 2])",
+                f"lang:({x} path:f1)", f"(x lang:({x} path:f1))"):
         with _pt.raises(ValueError):
             qs.query_string(bad)
 
