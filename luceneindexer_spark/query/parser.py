@@ -269,26 +269,6 @@ class GroupNode:
             or not isinstance(i, (str, TermLeaf, GroupNode))
             for i in self.musts + self.shoulds + self.nots)
 
-    def validate_scoring_exact(self, guaranteed: bool = True) -> None:
-        """Raise unless flatten-scoring (sum of present positive leaves)
-        equals Lucene BooleanQuery scoring for this tree. Exact iff every
-        STRUCTURED subgroup (one with +/- children) is guaranteed-matched
-        for every candidate doc, i.e. reachable from the root via MUST
-        edges only; pure-SHOULD subtrees always flatten exactly (a present
-        leaf implies every enclosing pure-SHOULD group matches)."""
-        if (self.musts or self.nots) and not guaranteed:
-            raise ValueError(
-                "a SHOULD-positioned subgroup with +/- children has "
-                "non-flattenable Lucene scoring — put it on a MUST spine "
-                "(e.g. +(+a +(b c))) or restructure the query")
-        for item in self.musts:
-            if isinstance(item, GroupNode):
-                item.validate_scoring_exact(guaranteed)
-        for item in self.shoulds:
-            if isinstance(item, GroupNode):
-                item.validate_scoring_exact(False)
-        # MUST_NOT subtrees never score — any shape is fine for matching
-
     def is_pure_should(self) -> bool:
         return (not self.musts and not self.nots
                 and all(not isinstance(s, GroupNode) or s.is_pure_should()
@@ -308,9 +288,9 @@ class GroupNode:
         gate: candidacy (or the nearest enclosing gate matching)
         propagates down MUST edges — if P matches, every MUST child of P
         matches — so only structured subgroups off that covered MUST
-        spine gate. Trees that satisfy ``validate_scoring_exact`` thus
-        yield all-empty gates, and the caller keeps the pre-round-4
-        flatten plan bit-identically. An empty-gate class flattens
+        spine gate. Trees whose structured subgroups all sit on the MUST
+        spine thus yield all-empty gates, and the caller keeps the
+        pre-round-4 flatten plan bit-identically. An empty-gate class flattens
         exactly; each non-empty class scores only over its gates'
         match-set intersection. Returns [(gates, [leaf atoms])] in
         first-seen order, duplicates preserved; atoms are raw strings,
