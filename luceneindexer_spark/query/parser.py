@@ -33,9 +33,13 @@ Supported grammar (documented subset of the Lucene classic syntax):
 - ``(a b)`` parenthesized SHOULD group: ``+(a b)`` MUST (doc must match
   at least one member), ``-(a b)`` MUST_NOT (doc must match none),
   ``(a b)^2`` boosts every member; ``field:(a b)`` (round 4) scopes a
-  group to a metadata field's namespace; flat-group members may be
-  expansions (``(wind* t?ble fuzz~1 /re.ex/)``, round 4) and may carry
-  member ``^boosts`` (``(a^2 wind*^3 b)``)
+  group to a metadata field's namespace — with the FULL member grammar
+  (round 4, final): quoted phrases, occur prefixes, connectives,
+  boosts, and nested subgroups distribute the field recursively,
+  ``f:(a "b c" -d)`` == ``(f:a f:"b c" -f:d)`` (MultiFieldQueryParser
+  field-grouping sugar); flat-group members may be expansions
+  (``(wind* t?ble fuzz~1 /re.ex/)``, round 4) and may carry member
+  ``^boosts`` (``(a^2 wind*^3 b)``)
 - **nested boolean groups** (``+(foo (bar baz))``, ``+(+a +(b c) -d)``):
   arbitrary nesting of plain terms and quoted phrases (round 4:
   ``+("a b" c)``, with ``~N`` slop) with
@@ -64,7 +68,9 @@ Supported grammar (documented subset of the Lucene classic syntax):
 
 Divergences (each pinned by tests): an analyzed multi-token atom
 contributes one clause per token with the same occur (Lucene's parser
-would auto-phrase them); quoted phrases always execute as MUST clauses.
+would auto-phrase them). Quoted phrases carry their occur exactly
+(round 4, final): ``+"a b"`` restricts the match set, a bare ``"a b"``
+is a true SHOULD clause (classic-parser default OR).
 """
 from __future__ import annotations
 
