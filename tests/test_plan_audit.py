@@ -88,3 +88,38 @@ def test_hydrate_broadcasts_topk_not_corpus(built, spark):
     plan = (engine.hydrate(spark, built, top)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_matchall_and_open_bound_plans(built, spark):
+    """Round 4, final: the `*:*` constant-score path is docmap-only —
+    no postings scan anywhere in the plan, doc_id-projected — with the
+    open-bounded range's single surviving comparison pushed to the
+    parquet reader; the mixed constant+BM25 path keeps the postings
+    scan (bucket-pruned) for the scored channel while the padding
+    channel still reads only doc_id."""
+    qs = engine.QuerySession(spark, built)
+
+    # pure *:* + open range: no postings decode, one-sided pushdown
+    df = qs.query_string("*:* size:[* TO 800]", k=10)
+    scans = _scans(df)
+    assert scans and all("docs_enc" not in s[0] for s in scans), \
+        "*:* alone must never scan postings"
+    dm = [s for s in scans if "size" in s[3]]
+    assert any("LessThanOrEqual(size,800" in pu
+               and "GreaterThan" not in pu for _, _, pu, _ in dm)
+    assert all("content" not in rs for _, _, _, rs in scans)
+
+    # open low bound beside a scoring term: only >= survives
+    df2 = qs.query_string(f"{HOT_TERM} size:[250 TO *]", k=10)
+    dm2 = [s for s in _scans(df2) if "docs_enc" not in s[0]
+           and "size" in s[3]]
+    assert any("GreaterThanOrEqual(size,250" in pu
+               and "LessThanOrEqual(size," not in pu
+               for _, _, pu, _ in dm2)
+
+    # mixed *:* + term: postings stay bucket-pruned, pads read doc_id
+    df3 = qs.query_string(f"*:* {HOT_TERM}", k=10)
+    scans3 = _scans(df3)
+    post = [s for s in scans3 if "docs_enc" in s[0]]
+    assert post and all("bucket" in pf for _, pf, _, _ in post)
+    assert all("content" not in rs for _, _, _, rs in scans3)
