@@ -190,6 +190,19 @@ def _q_sort_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "size"))
 
 
+def _q_sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (Lucene ``Sort(SortField...)``, round 4 final):
+    the term's full match set ordered by (lang asc, size desc, doc_id) —
+    keys compared left to right, still one TakeOrderedAndProject (the
+    composite key rides the same per-partition top-k merge; never a
+    global sort)."""
+    root = _index_root(spark, sf_dir)
+    return (engine.browse_sorted(spark, root, ["lang", "size"], k=20,
+                                 ascending=[True, False],
+                                 query=SORT_TERM)
+            .select("doc_id", "lang", "size"))
+
+
 QS_PHRASE_QUERY = f'+stream "{INDEX_PHRASE}"~{NEAR_SLOP}'
 QS_MIXED_QUERY = "table AND stream -merge wind*"
 QS_BOOST_QUERY = "table^2 stream window^0.5"
@@ -1535,7 +1548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
         "browse_after_delete": _q_browse_after_delete,
@@ -1575,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_matchall": _q_lucene_qs_matchall,
         "lucene_qs_matchall_mixed": _q_lucene_qs_matchall_mixed,
         "lucene_qs_field_grouped": _q_lucene_qs_field_grouped,
+        "sort_multi_key": _q_sort_multi_key,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1587,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
+        "category_counts": _q_category_counts,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -2453,6 +2467,13 @@ WITH tok AS ({_TOK})
 SELECT doc_id, length(text)::BIGINT AS size FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{SORT_TERM}')
 ORDER BY size DESC, doc_id ASC LIMIT 20
+""",
+        # multi-key Sort(SortField...): lang asc, then size desc
+        "sort_multi_key": f"""
+WITH tok AS ({_TOK})
+SELECT doc_id, lang, length(text)::BIGINT AS size FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{SORT_TERM}')
+ORDER BY lang ASC, size DESC, doc_id ASC LIMIT 20
 """,
         # MUST_NOT: conjunctive ranking minus docs containing the deny term
         "bm25_not_topk": _bm25_sql(BM25_QUERY, 10, must_not=MUST_NOT_TERM),

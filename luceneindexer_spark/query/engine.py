@@ -3261,19 +3261,33 @@ def search_fields_whole_words(spark: SparkSession, root: str,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
-def browse_sorted(spark: SparkSession, root: str, field: str,
-                  k: int = 50, ascending: bool = False,
+def browse_sorted(spark: SparkSession, root: str,
+                  field: "str | list[str]",
+                  k: int = 50,
+                  ascending: "bool | list[bool]" = False,
                   query: str | None = None, mode: str = "and",
                   session: QuerySession | None = None) -> DataFrame:
-    """Lucene ``Sort(SortField)``: results ordered by a stored field
-    instead of relevance. With ``query``, the FULL conjunctive/union match
-    set (``match_ids`` — tombstone-aware) is hydrated from the docmap and
-    ordered by (field, doc_id); without, the whole docmap browses in field
-    order. The order+limit compiles to TakeOrderedAndProject (per-partition
-    top-k then a k-row merge on the driver) — no global sort
-    materialization at any corpus size. Returns
-    (doc_id, <field>, repo, path, lang)."""
+    """Lucene ``Sort(SortField)``: results ordered by stored fields
+    instead of relevance. ``field`` may be a single field or a LIST —
+    Lucene's multi-key ``Sort(SortField...)``, keys compared left to
+    right (round 4, final); ``ascending`` then applies per key (one
+    bool each) or to every key (a single bool). With ``query``, the
+    FULL conjunctive/union match set (``match_ids`` — tombstone-aware)
+    is hydrated from the docmap and ordered by (*fields, doc_id);
+    without, the whole docmap browses in field order. The order+limit
+    compiles to TakeOrderedAndProject (per-partition top-k then a k-row
+    merge on the driver) — no global sort materialization at any corpus
+    size. Returns (doc_id, <fields>, repo, path, lang)."""
+    fields = [field] if isinstance(field, str) else list(field)
+    ascs = (list(ascending) if isinstance(ascending, (list, tuple))
+            else [bool(ascending)] * len(fields))
+    if not fields or len(ascs) != len(fields):
+        raise ValueError(
+            "field/ascending must be non-empty and the same length")
     docmap = spark.read.parquet(IndexPaths(root).docmap)
+    missing = [f for f in fields if f not in docmap.columns]
+    if missing:
+        raise ValueError(f"unknown sort field(s): {missing}")
     sess = session or QuerySession(spark, root, cache=False)
     if query is not None:
         ids = sess.match_ids(query, mode=mode)
@@ -3282,9 +3296,10 @@ def browse_sorted(spark: SparkSession, root: str, field: str,
         from ..ops.maintenance import read_deletes
         docmap = docmap.join(F.broadcast(read_deletes(spark, root)),
                              "doc_id", "left_anti")
-    key = F.asc(field) if ascending else F.desc(field)
-    return (docmap.select("doc_id", field, "repo", "path", "lang")
-            .orderBy(key, F.asc("doc_id")).limit(k))
+    keys = [F.asc(f) if a else F.desc(f) for f, a in zip(fields, ascs)]
+    cols = list(dict.fromkeys(
+        ["doc_id", *fields, "repo", "path", "lang"]))
+    return docmap.select(*cols).orderBy(*keys, F.asc("doc_id")).limit(k)
 
 
 def highlight_topk(spark: SparkSession, root: str, query: str, k: int = 10,

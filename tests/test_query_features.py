@@ -1102,6 +1102,26 @@ def test_range_query_and_sorted_browse(built, spark):
         ((s, d) for d, s in size_of.items()),
         key=lambda x: (-x[0], x[1]))[:5]]
 
+    # (d) multi-key sort (round 4, final): (lang asc, size desc, doc_id)
+    # — Lucene Sort(SortField...), keys compared left to right
+    lang_of = {int(r.doc_id): r.lang for r in rows}
+    want_mk = sorted(((lang_of[d], -size_of[d], d) for d in match))[:12]
+    got_mk = [(r.lang, -int(r.size), int(r.doc_id)) for r in
+              engine.browse_sorted(spark, root, ["lang", "size"], k=12,
+                                   ascending=[True, False],
+                                   query=HOT_TERM, session=qs).collect()]
+    assert got_mk == want_mk
+    # a single-element list == the scalar form; bad shapes raise
+    assert ([int(r.doc_id) for r in
+             engine.browse_sorted(spark, root, ["size"], k=5,
+                                  session=qs).collect()] == all_desc)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="same length"):
+        engine.browse_sorted(spark, root, ["lang", "size"],
+                             ascending=[True], session=qs)
+    with _pt.raises(ValueError, match="unknown sort field"):
+        engine.browse_sorted(spark, root, ["nope"], session=qs)
+
 
 def test_highlight_topk_snippets(built, spark):
     """Highlighter: snippets are width chars around the first occurrence of
