@@ -190,6 +190,25 @@ def _q_sort_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "size"))
 
 
+def _q_sort_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchAfter under a Sort (round 4, final): page 2 of the
+    multi-key (lang asc, size desc) browse — pivot = page 1's last
+    (lang, size, doc_id), the strictly-after lexicographic predicate
+    applied before the per-partition cut (first-key comparison reaches
+    the parquet reader). Oracle: rows 21-40 of the same total order."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    page1 = engine.browse_sorted(spark, root, ["lang", "size"], k=20,
+                                 ascending=[True, False],
+                                 query=SORT_TERM, session=qs).collect()
+    last = page1[-1]
+    return (engine.browse_sorted(
+        spark, root, ["lang", "size"], k=20, ascending=[True, False],
+        query=SORT_TERM, session=qs,
+        after=(last["lang"], int(last["size"]), int(last["doc_id"])))
+        .select("doc_id", "lang", "size"))
+
+
 def _q_sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort (Lucene ``Sort(SortField...)``, round 4 final):
     the term's full match set ordered by (lang asc, size desc, doc_id) —
@@ -1548,7 +1567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
         "browse_after_delete": _q_browse_after_delete,
         "search_multifield": _q_multifield,
@@ -1588,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_matchall_mixed": _q_lucene_qs_matchall_mixed,
         "lucene_qs_field_grouped": _q_lucene_qs_field_grouped,
         "sort_multi_key": _q_sort_multi_key,
+        "sort_page2": _q_sort_page2,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1601,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
         "category_counts": _q_category_counts,
+        "duplicate_groups": _q_duplicate_groups,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -2467,6 +2487,13 @@ WITH tok AS ({_TOK})
 SELECT doc_id, length(text)::BIGINT AS size FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{SORT_TERM}')
 ORDER BY size DESC, doc_id ASC LIMIT 20
+""",
+        # searchAfter under a Sort: rows 21-40 of the multi-key order
+        "sort_page2": f"""
+WITH tok AS ({_TOK})
+SELECT doc_id, lang, length(text)::BIGINT AS size FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{SORT_TERM}')
+ORDER BY lang ASC, size DESC, doc_id ASC LIMIT 20 OFFSET 20
 """,
         # multi-key Sort(SortField...): lang asc, then size desc
         "sort_multi_key": f"""

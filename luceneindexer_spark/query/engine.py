@@ -3266,6 +3266,7 @@ def browse_sorted(spark: SparkSession, root: str,
                   k: int = 50,
                   ascending: "bool | list[bool]" = False,
                   query: str | None = None, mode: str = "and",
+                  after: "tuple | None" = None,
                   session: QuerySession | None = None) -> DataFrame:
     """Lucene ``Sort(SortField)``: results ordered by stored fields
     instead of relevance. ``field`` may be a single field or a LIST —
@@ -3277,7 +3278,15 @@ def browse_sorted(spark: SparkSession, root: str,
     without, the whole docmap browses in field order. The order+limit
     compiles to TakeOrderedAndProject (per-partition top-k then a k-row
     merge on the driver) — no global sort materialization at any corpus
-    size. Returns (doc_id, <fields>, repo, path, lang)."""
+    size. Returns (doc_id, <fields>, repo, path, lang).
+
+    ``after`` pages (Lucene ``searchAfter`` under a ``Sort``, round 4
+    final): the previous page's last (*field values, doc_id) is the
+    pivot, and only rows STRICTLY after it in the sort order survive —
+    a lexicographic composite-key predicate (per-key comparison
+    direction follows ``ascending``) applied BEFORE the per-partition
+    cut, so no page depth ever over-fetches. The first key's comparison
+    is a plain column predicate the parquet reader can push."""
     fields = [field] if isinstance(field, str) else list(field)
     ascs = (list(ascending) if isinstance(ascending, (list, tuple))
             else [bool(ascending)] * len(fields))
@@ -3296,6 +3305,26 @@ def browse_sorted(spark: SparkSession, root: str,
         from ..ops.maintenance import read_deletes
         docmap = docmap.join(F.broadcast(read_deletes(spark, root)),
                              "doc_id", "left_anti")
+    if after is not None:
+        if len(after) != len(fields) + 1:
+            raise ValueError(
+                "after must supply one value per sort field plus the "
+                "pivot doc_id")
+        # strictly-after in lexicographic sort order: key_i beats the
+        # pivot on the first differing key (direction per `ascending`),
+        # with doc_id asc as the final tie-break
+        keys_cmp = ([(F.col(f), v, a)
+                     for f, v, a in zip(fields, after[:-1], ascs)]
+                    + [(F.col("doc_id"), int(after[-1]), True)])
+        pred = None
+        eq_prefix = None
+        for col, v, asc in keys_cmp:
+            beat = (col > v) if asc else (col < v)
+            term = beat if eq_prefix is None else eq_prefix & beat
+            pred = term if pred is None else pred | term
+            eq = col == v
+            eq_prefix = eq if eq_prefix is None else eq_prefix & eq
+        docmap = docmap.filter(pred)
     keys = [F.asc(f) if a else F.desc(f) for f, a in zip(fields, ascs)]
     cols = list(dict.fromkeys(
         ["doc_id", *fields, "repo", "path", "lang"]))

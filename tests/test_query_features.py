@@ -1122,6 +1122,26 @@ def test_range_query_and_sorted_browse(built, spark):
     with _pt.raises(ValueError, match="unknown sort field"):
         engine.browse_sorted(spark, root, ["nope"], session=qs)
 
+    # (e) sorted searchAfter (round 4, final): 3 pages of 4 tile the
+    # first 12 of the (lang asc, size desc, doc_id) ordering exactly
+    full12 = [(r.lang, int(r.size), int(r.doc_id)) for r in
+              engine.browse_sorted(spark, root, ["lang", "size"], k=12,
+                                   ascending=[True, False],
+                                   query=HOT_TERM, session=qs).collect()]
+    paged, after = [], None
+    for _ in range(3):
+        rows_p = engine.browse_sorted(spark, root, ["lang", "size"],
+                                      k=4, ascending=[True, False],
+                                      query=HOT_TERM, after=after,
+                                      session=qs).collect()
+        paged += [(r.lang, int(r.size), int(r.doc_id)) for r in rows_p]
+        after = (rows_p[-1].lang, int(rows_p[-1].size),
+                 int(rows_p[-1].doc_id))
+    assert paged == full12
+    with _pt.raises(ValueError, match="pivot doc_id"):
+        engine.browse_sorted(spark, root, ["size"], after=(1,),
+                             session=qs)
+
 
 def test_highlight_topk_snippets(built, spark):
     """Highlighter: snippets are width chars around the first occurrence of
