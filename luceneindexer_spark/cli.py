@@ -99,6 +99,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--lang", default="")
     s.add_argument("-k", type=int, default=10)
 
+    so = sub.add_parser(
+        "sort", help="browse docs ordered by stored fields "
+                     "(Lucene Sort(SortField...), score-free)")
+    so.add_argument("--index", required=True)
+    so.add_argument("--by", required=True,
+                    help="comma-separated sort keys, compared left to "
+                         "right; prefix '-' for descending "
+                         "(e.g. 'lang,-size')")
+    so.add_argument("--query", default=None,
+                    help="restrict to this query's full match set")
+    so.add_argument("--mode", choices=("and", "or"), default="and")
+    so.add_argument("-k", type=int, default=50)
+    so.add_argument("--after", default=None, metavar="V1,...,DOC_ID",
+                    help="searchAfter pivot: the previous page's last "
+                         "row's sort-key values plus its doc_id")
+
     m = sub.add_parser("mlt", help="more-like-this: docs similar to one doc")
     m.add_argument("--index", required=True)
     m.add_argument("--doc-id", type=int, required=True)
@@ -211,6 +227,28 @@ def main(argv: list[str] | None = None) -> int:
                       ("content", "repo", "path", "commit", "lang")}
             for r in search_fields(spark, args.index, fields,
                                    k=args.k).collect():
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "sort":
+            from .query.engine import browse_sorted
+            fields, ascs = [], []
+            for spec in args.by.split(","):
+                spec = spec.strip()
+                ascs.append(not spec.startswith("-"))
+                fields.append(spec.lstrip("+-"))
+
+            def _lit(v: str):
+                for cast in (int, float):
+                    try:
+                        return cast(v)
+                    except ValueError:
+                        continue
+                return v
+            after = (tuple(_lit(v) for v in args.after.split(","))
+                     if args.after else None)
+            out = browse_sorted(spark, args.index, fields, k=args.k,
+                                ascending=ascs, query=args.query,
+                                mode=args.mode, after=after)
+            for r in out.collect():
                 print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "mlt":
             from .query.engine import QuerySession
