@@ -190,6 +190,21 @@ def _q_sort_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "size"))
 
 
+def _q_grouped_within_sorted(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """GroupingSearch.setSortWithinGroup (round 4, final): groups still
+    rank by best-hit score (Lucene's default group sort), docs INSIDE
+    each group re-order by (size desc, doc_id) — the two orders are
+    independent, so the within-group heads can differ from the score
+    order's (the oracle's separate head window pins that)."""
+    root = _index_root(spark, sf_dir)
+    qs = engine.QuerySession(spark, root, cache=False)
+    r = qs.grouped_topk(BM25_QUERY, "lang", n_groups=N_GROUPS,
+                        docs_per_group=DOCS_PER_GROUP,
+                        sort_within_group="size")
+    return _round6(r, "score")
+
+
 def _q_sort_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """searchAfter under a Sort (round 4, final): page 2 of the
     multi-key (lang asc, size desc) browse — pivot = page 1's last
@@ -1567,7 +1582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "browse_first_50": _q_browse,
         "browse_after_delete": _q_browse_after_delete,
         "search_multifield": _q_multifield,
         "phrase_search": _q_phrase,
@@ -1607,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_qs_field_grouped": _q_lucene_qs_field_grouped,
         "sort_multi_key": _q_sort_multi_key,
         "sort_page2": _q_sort_page2,
+        "grouped_within_sorted": _q_grouped_within_sorted,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1621,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_summary": _q_fingerprints,
         "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
+        "browse_first_50": _q_browse,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -1697,11 +1713,20 @@ _SHINGLES = """
 
 
 def _grouped_sql(query: str, group_field: str, n_groups: int,
-                 docs_per_group: int) -> str:
+                 docs_per_group: int,
+                 within_size_desc: bool = False) -> str:
     """GroupingSearch oracle: full conjunctive BM25 scoring, window rank
-    within each group, heads ranked (score desc, doc_id asc), both cuts."""
+    within each group, heads ranked (score desc, doc_id asc), both cuts.
+    ``within_size_desc`` switches the WITHIN-group order to
+    (length(text) desc, doc_id asc) — Lucene setSortWithinGroup — while
+    group ranking stays by best-hit score; the size column is then
+    exposed."""
     terms = query_terms(query)
     in_list = ", ".join("'" + t + "'" for t in terms)
+    sz_col = ", length(d.text)::BIGINT AS size" if within_size_desc else ""
+    doc_order = ("size DESC, doc_id ASC" if within_size_desc
+                 else "score DESC, doc_id ASC")
+    sz_out = ", r.size" if within_size_desc else ""
     return f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
@@ -1719,18 +1744,20 @@ scored AS (
          count(*) AS nt
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id),
-g AS (SELECT s.doc_id, s.score, d.{group_field}
+g AS (SELECT s.doc_id, s.score, d.{group_field}{sz_col}
       FROM scored s JOIN documents d USING (doc_id)
       WHERE s.nt = {len(terms)}),
 r AS (SELECT *, row_number() OVER (PARTITION BY {group_field}
-          ORDER BY score DESC, doc_id ASC) AS doc_rank FROM g),
+          ORDER BY {doc_order}) AS doc_rank FROM g),
+hsrc AS (SELECT *, row_number() OVER (PARTITION BY {group_field}
+          ORDER BY score DESC, doc_id ASC) AS hr FROM g),
 heads AS (SELECT * FROM (
     SELECT {group_field},
            row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
-    FROM r WHERE doc_rank = 1) WHERE group_rank <= {n_groups})
+    FROM hsrc WHERE hr = 1) WHERE group_rank <= {n_groups})
 SELECT h.group_rank::INT AS group_rank, r.{group_field},
        r.doc_rank::INT AS doc_rank, r.doc_id,
-       round(r.score, 6)::DOUBLE AS score
+       round(r.score, 6)::DOUBLE AS score{sz_out}
 FROM r JOIN heads h USING ({group_field})
 WHERE r.doc_rank <= {docs_per_group}
 ORDER BY h.group_rank, r.doc_rank
@@ -3103,6 +3130,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
         # GroupingSearch: top-5 lang groups by best hit, top-2 docs each
         "grouped_by_lang": _grouped_sql(BM25_QUERY, "lang",
                                         N_GROUPS, DOCS_PER_GROUP),
+        # setSortWithinGroup: same groups, docs re-ordered by size desc
+        "grouped_within_sorted": _grouped_sql(
+            BM25_QUERY, "lang", N_GROUPS, DOCS_PER_GROUP,
+            within_size_desc=True),
         # LongRangeFacetCounts: match-set counts per inclusive size range
         "facet_size_ranges": _facet_ranges_sql(BM25_QUERY, SIZE_RANGES),
         # RegexpQuery: whole-term anchored regexp over the dictionary

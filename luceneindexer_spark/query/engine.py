@@ -2956,36 +2956,73 @@ class QuerySession:
     def grouped_topk(self, query: str, group_field: str,
                      n_groups: int = 10, docs_per_group: int = 3,
                      mode: str = "and",
-                     must_not: str | None = None) -> DataFrame:
+                     must_not: str | None = None,
+                     sort_within_group: "str | list[str] | None" = None,
+                     within_ascending: "bool | list[bool]" = False
+                     ) -> DataFrame:
         """Lucene grouping-module ``GroupingSearch`` analog (top groups +
         top docs within each group — search-time collapse, e.g. "best 2
         hits per repo"): groups rank by their best hit in the global
         (score desc, doc_id asc) order; within a group docs rank the same
-        way, cut to ``docs_per_group``.
+        way by default, cut to ``docs_per_group``.
+
+        ``sort_within_group`` (round 4, final — Lucene
+        ``GroupingSearch.setSortWithinGroup``): order docs INSIDE each
+        group by stored field(s) instead of relevance (per-key direction
+        via ``within_ascending``, doc_id asc tie-break); group ranking
+        stays by best-hit score (Lucene's default group sort), so the
+        two orders are independent exactly as in Lucene.
 
         Distributed shape: score-ALL matches (grouping must see every
         group's best hit — exactly Lucene's two-pass grouping collector),
-        one shuffle to join the group column, one window shuffle
-        partitioned BY GROUP (skew-bounded: each partition sorts one
-        group's matches), then the ``n_groups`` heads cut via
-        TakeOrderedAndProject and broadcast back — the final join is
-        map-side. No global sort of the match set anywhere.
+        one shuffle to join the group column, window(s) partitioned BY
+        GROUP (skew-bounded: each partition sorts one group's matches;
+        with a within-sort the second window reuses the same exchange),
+        then the ``n_groups`` heads cut via TakeOrderedAndProject and
+        broadcast back — the final join is map-side. No global sort of
+        the match set anywhere.
 
-        Returns (group_rank, <group_field>, doc_rank, doc_id, score)
-        ordered (group_rank, doc_rank)."""
+        Returns (group_rank, <group_field>, doc_rank, doc_id, score
+        [, <within fields>]) ordered (group_rank, doc_rank)."""
         from pyspark.sql import Window
         scored = self.score_all(query, mode=mode, must_not=must_not)
         dm = self.docmap()
         if group_field not in dm.columns:
             raise ValueError(f"unknown group field: {group_field!r}")
-        g = scored.join(dm.select("doc_id", group_field), "doc_id")
-        w = (Window.partitionBy(group_field)
-             .orderBy(F.desc("score"), F.asc("doc_id")))
-        ranked = (g.withColumn("doc_rank", F.row_number().over(w))
+        within = ([sort_within_group] if isinstance(sort_within_group, str)
+                  else list(sort_within_group or []))
+        w_asc = (list(within_ascending)
+                 if isinstance(within_ascending, (list, tuple))
+                 else [bool(within_ascending)] * len(within))
+        if len(w_asc) != len(within):
+            raise ValueError(
+                "within_ascending must match sort_within_group")
+        bad = [f for f in within if f not in dm.columns or f == group_field]
+        if bad:
+            raise ValueError(f"bad within-group sort field(s): {bad}")
+        cols = list(dict.fromkeys(["doc_id", group_field, *within]))
+        g = scored.join(dm.select(*cols), "doc_id")
+        w_score = (Window.partitionBy(group_field)
+                   .orderBy(F.desc("score"), F.asc("doc_id")))
+        if within:
+            keys = [F.asc(f) if a else F.desc(f)
+                    for f, a in zip(within, w_asc)]
+            w_doc = (Window.partitionBy(group_field)
+                     .orderBy(*keys, F.asc("doc_id")))
+            # heads need every group's best-SCORE hit, which a
+            # field-ordered top-docs_per_group cut may not retain
+            heads = (g.withColumn("_r", F.row_number().over(w_score))
+                     .filter(F.col("_r") == 1))
+        else:
+            w_doc = w_score
+            heads = None
+        ranked = (g.withColumn("doc_rank", F.row_number().over(w_doc))
                   .filter(F.col("doc_rank") <= docs_per_group))
+        if heads is None:
+            heads = ranked.filter(F.col("doc_rank") == 1)
         # heads: n_groups rows after the TakeOrdered cut — the unpartitioned
         # rank window below runs on that tiny frame only
-        heads = (ranked.filter(F.col("doc_rank") == 1)
+        heads = (heads
                  .select(group_field, F.col("score").alias("_hs"),
                          F.col("doc_id").alias("_hd"))
                  .orderBy(F.desc("_hs"), F.asc("_hd")).limit(n_groups))
@@ -2994,7 +3031,7 @@ class QuerySession:
                  .select(group_field, "group_rank"))
         return (ranked.join(F.broadcast(heads), group_field)
                 .select("group_rank", group_field, "doc_rank",
-                        "doc_id", "score")
+                        "doc_id", "score", *within)
                 .orderBy("group_rank", "doc_rank"))
 
     def explain(self, query: str, k: int = 10,

@@ -2824,6 +2824,35 @@ def test_grouped_topk_matches_naive(built, spark):
             for lang, rk, d, s in ranked if lang == g and rk <= 2]
     assert got == want and len(got) == 6
 
+    # sort_within_group (round 4, final — setSortWithinGroup): group
+    # order STAYS by best-hit score, docs inside each group re-order by
+    # (size desc, doc_id) — python recompute from the same score_all
+    size_of = {int(r.doc_id): int(r.size) for r in
+               docmap.select("doc_id", "size").collect()}
+    got_w = [(r.group_rank, r.lang, r.doc_rank, r.doc_id,
+              round(r.score, 9), r.size)
+             for r in qs.grouped_topk(
+                 HOT_TERM, "lang", n_groups=3, docs_per_group=2,
+                 sort_within_group="size").collect()]
+    by_group: dict[str, list] = {}
+    for r in full:
+        by_group.setdefault(r.lang, []).append((int(r.doc_id), r.score))
+    want_w = []
+    for gi, g in enumerate(head_order):
+        docs = sorted(by_group[g],
+                      key=lambda p: (-size_of[p[0]], p[0]))[:2]
+        want_w += [(gi + 1, g, rk + 1, d, round(s, 9), size_of[d])
+                   for rk, (d, s) in enumerate(docs)]
+    assert got_w == want_w and len(got_w) == 6
+    # the within-sort must be able to surface docs the score order cut
+    assert {t[3] for t in got_w} != {t[3] for t in got}, \
+        "fixture should discriminate the two within-group orders"
+    with pytest.raises(ValueError, match="within-group sort field"):
+        qs.grouped_topk(HOT_TERM, "lang", sort_within_group="lang")
+    with pytest.raises(ValueError, match="must match"):
+        qs.grouped_topk(HOT_TERM, "lang", sort_within_group="size",
+                        within_ascending=[True, False])
+
 
 def test_facet_ranges_overlap_zero_and_errors(built, spark):
     """Range facets: overlapping ranges each count independently, empty
