@@ -1364,6 +1364,44 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("id", "doc_id"))
 
 
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _hash_split_case() -> str:
+    from luceneindexer_spark.ops.sampling import hash_split_sql
+    return hash_split_sql("documents", "doc_id", SPLIT_FRACS)
+BIN_BUDGET = 2500
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (round 4, final): split =
+    f(sha256(salt || doc_id)) — a pure map-side expression, stable
+    across reruns/partitionings/cluster sizes (the property RNG
+    sampling lacks); per-row hash-checked vs the identical DuckDB
+    sha256 hex-prefix compare."""
+    from luceneindexer_spark.ops.sampling import hash_split
+    return (hash_split(_docs(spark, sf_dir), "doc_id", SPLIT_FRACS)
+            .select("doc_id", "split"))
+
+
+def _q_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (round 4, final): contiguous ~2500-token
+    bins in doc_id order via an exact distributed prefix sum (per-
+    partition partials → control-plane exclusive offsets → map-side
+    cumsum); per-bin doc counts and token sums vs a DuckDB window
+    cumsum oracle."""
+    from luceneindexer_spark.ops.sampling import token_budget_bins
+    from luceneindexer_spark.ops.textstats import token_counts
+    t = (token_counts(_docs(spark, sf_dir), "doc_id", "text")
+         .select("id", F.col("ws_tokens").alias("tokens")))
+    b = token_budget_bins(spark, t, "id", "tokens", BIN_BUDGET,
+                          partitions=8)
+    return (b.groupBy("bin_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("tokens").cast("long").alias("tok_sum"))
+            .orderBy("bin_id"))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (round 4): top-bigram
     fraction (two-level keyed agg) + duplicate-5-gram fraction (pure
@@ -1582,8 +1620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "browse_after_delete": _q_browse_after_delete,
-        "search_multifield": _q_multifield,
         "phrase_search": _q_phrase,
         "intersect_terms": _q_intersect,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1622,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_multi_key": _q_sort_multi_key,
         "sort_page2": _q_sort_page2,
         "grouped_within_sorted": _q_grouped_within_sorted,
+        "hash_split_assign": _q_hash_split,
+        "token_budget_bins": _q_token_bins,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1637,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
+        "search_multifield": _q_multifield,
+        "browse_after_delete": _q_browse_after_delete,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -3292,6 +3332,24 @@ FROM ranked WHERE rk <= 3
         "lang_id": _lang_id_sql(),
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        # deterministic hash split: identical sha256 hex-prefix compare
+        "hash_split_assign": (
+            "SELECT doc_id, " + _hash_split_case()
+            + " AS split FROM documents ORDER BY doc_id"),
+        # token-budget bins: window cumsum twin of the distributed scan
+        "token_budget_bins": r"""
+WITH tc AS (SELECT doc_id,
+       CASE WHEN length(trim(lower(text))) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+       END::BIGINT AS tokens FROM documents),
+w AS (SELECT doc_id, tokens,
+        coalesce(sum(tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM tc)
+SELECT CAST(floor(excl / __B__) AS BIGINT) AS bin_id,
+       count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS tok_sum
+FROM w GROUP BY 1 ORDER BY 1
+""".replace("__B__", str(BIN_BUDGET)),
         # Gopher-style repetition signals: top word-bigram fraction +
         # duplicate word-5-gram fraction (same short-doc whole-string-gram
         # convention as the Spark op: fractions force to 0 below the width)

@@ -713,3 +713,60 @@ def test_contamination_flags_planted_leak(spark):
     assert got[(13, 1)] == len(b1)        # exact copy: every shingle
     assert (11, 0) not in got             # shuffled words: chains broken
     assert (12, 0) not in got and (12, 1) not in got
+
+
+def test_hash_split_deterministic_fractions_and_recompute(spark):
+    """hash_split: assignment is a pure function of (salt, key) — pinned
+    by a python hashlib recompute of the identical hex-prefix compare —
+    fractions land near target on 2000 keys, reruns are identical, and
+    a different salt re-deals."""
+    import hashlib
+
+    from luceneindexer_spark.ops import sampling as SP
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    got = {int(r.k): r.split
+           for r in SP.hash_split(df, "k", fr).collect()}
+    assert got == {int(r.k): r.split
+                   for r in SP.hash_split(df, "k", fr).collect()}
+
+    ths = SP.split_thresholds(fr)
+    for k in range(2000):
+        h = hashlib.sha256(f"split-v1:{k}".encode()).hexdigest()[:8]
+        want = next(n for n, t in ths if h < t)
+        assert got[k] == want, k
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
+
+    redeal = {int(r.k): r.split
+              for r in SP.hash_split(df, "k", fr, salt="v2").collect()}
+    assert redeal != got
+    with pytest.raises(ValueError, match="sum to 1"):
+        SP.hash_split(df, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_token_budget_bins_match_sequential_prefix(spark):
+    """token_budget_bins: bin assignment equals the sequential
+    exclusive-prefix-sum recompute exactly, across partition boundaries
+    (7 range partitions over 1000 rows), with deterministic synthetic
+    token counts; bins are contiguous in id order."""
+    from luceneindexer_spark.ops import sampling as SP
+    df = spark.range(0, 1000).select(
+        F.col("id"), ((F.col("id") * 37) % 97 + 1).alias("t"))
+    out = SP.token_budget_bins(spark, df, "id", "t", budget=500,
+                               partitions=7).collect()
+    toks = [(i * 37) % 97 + 1 for i in range(1000)]
+    excl, want = 0, {}
+    for i, t in enumerate(toks):
+        want[i] = excl // 500
+        excl += t
+    got = {int(r.id): int(r.bin_id) for r in out}
+    assert got == want and len(got) == 1000
+    seq = [b for _, b in sorted(got.items())]
+    assert seq == sorted(seq)              # contiguous, non-decreasing
+    assert len(set(seq)) > 50              # really crosses partitions
+    with pytest.raises(ValueError, match="positive"):
+        SP.token_budget_bins(spark, df, "id", "t", budget=0)
