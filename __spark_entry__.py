@@ -1402,6 +1402,28 @@ def _q_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin_id"))
 
 
+MIX_RATES = {"zh": 1.0, "de": 0.25, "es": 0.0}
+MIX_DEFAULT = 0.5
+
+
+def _hash_sample_pred() -> str:
+    from luceneindexer_spark.ops.sampling import hash_sample_sql
+    return hash_sample_sql("doc_id", MIX_RATES, "lang", MIX_DEFAULT)
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (round 4, final): per-lang keep
+    rates via the sha256 hex-prefix predicate — keep ALL zh, a quarter
+    of de, no es, half of everything else — reproducible without RNG
+    (pure map-side expression; a salt change draws an independent
+    sample). Survivors hash-checked per row vs the identical DuckDB
+    predicate."""
+    from luceneindexer_spark.ops.sampling import hash_sample
+    return (hash_sample(_docs(spark, sf_dir), "doc_id", MIX_RATES,
+                        by_col="lang", default_rate=MIX_DEFAULT)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (round 4): top-bigram
     fraction (two-level keyed agg) + duplicate-5-gram fraction (pure
@@ -1620,7 +1642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "phrase_search": _q_phrase,
         "intersect_terms": _q_intersect,
         "lineitem_pricing": _q_lineitem_pricing,
         "topk_orders_join": _q_topk_orders,
@@ -1660,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_within_sorted": _q_grouped_within_sorted,
         "hash_split_assign": _q_hash_split,
         "token_budget_bins": _q_token_bins,
+        "hash_sample_mixture": _q_hash_sample,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1675,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
+        "phrase_search": _q_phrase,
         "search_multifield": _q_multifield,
         "browse_after_delete": _q_browse_after_delete,
         "bm25_topk_oracle": _q_bm25_oracle,
@@ -3332,6 +3355,11 @@ FROM ranked WHERE rk <= 3
         "lang_id": _lang_id_sql(),
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        # deterministic mixture sample: per-lang keep rates, same
+        # sha256 predicate on both engines
+        "hash_sample_mixture": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + _hash_sample_pred() + " ORDER BY doc_id"),
         # deterministic hash split: identical sha256 hex-prefix compare
         "hash_split_assign": (
             "SELECT doc_id, " + _hash_split_case()

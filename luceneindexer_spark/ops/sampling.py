@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 _HEX_DIGITS = 8             # sha2 prefix compared: 16^8 ≈ 4.3e9 buckets
 
 
+def _hex_threshold(frac: float) -> str:
+    """Zero-padded lowercase hex threshold for ``h < threshold`` to keep
+    ~``frac`` of uniformly-hashed keys; frac >= 1 returns a sentinel
+    above every hex string (``'g' > 'f'`` lexicographically), so
+    rate-1.0 keeps rows whose prefix is ``ffffffff`` too."""
+    if frac <= 0:
+        return "0" * _HEX_DIGITS
+    n = int(frac * 16 ** _HEX_DIGITS)
+    if n >= 16 ** _HEX_DIGITS:
+        return "g" * _HEX_DIGITS
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
 def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
     """(name, inclusive-upper hex threshold) per split, in declaration
     order; the last split absorbs rounding remainder. Shared by the
@@ -40,12 +53,11 @@ def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    space = 16 ** _HEX_DIGITS
     out, acc = [], 0.0
     names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        out.append((name, format(int(acc * space), f"0{_HEX_DIGITS}x")))
+        out.append((name, _hex_threshold(acc)))
     out.append((names[-1], "g" * _HEX_DIGITS))  # 'g' > every hex digit
     return out
 
@@ -84,6 +96,56 @@ def hash_split_sql(table: str, key_col: str,
     clauses = " ".join(
         f"WHEN {h} < '{t}' THEN '{n}'" for n, t in ths[:-1])
     return f"CASE {clauses} ELSE '{ths[-1][0]}' END"
+
+
+def hash_sample(df: DataFrame, key_col: str,
+                rate: "float | dict[str, float]",
+                by_col: str | None = None,
+                default_rate: float = 1.0,
+                salt: str = "sample-v1") -> DataFrame:
+    """Deterministic downsampling / mixture construction without RNG:
+    keep a row iff its sha256 hex prefix (over ``salt || key``) falls
+    below the rate's threshold. A scalar ``rate`` thins uniformly; a
+    dict keyed by ``by_col`` values keeps each category at its own rate
+    (the training-mix op: e.g. keep 100% of a rare domain, 10% of
+    boilerplate), unmapped categories at ``default_rate``. Same
+    stability story as ``hash_split``: pure map-side expression, the
+    keep decision is a function of the key — reruns, repartitions, and
+    joins all agree, and a different ``salt`` draws an independent
+    sample (also independent of ``hash_split``'s deal)."""
+    h = F.substring(
+        F.sha2(F.concat(F.lit(salt + ":"),
+                        F.col(key_col).cast("string")), 256),
+        1, _HEX_DIGITS)
+    if isinstance(rate, dict):
+        if by_col is None:
+            raise ValueError("a rate dict needs by_col")
+        thresh = F.lit(_hex_threshold(default_rate))
+        for val, r in rate.items():
+            thresh = F.when(F.col(by_col) == val,
+                            F.lit(_hex_threshold(r))).otherwise(thresh)
+    else:
+        thresh = F.lit(_hex_threshold(float(rate)))
+    return df.filter(h < thresh)
+
+
+def hash_sample_sql(key_col: str, rate: "float | dict[str, float]",
+                    by_col: str | None = None,
+                    default_rate: float = 1.0,
+                    salt: str = "sample-v1") -> str:
+    """DuckDB twin of ``hash_sample``'s keep predicate (a WHERE
+    condition string)."""
+    h = (f"substr(sha256('{salt}:' || {key_col}::VARCHAR), "
+         f"1, {_HEX_DIGITS})")
+    if isinstance(rate, dict):
+        clauses = " ".join(
+            f"WHEN {by_col} = '{v}' THEN '{_hex_threshold(r)}'"
+            for v, r in rate.items())
+        thresh = (f"(CASE {clauses} ELSE "
+                  f"'{_hex_threshold(default_rate)}' END)")
+    else:
+        thresh = f"'{_hex_threshold(float(rate))}'"
+    return f"{h} < {thresh}"
 
 
 def token_budget_bins(spark: SparkSession, df: DataFrame,

@@ -770,3 +770,43 @@ def test_token_budget_bins_match_sequential_prefix(spark):
     assert len(set(seq)) > 50              # really crosses partitions
     with pytest.raises(ValueError, match="positive"):
         SP.token_budget_bins(spark, df, "id", "t", budget=0)
+
+
+def test_hash_sample_rates_and_determinism(spark):
+    """hash_sample: category rates apply exactly (python hashlib
+    recompute of the same predicate), rate 1.0 keeps every row incl.
+    hash-prefix edge cases, 0.0 drops all, scalar rates land in band,
+    and a salt change draws an independent sample."""
+    import hashlib
+
+    from luceneindexer_spark.ops import sampling as SP
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string"))
+        .alias("cat"))
+    rates = {"c0": 1.0, "c1": 0.0}
+    kept = {int(r.k) for r in
+            SP.hash_sample(df, "k", rates, by_col="cat",
+                           default_rate=0.3).collect()}
+
+    def prefix(k):
+        return hashlib.sha256(f"sample-v1:{k}".encode()).hexdigest()[:8]
+    for k in range(3000):
+        cat = f"c{k % 3}"
+        th = SP._hex_threshold(rates.get(cat, 0.3))
+        assert (k in kept) == (prefix(k) < th), k
+    assert all(k in kept for k in range(0, 3000, 3))       # c0 all
+    assert not any(k in kept for k in range(1, 3000, 3))   # c1 none
+    n_c2 = sum(1 for k in range(2, 3000, 3) if k in kept)
+    assert 0.2 < n_c2 / 1000 < 0.4                         # default band
+
+    half = SP.hash_sample(df, "k", 0.5).count()
+    assert 0.45 < half / 3000 < 0.55
+    assert SP.hash_sample(df, "k", 1.0).count() == 3000
+    assert SP.hash_sample(df, "k", 0.0).count() == 0
+    other = {int(r.k) for r in
+             SP.hash_sample(df, "k", rates, by_col="cat",
+                            default_rate=0.3, salt="v2").collect()}
+    assert other != kept
+    with pytest.raises(ValueError, match="by_col"):
+        SP.hash_sample(df, "k", {"c0": 0.5})
