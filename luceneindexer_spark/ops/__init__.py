@@ -11,6 +11,8 @@ large-scale training-data pipeline needs, built Spark-first:
   document fingerprints
 - ``multimodal``: opaque binary media columns + Arrow-batched decode plumbing
   (decode itself stubbed — no media libs in this environment)
+- ``sampling``: deterministic hash train/val/test split, per-category
+  mixture sampling, token-budget sharding (distributed prefix sum)
 - ``maintenance``: delete-list anti-join, duplicate groups, browse
 
 All hashing is built on ``hashing.h60`` (first 15 hex chars of md5 as int64)
