@@ -1402,8 +1402,45 @@ def _q_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bin_id"))
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round 4, final): the corpus text augmented with a
+    deterministic pseudo-email and IP derived from doc_id (the synthetic
+    corpus contains no organic PII — the augmentation makes every row
+    discriminate), then scrubbed: emails/IPv4/long-hex each to a typed
+    placeholder, per-class counts from the original. Pure JVM regexes;
+    identical pattern strings run under DuckDB."""
+    from luceneindexer_spark.ops.textstats import redact_pii
+    aug = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.concat(F.col("text"), F.lit(" user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com ip 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".1")))
+    return (redact_pii(aug, "doc_id", "text2")
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
 MIX_RATES = {"zh": 1.0, "de": 0.25, "es": 0.0}
 MIX_DEFAULT = 0.5
+
+
+def _redact_sql() -> str:
+    from luceneindexer_spark.ops.textstats import (PII_EMAIL, PII_HEX,
+                                                   PII_IPV4)
+    aug = ("text || ' user' || doc_id::VARCHAR || '@example.com ip "
+           "10.0.' || (doc_id % 256)::VARCHAR || '.1'")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t, '{PII_IPV4}'))::BIGINT AS n_ips,
+  len(regexp_extract_all(t, '{PII_HEX}'))::BIGINT AS n_hex,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_IPV4}', '<IP>', 'g'),
+      '{PII_HEX}', '<HEX>', 'g') AS clean_text
+FROM aug ORDER BY doc_id
+"""
 
 
 def _hash_sample_pred() -> str:
@@ -1642,7 +1679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "intersect_terms": _q_intersect,
         "lineitem_pricing": _q_lineitem_pricing,
         "topk_orders_join": _q_topk_orders,
         "events_window": _q_events_window,
@@ -1682,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assign": _q_hash_split,
         "token_budget_bins": _q_token_bins,
         "hash_sample_mixture": _q_hash_sample,
+        "redact_pii_scan": _q_redact_pii,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1697,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
+        "intersect_terms": _q_intersect,
         "phrase_search": _q_phrase,
         "search_multifield": _q_multifield,
         "browse_after_delete": _q_browse_after_delete,
@@ -3355,6 +3393,9 @@ FROM ranked WHERE rk <= 3
         "lang_id": _lang_id_sql(),
         "quality_features": _QUALITY_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        # PII redaction: identical Java/RE2 pattern strings, counts
+        # from the original, replacements nested in rule order
+        "redact_pii_scan": _redact_sql(),
         # deterministic mixture sample: per-lang keep rates, same
         # sha256 predicate on both engines
         "hash_sample_mixture": (

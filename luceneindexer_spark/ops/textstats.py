@@ -374,3 +374,43 @@ def shared_span_pairs(df: DataFrame, id_col: str, text_col: str,
             .agg(F.count("*").alias("n_common"))
             .filter(F.col("n_common") >= min_common)
             .orderBy(F.desc("n_common"), F.asc("id_a"), F.asc("id_b")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (round 4, final)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark, whole-stage codegen) and RE2 (DuckDB oracle): character
+# classes, bounded repetition, \b — no lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_HEX = r"\b[0-9a-fA-F]{32,}\b"
+_PII_RULES = ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+              (PII_HEX, "<HEX>"))
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub the standard PII classes a pretraining pipeline drops
+    before export: emails, IPv4 addresses, and long hex blobs (API
+    keys / hashes, >= 32 hex chars) each replaced by a typed
+    placeholder, applied in that order. Per-class match counts are
+    taken from the ORIGINAL text (diagnostics for filtering/reporting).
+
+    Pure JVM ``regexp_replace``/``regexp_extract_all`` expressions —
+    no UDF in the path, scales as a map-side projection; the exact
+    same pattern strings run under DuckDB for the oracle. Returns
+    (id, n_emails, n_ips, n_hex, clean_text)."""
+    t = F.col(text_col)
+    clean = t
+    for pat, tag in _PII_RULES:
+        clean = F.regexp_replace(clean, pat, tag)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0))
+        .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_HEX), 0))
+        .cast("long").alias("n_hex"),
+        clean.alias("clean_text"))

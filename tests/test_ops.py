@@ -810,3 +810,30 @@ def test_hash_sample_rates_and_determinism(spark):
     assert other != kept
     with pytest.raises(ValueError, match="by_col"):
         SP.hash_sample(df, "k", {"c0": 0.5})
+
+
+def test_redact_pii_planted(spark):
+    """redact_pii on planted strings: each class replaced by its typed
+    placeholder with per-class counts from the original text; clean
+    docs pass through byte-identical."""
+    from luceneindexer_spark.ops import textstats as T
+    rows = [
+        (0, "mail a.b+c@ex-1.co.uk and x@y.io end"),
+        (1, "ip 10.0.255.1. tail 1.2.3.4.5"),
+        (2, "key " + "ab" * 20 + " short deadbeef"),
+        (3, "user@8.8.8.8 mixed"),          # not an email (no alpha TLD)
+        (4, "clean text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {int(r.id): r for r in
+           T.redact_pii(df, "id", "text").collect()}
+    assert got[0].clean_text == "mail <EMAIL> and <EMAIL> end"
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_hex) == (2, 0, 0)
+    assert got[1].clean_text == "ip <IP>. tail <IP>.5"
+    assert got[1].n_ips == 2
+    assert got[2].clean_text == "key <HEX> short deadbeef"
+    assert got[2].n_hex == 1
+    assert got[3].clean_text == "user@<IP> mixed"
+    assert (got[3].n_emails, got[3].n_ips) == (0, 1)
+    assert got[4].clean_text == rows[4][1]
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_hex) == (0, 0, 0)
