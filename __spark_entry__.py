@@ -1627,6 +1627,17 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win_start", "event_type"))
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (round 4, final): per-user sessions cut
+    where consecutive events are >= 24h apart — Spark's native merging
+    ``session_window`` state (one keyed agg, streaming-capable), checked
+    against DuckDB's sequential lag/cumsum recompute."""
+    from luceneindexer_spark.streaming.windowed import sessionize
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (sessionize(ev, "user_id", gap="24 hours")
+            .orderBy("user_id", "session_start"))
+
+
 def _q_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_stream_agg(spark, sf_dir)
 
@@ -1679,7 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "collocations_pmi": _q_collocations,
-        "lineitem_pricing": _q_lineitem_pricing,
         "topk_orders_join": _q_topk_orders,
         "events_window": _q_events_window,
         "events_stream_agg": _q_events_stream,
@@ -1719,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_bins": _q_token_bins,
         "hash_sample_mixture": _q_hash_sample,
         "redact_pii_scan": _q_redact_pii,
+        "events_sessionized": _q_events_sessions,
         "lucene_qs_open_range": _q_lucene_qs_open_range,
         "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
         "phrase_boost_search": _q_phrase_boost_search,
@@ -1734,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_counts": _q_category_counts,
         "duplicate_groups": _q_duplicate_groups,
         "browse_first_50": _q_browse,
+        "lineitem_pricing": _q_lineitem_pricing,
         "intersect_terms": _q_intersect,
         "phrase_search": _q_phrase,
         "search_multifield": _q_multifield,
@@ -3553,6 +3565,23 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 25
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # gap sessionization: Spark session_window vs the sequential
+        # lag/cumsum session assignment (break at diff > gap — Spark
+        # merges an event landing EXACTLY gap after the previous one;
+        # pinned by test_sessionize_gap_boundaries)
+        "events_sessionized": """
+WITH o AS (SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 1440 MINUTE
+         THEN 1 ELSE 0 END AS brk FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+       round(sum(value), 6)::DOUBLE AS value_sum
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """,
         "events_stream_agg": """
 SELECT event_type, count(*)::BIGINT AS n_events,

@@ -114,3 +114,34 @@ def events_window_watermarked(spark: SparkSession, sf_dir: str,
     return (out.withColumn("win_start",
                            F.col("win_start").cast("timestamp_ntz"))
             .orderBy("win_start", "event_type"))
+
+
+def sessionize(events: DataFrame, key_col: str, gap: str = "24 hours",
+               ts_col: str = "ts",
+               value_col: str | None = "value") -> DataFrame:
+    """Gap-based sessionization (round 4, final): consecutive events of
+    one ``key_col`` belong to the same session while each arrives
+    within ``gap`` of the previous one (INCLUSIVE — an event landing
+    exactly ``gap`` later still merges; the session breaks only when
+    the silence exceeds the gap) — ``F.session_window``, Spark's
+    native merging session state. Works identically over a
+    batch frame (used by the contract) and a streaming frame (session
+    windows + a watermark give append-mode finalized sessions; state is
+    per (key, open session), merged and evicted by Spark).
+
+    At scale this is ONE keyed aggregation: no self-join, no global
+    sort; the lag/cumsum formulation the DuckDB oracle uses is the
+    sequential recompute, not the plan. Returns
+    (key, session_start, n_events [, value_sum]) — ``session_start`` is
+    the session's first event time (the window start)."""
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("value_sum"))
+    return (events
+            .groupBy(F.col(key_col),
+                     F.session_window(F.col(ts_col), gap).alias("sw"))
+            .agg(*aggs)
+            .select(F.col(key_col),
+                    F.col("sw.start").alias("session_start"),
+                    *[c for c in ("n_events", "value_sum")
+                      if value_col is not None or c == "n_events"]))

@@ -355,3 +355,34 @@ def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
     assert rows["a"] == (100, 2)     # two in-batch occurrences collapsed
     assert rows["b"] == (200, 1)
     assert rows["c"] == (400, 1)     # later-batch new key still emitted
+
+
+def test_sessionize_gap_boundaries(spark):
+    """sessionize: events merge while each lands within gap of the
+    previous — INCLUSIVE at exactly gap (pinned: the oracle's break
+    condition must be diff > gap, not >=) — and break beyond it; keys
+    never share sessions."""
+    import datetime as dt
+
+    from luceneindexer_spark.streaming.windowed import sessionize
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + 59 * m, 2.0),          # < gap: merges
+        (1, t0 + 119 * m, 4.0),         # chains
+        (1, t0 + 179 * m, 8.0),         # EXACTLY gap after prev: merges
+        (1, t0 + 240 * m, 16.0),        # 61 min > gap: new session
+        (2, t0, 32.0),                  # other key, own session
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, value double")
+    got = sorted(
+        (int(r.user_id), r.session_start, int(r.n_events),
+         float(r.value_sum))
+        for r in sessionize(df, "user_id", gap="60 minutes").collect())
+    assert got == [
+        (1, t0, 4, 15.0),
+        (1, t0 + 240 * m, 1, 16.0),
+        (2, t0, 1, 32.0),
+    ]
