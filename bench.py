@@ -479,8 +479,20 @@ def main() -> None:
         # not serving capacity; 64 concurrent queries amortize it — the
         # high-load regime the north rule's throughput criterion describes.
         # qps_batch stays the 8-query number for cross-round continuity.
-        big_batch = {f"{k}__{i}": v for i in range(8)
-                     for k, v in QUERY_SET.items()}
+        # The 64 queries are DISTINCT two-term conjunctions (8x8 cross of
+        # single-token vocab words): through round 4 first-half this was 8
+        # copies of QUERY_SET, but topk_batch now shares term decodes
+        # across a pass (engine._pooled), which would make duplicate
+        # copies artificially cheap — distinct conjunctions keep the
+        # measured work proportional to the query count while still
+        # exercising honest cross-query term sharing (each term appears
+        # in 8 of the 64 queries, as hot terms do in real batches).
+        _BW = ["buffer", "stream", "index", "search",
+               "query", "merge", "flush", "cache"]
+        _BW2 = ["config", "logger", "shard", "replica",
+                "def", "class", "return", "import"]
+        big_batch = {f"bx_{a}_{b}": f"{a} {b}"
+                     for a in _BW for b in _BW2}
         qs_tiny = QuerySession(spark, last_big_root, cache=True,
                                cache_partitions=tiny)
         qs_small = QuerySession(spark, last_big_root, cache=True,

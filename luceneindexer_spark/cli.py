@@ -47,7 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build or resume an index")
     b.add_argument("--input", required=True, help="corpus parquet path")
     b.add_argument("--out", required=True, help="index root")
-    b.add_argument("--range-size", type=int, default=1 << 16)
+    b.add_argument("--range-size", type=int, default=None,
+                   help="docs per posting range (default: scale-aware — "
+                        "~128 ranges, clamped to [2^10, 2^16])")
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--waves", type=int, default=1)
     b.add_argument("--positions", action="store_true")

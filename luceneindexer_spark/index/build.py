@@ -581,13 +581,23 @@ def _corpus_profile(docmap: DataFrame) -> dict:
     }
 
 
+def auto_range_size(max_id: int) -> int:
+    """Scale-aware default for docs-per-range: the power of two in
+    [2^10, 2^16] giving ~128 ranges. A pure function of the docmap's max
+    doc id ONLY — not of the build's parallelism — so a killed build
+    resumed at any partition count recomputes the identical value and the
+    checkpoint manifest's per-range lineage stays valid."""
+    target = max(1, (max_id + 1) // 128)
+    return 1 << max(10, min(16, (target - 1).bit_length()))
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame | None,
     out_dir: str,
     *,
     n_buckets: int = 8,
-    range_size: int = 1 << 16,
+    range_size: int | None = None,
     waves: int = 1,
     positions: bool = False,
     field_cols: tuple[str, ...] = (),
@@ -602,6 +612,19 @@ def build_index(
     """Build (or resume) the full index at out_dir. Returns a report dict.
 
     corpus may be None on resume if the docmap was already written.
+
+    range_size (docs per posting range — the unit of scorer parallelism,
+    resume granularity, and compaction) defaults to a SCALE-AWARE choice:
+    the power of two in [2^10, 2^16] giving ~128 ranges, so a default
+    build always has enough ranges to occupy a cluster at query time (a
+    fixed 2^16 default left a 200k-doc index with 4 ranges — a 4-task
+    ceiling on every scorer cogroup regardless of executor count) while a
+    10^12-doc corpus still caps at 2^16 docs/range (~15M ranges, metadata
+    control-plane sized). The choice derives deterministically from the
+    docmap's max doc id ALONE, so a killed build resumed at any
+    parallelism recomputes the identical value and the checkpoint
+    manifest's per-range lineage stays valid; pass an explicit
+    range_size to pin it.
 
     scan_parallelism targets EXACTLY that many tokenize-scan splits (it also
     sets spark.sql.files.minPartitionNum, without which Spark silently floors
@@ -635,6 +658,9 @@ def build_index(
     report["docmap_s"] = time.time() - t0
 
     # ---- plan ranges and waves ----
+    if range_size is None:
+        range_size = auto_range_size(max_id)
+    report["range_size"] = range_size
     # from MAX doc_id, not the row count: incremental appends start new docs
     # at the next range boundary, leaving id gaps (streaming.incremental)
     n_ranges = max(1, math.ceil((max_id + 1) / range_size))

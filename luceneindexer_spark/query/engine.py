@@ -120,6 +120,22 @@ def _ep_from_row(row) -> EncodedPostings:
     )
 
 
+def _pooled(pool: dict | None, key, ctor):
+    """Per-invocation construction memo for batched serving: with a pool,
+    queries in the same batch share one decoded-postings object per (kind,
+    term) key inside a range invocation — the shared-scan half of
+    ``topk_batch`` (a hot term appearing in many queries of a batch is
+    copied out of Arrow and block-decoded ONCE per range, not once per
+    query). ``None`` keeps the single-query behavior: construct fresh."""
+    if pool is None:
+        return ctor()
+    v = pool.get(key)
+    if v is None:
+        v = ctor()
+        pool[key] = v
+    return v
+
+
 def _idf(n_docs: int, df: int) -> float:
     return float(np.log1p((n_docs - df + 0.5) / (df + 0.5)))
 
@@ -271,10 +287,17 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
                        sentinel_of: dict[str, str] | None = None,
                        avgdl_of: dict[str, float] | None = None,
                        deny: list[str] | None = None,
-                       after: tuple | None = None):
+                       after: tuple | None = None,
+                       cache_pool: dict | None = None):
     """cogroup-applyInPandas fn: one (range_id) group of postings rows +
     the range's norms rows → local top-k (doc_id, score), with block-max
     WAND pruning.
+
+    ``cache_pool`` (batched serving): a per-range-invocation dict shared
+    by every query's scorer in a ``topk_batch`` pass — postings/norms
+    Arrow-rows are materialized and block-decoded once per (term, range),
+    not once per (query, range); see ``_pooled``. Implies one shared
+    ``counters`` namespace across the pooled scorers.
 
     Tombstones arrive as DEL_TERM pseudo-postings rows in the same cogroup
     (range-partitioned; see QuerySession.refresh_deletes) and are filtered
@@ -307,25 +330,38 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
             post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
             if allow_docs is None:
                 return empty  # no allowed docs in this range
-        by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
+        by_term = {r.term: _pooled(cache_pool, ("ep", r.term),
+                                   lambda r=r: _ep_from_row(r))
+                   for r in post_pdf.itertuples()}
         if any(t not in by_term for t in terms_by_rarity):
             return empty  # conjunctive MUST: every term must exist in range
-        deny_caches = {dt: _BlockCache(by_term[dt], counters)
+        deny_caches = {dt: _pooled(cache_pool, ("bc", dt),
+                                   lambda dt=dt: _BlockCache(by_term[dt],
+                                                             counters))
                        for dt in (deny or []) if dt in by_term}
-        neps = {r.term: _ep_from_row(r) for r in norms_pdf.itertuples()}
+        neps = {r.term: _pooled(cache_pool, ("nep", r.term),
+                                lambda r=r: _ep_from_row(r))
+                for r in norms_pdf.itertuples()}
         if any(s not in neps for s in sentinels):
             return empty  # no doc in this range carries that field
 
         rare = terms_by_rarity[0]
         others = terms_by_rarity[1:]
         rep = by_term[rare]
-        rcache = _BlockCache(rep, counters)
-        ocaches = {t: _BlockCache(by_term[t], counters) for t in others}
-        ncaches = {s: _BlockCache(neps[s]) for s in sentinels}
+        rcache = _pooled(cache_pool, ("bc", rare),
+                         lambda: _BlockCache(rep, counters))
+        ocaches = {t: _pooled(cache_pool, ("bc", t),
+                              lambda t=t: _BlockCache(by_term[t], counters))
+                   for t in others}
+        ncaches = {s: _pooled(cache_pool, ("nbc", s),
+                              lambda s=s: _BlockCache(neps[s]))
+                   for s in sentinels}
 
         # ---- block-max upper bounds (metadata only) ----
         # per-rare-block doclen lower bounds, one per involved field
-        dlmin_by_s = {s: _block_dlmin(rep, neps[s]) for s in sentinels}
+        dlmin_by_s = {s: _pooled(cache_pool, ("dlmin", rare, s),
+                                 lambda s=s: _block_dlmin(rep, neps[s]))
+                      for s in sentinels}
         ub = _score_ub(idf_by_term[rare], rep.block_maxtf,
                        dlmin_by_s[sentinel_of[rare]],
                        avgdl_of[sentinel_of[rare]], k1, b)
@@ -497,7 +533,8 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
                           avgdl_of: dict[str, float] | None = None,
                           deny: list[str] | None = None,
                           min_should_match: int = 1,
-                          after: tuple | None = None):
+                          after: tuple | None = None,
+                          cache_pool: dict | None = None):
     """cogroup-applyInPandas fn: disjunctive (OR / Lucene ``SHOULD``) BM25 —
     score(d) = Σ over query terms PRESENT in d; any doc matching at least
     one term competes. Beyond the reference wrapper (it only ever emits
@@ -542,16 +579,25 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
             post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
             if allow_docs is None:
                 return empty
-        by_term = {r.term: _ep_from_row(r) for r in post_pdf.itertuples()}
-        neps = {r.term: _ep_from_row(r) for r in norms_pdf.itertuples()}
+        by_term = {r.term: _pooled(cache_pool, ("ep", r.term),
+                                   lambda r=r: _ep_from_row(r))
+                   for r in post_pdf.itertuples()}
+        neps = {r.term: _pooled(cache_pool, ("nep", r.term),
+                                lambda r=r: _ep_from_row(r))
+                for r in norms_pdf.itertuples()}
         present = [t for t in terms
                    if t in by_term and sentinel_of[t] in neps]
         if not present:
             return empty
-        caches = {t: _BlockCache(by_term[t], counters) for t in present}
-        deny_caches = {dt: _BlockCache(by_term[dt], counters)
+        caches = {t: _pooled(cache_pool, ("bc", t),
+                             lambda t=t: _BlockCache(by_term[t], counters))
+                  for t in present}
+        deny_caches = {dt: _pooled(cache_pool, ("bc", dt),
+                                   lambda dt=dt: _BlockCache(by_term[dt],
+                                                             counters))
                        for dt in (deny or []) if dt in by_term}
-        ncaches = {s: _BlockCache(neps[s])
+        ncaches = {s: _pooled(cache_pool, ("nbc", s),
+                              lambda s=s: _BlockCache(neps[s]))
                    for s in sorted({sentinel_of[t] for t in present})}
 
         def dl_of(s: str, docs: np.ndarray) -> np.ndarray:
@@ -1654,8 +1700,12 @@ class QuerySession:
                          ) -> pd.DataFrame:
             out = []
             factory = _make_range_scorer if conj else _make_or_range_scorer
+            # shared-scan batching: one decode pool per range invocation —
+            # a term shared by many queries in the batch is materialized
+            # and block-decoded once per range, not once per query
+            pool: dict = {}
             scorers = {
-                qid: factory(ts, idf, avgdl, kk)
+                qid: factory(ts, idf, avgdl, kk, cache_pool=pool)
                 for qid, ts, idf in plans}
             is_del = post_pdf["term"] == DEL_TERM
             for qid, ts, idf in plans:

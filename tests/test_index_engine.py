@@ -228,3 +228,34 @@ def test_scan_parallelism_targets_split_count(spark, tmp_path):
     qs = engine.QuerySession(spark, root)
     got = qs.topk(HOT_TERM, k=5).collect()
     assert len(got) == 5
+
+
+def test_auto_range_size_scale_aware(spark, tmp_path):
+    """Default range_size is scale-aware (~128 ranges, clamped to
+    [2^10, 2^16] docs per range) and a pure function of the docmap's max
+    doc id — independent of the build's parallelism, so a resume at a
+    different partition count recomputes the identical value."""
+    from luceneindexer_spark.index.build import auto_range_size
+
+    # pure-function contract across the scale sweep
+    assert auto_range_size(500) == 1 << 10            # clamp floor
+    assert auto_range_size(200_000 - 1) == 1 << 11    # 200k -> 98 ranges
+    assert auto_range_size(1_000_000 - 1) == 1 << 13  # ~128 ranges
+    assert auto_range_size(10_000_000 - 1) == 1 << 16  # clamp cap reached
+    assert auto_range_size(10**12) == 1 << 16         # 10^12 docs: cap
+    for n in (200_000, 1_000_000, 50_000_000):
+        rs = auto_range_size(n - 1)
+        assert 1 << 10 <= rs <= 1 << 16
+        assert (n + rs - 1) // rs >= 64 or rs == 1 << 10
+
+    # a default build records the choice and is queryable; the value
+    # matches the pure function of its own docmap
+    root = str(tmp_path / "idx_auto")
+    corpus = synth_corpus(spark, 300, partitions=4)
+    rep = build_index(spark, corpus, root, n_buckets=4, waves=1,
+                      merge_partitions=2, docmap_partitions=2)
+    assert rep["range_size"] == auto_range_size(N_DOCS - 1) == 1 << 10
+    meta = engine.load_meta(spark, root)
+    assert meta.range_size == 1 << 10
+    qs = engine.QuerySession(spark, root)
+    assert len(qs.topk(HOT_TERM, k=5).collect()) == 5

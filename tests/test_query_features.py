@@ -2875,3 +2875,72 @@ def test_facet_ranges_overlap_zero_and_errors(built, spark):
         qs.facet_ranges(HOT_TERM, "lang", [("x", 0, 1)])
     with pytest.raises(ValueError, match="at least one"):
         qs.facet_ranges(HOT_TERM, "size", [])
+
+
+# ---------------------------------------------------------------------------
+# batched serving: shared-scan decode pool
+# ---------------------------------------------------------------------------
+
+def test_batch_shared_decode_pool(built, spark):
+    """``topk_batch``'s shared-scan pool (``engine._pooled``): queries in
+    one batch sharing a term materialize + block-decode that term ONCE per
+    range, not once per query — and pooled scorers return bit-identical
+    results to unpooled ones."""
+    root, _ = built
+    meta = engine.load_meta(spark, root)
+    post = spark.read.parquet(os.path.join(root, "postings"))
+    stats = spark.read.parquet(os.path.join(root, "term_stats"))
+    ta, tb = [r["term"] for r in
+              (stats.filter(~F.col("term").contains(":"))
+               .orderBy(F.desc("df"), F.asc("term")).limit(2).collect())]
+    pdf = (post.filter((F.col("range_id") == 0) & F.col("term").isin([ta, tb]))
+           .toPandas())
+    norms_pdf = (post.filter((F.col("range_id") == 0)
+                             & (F.col("term") == DOCLEN_TERM)).toPandas())
+    assert len(pdf) == 2 and len(norms_pdf) == 1
+    df_of = {r["term"]: int(r["df"]) for r in
+             stats.filter(F.col("term").isin([ta, tb])).collect()}
+    idf = {t: engine._idf(meta.n_docs, df_of[t]) for t in (ta, tb)}
+    n_blocks = {}
+    for r in pdf.itertuples():
+        n_blocks[r.term] = engine._ep_from_row(r).block_first.size
+
+    def plans(pool, counters):
+        by_rarity = sorted([ta, tb], key=lambda t: (df_of[t], t))
+        s1 = engine._make_range_scorer(
+            [ta], {ta: idf[ta]}, meta.avgdl, 10,
+            counters=counters, cache_pool=pool)
+        s2 = engine._make_range_scorer(
+            by_rarity, idf, meta.avgdl, 10,
+            counters=counters, cache_pool=pool)
+        return s1(None, pdf, norms_pdf), s2(None, pdf, norms_pdf)
+
+    pooled_counters: dict = {}
+    r1p, r2p = plans({}, pooled_counters)
+    plain_counters: dict = {}
+    r1u, r2u = plans(None, plain_counters)
+
+    # identical results, pooled or not
+    for rp, ru in ((r1p, r1u), (r2p, r2u)):
+        assert rp["doc_id"].tolist() == ru["doc_id"].tolist()
+        np.testing.assert_array_equal(rp["score"].to_numpy(),
+                                      ru["score"].to_numpy())
+    # the shared term's cache was built once across the two pooled plans
+    # (blocks_total counts _BlockCache constructions); unpooled builds it
+    # once per plan that scores it
+    assert pooled_counters["blocks_total"] == n_blocks[ta] + n_blocks[tb]
+    assert plain_counters["blocks_total"] == 2 * n_blocks[ta] + n_blocks[tb]
+    assert (pooled_counters["blocks_decoded"]
+            <= plain_counters["blocks_decoded"])
+
+    # end-to-end: the distributed batch path (which now pools per range
+    # invocation) agrees with per-query topk
+    qs = engine.QuerySession(spark, root)
+    got = qs.topk_batch({"qa": ta, "qab": f"{ta} {tb}"}, k=10).collect()
+    for qid, q in (("qa", ta), ("qab", f"{ta} {tb}")):
+        want = [(r.doc_id, round(r.score, 9)) for r in
+                qs.topk(q, k=10).collect()]
+        have = [(r.doc_id, round(r.score, 9)) for r in
+                sorted((r for r in got if r.query_id == qid),
+                       key=lambda r: r.rank)]
+        assert have == want
