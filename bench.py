@@ -513,6 +513,31 @@ def main() -> None:
                 sess.topk_batch(big_batch, k=10).collect()
                 qtimes64[qpar].append(time.time() - t1)
         spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
+        # Placement-skew record for the query ratio: the scorer cogroup's
+        # unit of parallelism is the RANGE, and ranges land on cache
+        # partitions by hash — at sandbox size the index has only ~49
+        # ranges, so the busiest of P partitions carries well over K/P of
+        # them (balls into bins) and the measured 64-query ratio is capped
+        # by max_load(tiny)/max_load(small) / (small/tiny) REGARDLESS of
+        # engine efficiency. Recorded per level so the ratio can be read
+        # against its skew ceiling; at production scale ranges number in
+        # the millions (n_docs/range_size) and the skew term vanishes.
+        from pyspark.sql import functions as _F
+        skew = {}
+        for qpar, s_ in ((tiny, qs_tiny), (small, qs_small), (CPUS, qs)):
+            loads = sorted(
+                (int(r["n"]) for r in
+                 s_.post.select("range_id")
+                 .withColumn("p", _F.spark_partition_id())
+                 .groupBy("p")
+                 .agg(_F.countDistinct("range_id").alias("n")).collect()),
+                reverse=True)
+            skew[str(qpar)] = {"max": loads[0] if loads else 0,
+                               "nonempty": len(loads),
+                               "total_ranges": int(sum(loads))}
+        tl, sl = skew[str(tiny)], skew[str(small)]
+        skew["ceiling_tiny_small"] = round(
+            (tl["max"] / max(1, sl["max"])) / (small / tiny), 3)
         qs_tiny.close()
         qs_small.close()
         qs.close()
@@ -589,6 +614,9 @@ def main() -> None:
             "scaling_efficiency_e2e": round(eff, 3),
             "scaling_efficiency_e2e_est": round(eff_est, 3),
             "scaling_efficiency_query": round(q_eff, 3),
+            # ranges-per-cache-partition at each level: the query ratio's
+            # placement-skew ceiling (see comment at the probe)
+            "query_skew": skew,
             # same-run hardware ceiling (pure-int multiprocessing) and the
             # secondary hypervisor-capped pair, raw + ceiling-normalized
             "cpu_ceiling": cpu_ceiling,
@@ -646,6 +674,7 @@ def main() -> None:
         "scaling_efficiency_e2e": out["scaling_efficiency_e2e"],
         "scaling_efficiency_e2e_est": out["scaling_efficiency_e2e_est"],
         "scaling_efficiency_query": out["scaling_efficiency_query"],
+        "query_skew_ceiling": out["query_skew"]["ceiling_tiny_small"],
         f"scaling_efficiency_{small}_{CPUS}":
             out[f"scaling_efficiency_{small}_{CPUS}"],
         "scaling_vs_ceiling": out["scaling_vs_ceiling"],
@@ -719,7 +748,17 @@ silicon, so it is the PRIMARY north-rule pair:
   amortized, the high-load regime — cogroup throttled to the level's
   partition count): {tiny}→{small} {out['scaling_efficiency_query']},
   {small}→{big} {out[f'scaling_efficiency_query_{small}_{big}']}; 64-query
-  throughput **{out.get('qps_batch64')} q/s**
+  throughput **{out.get('qps_batch64')} q/s**. The ratio's unit of
+  parallelism is the RANGE (the scorer cogroup's group), and at this
+  corpus size the index has only {out['query_skew'][str(tiny)]['total_ranges']}
+  ranges hashing onto cache partitions — the busiest partition carries
+  {out['query_skew'][str(tiny)]['max']} of them at {tiny}-way vs
+  {out['query_skew'][str(small)]['max']} at {small}-way (balls into
+  bins), capping the measured ratio at
+  **{out['query_skew']['ceiling_tiny_small']}** regardless of engine
+  efficiency; the measured value should be read against that skew
+  ceiling, which vanishes at production scale (ranges number
+  n_docs/range_size — millions at 10^9+ docs, so max/mean → 1)
 - core = the data-proportional work; end-to-end additionally includes O(1)
   control-plane jobs (docmap bookkeeping, manifest, stats) that amortize at
   real corpus scale but dominate at sandbox sizes

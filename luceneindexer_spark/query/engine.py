@@ -320,11 +320,17 @@ def _make_range_scorer(terms_by_rarity: list[str], idf_by_term: dict[str, float]
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                     ) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                              "score": pd.Series(dtype=np.float64)})
+        empty = _pooled(
+            cache_pool, ("empty",),
+            lambda: pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                  "score": pd.Series(dtype=np.float64)}))
         if len(norms_pdf) == 0 or len(post_pdf) == 0:
             return empty
-        post_pdf, deletes = _pop_pseudo_docs(post_pdf, DEL_TERM)
+        # pooled: all plans of a batch receive the identical group
+        # frame, so the tombstone pop runs once per range, not per query
+        post_pdf, deletes = _pooled(
+            cache_pool, ("popdel",),
+            lambda: _pop_pseudo_docs(post_pdf, DEL_TERM))
         allow_docs: np.ndarray | None = None
         if allow:
             post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
@@ -569,11 +575,17 @@ def _make_or_range_scorer(terms: list[str], idf_by_term: dict[str, float],
 
     def score_range(_key, post_pdf: pd.DataFrame, norms_pdf: pd.DataFrame
                     ) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                              "score": pd.Series(dtype=np.float64)})
+        empty = _pooled(
+            cache_pool, ("empty",),
+            lambda: pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                  "score": pd.Series(dtype=np.float64)}))
         if len(norms_pdf) == 0 or len(post_pdf) == 0:
             return empty
-        post_pdf, deletes = _pop_pseudo_docs(post_pdf, DEL_TERM)
+        # pooled: all plans of a batch receive the identical group
+        # frame, so the tombstone pop runs once per range, not per query
+        post_pdf, deletes = _pooled(
+            cache_pool, ("popdel",),
+            lambda: _pop_pseudo_docs(post_pdf, DEL_TERM))
         allow_docs: np.ndarray | None = None
         if allow:
             post_pdf, allow_docs = _pop_pseudo_docs(post_pdf, ALLOW_TERM)
@@ -1707,10 +1719,13 @@ class QuerySession:
             scorers = {
                 qid: factory(ts, idf, avgdl, kk, cache_pool=pool)
                 for qid, ts, idf in plans}
-            is_del = post_pdf["term"] == DEL_TERM
+            # every plan receives the FULL group frame: a scorer reads only
+            # its own terms out of (pooled) by_term, so the former per-plan
+            # isin+slice — O(plans x rows) pandas work per range — is
+            # unnecessary; with the pool it was the dominant per-(query,
+            # range) cost in wide batches
             for qid, ts, idf in plans:
-                sub = post_pdf[post_pdf["term"].isin(ts) | is_del]
-                r = scorers[qid](_key, sub, norms_pdf)
+                r = scorers[qid](_key, post_pdf, norms_pdf)
                 if len(r):
                     r = r.copy()
                     r.insert(0, "query_id", qid)
