@@ -92,6 +92,19 @@ def main(argv: list[str] | None = None) -> int:
                         "docmap field over ALL matches")
     q.add_argument("--hydrate", action="store_true")
 
+    t = sub.add_parser(
+        "batch", help="score MANY queries in one shared-scan pass "
+                      "(topk_batch: per-range decodes shared across the "
+                      "batch; the throughput serving path)")
+    t.add_argument("--index", required=True)
+    t.add_argument("-k", type=int, default=10)
+    t.add_argument("--mode", choices=("and", "or"), default="and")
+    t.add_argument("--queries-file", default=None,
+                   help="file with one query per line; 'id<TAB>query' "
+                        "lines set explicit ids, else ids are q0, q1, …")
+    t.add_argument("queries", nargs="*",
+                   help="inline queries (one per argument, ids a0, a1, …)")
+
     s = sub.add_parser("search", help="multi-field conjunctive search")
     s.add_argument("--index", required=True)
     s.add_argument("--content", default="")
@@ -223,6 +236,26 @@ def main(argv: list[str] | None = None) -> int:
                 if sugg:
                     print(json.dumps({"no_hits": args.query,
                                       "did_you_mean": sugg}))
+        elif args.cmd == "batch":
+            from .query.engine import QuerySession
+            entries: list[tuple[str, str]] = []
+            if args.queries_file:
+                with open(args.queries_file) as fh:
+                    for i, line in enumerate(fh):
+                        line = line.rstrip("\n")
+                        if not line.strip():
+                            continue
+                        qid, tab, rest = line.partition("\t")
+                        entries.append((qid, rest) if tab
+                                       else (f"q{i}", line))
+            entries.extend((f"a{i}", q)
+                           for i, q in enumerate(args.queries))
+            if not entries:
+                p.error("batch needs --queries-file or inline queries")
+            qs = QuerySession(spark, args.index)
+            out = qs.topk_batch(dict(entries), k=args.k, mode=args.mode)
+            for r in out.orderBy("query_id", "rank").collect():
+                print(json.dumps(r.asDict(), default=str))
         elif args.cmd == "search":
             from .query.engine import search_fields
             fields = {f: getattr(args, f) for f in

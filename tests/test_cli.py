@@ -56,6 +56,13 @@ def test_cli_build_query_delete_wipe(spark, tmp_path):
     assert {"lang", "cnt"} <= set(fac[0]) and sum(
         f["cnt"] for f in fac) >= len(hits2)
 
+    # batch subcommand: one shared-scan pass, per-query ids + ranks, and
+    # the single-query rows agree with the `query` subcommand's answer
+    bt = run("batch", "--index", idx, HOT_TERM, f"{HOT_TERM} zzznope",
+             "-k", "5")
+    assert {r["query_id"] for r in bt} == {"a0"}   # a1's MUST term absent
+    assert [r["doc_id"] for r in bt] == [h["doc_id"] for h in hits2]
+
     run("wipe", "--index", idx)
     assert not os.path.exists(os.path.join(idx, "postings"))
 
