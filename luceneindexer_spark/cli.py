@@ -13,6 +13,8 @@ or locally:
     python -m luceneindexer_spark.cli build  --input corpus.parquet \
         --out /idx --range-size 65536 --buckets 64 --positions
     python -m luceneindexer_spark.cli query  --index /idx "parseJson fast"
+    python -m luceneindexer_spark.cli batch  --index /idx \
+        --queries-file qs.txt "inline query"   # one shared-scan pass
     python -m luceneindexer_spark.cli search --index /idx \
         --content "tokenizer" --lang python -k 10
     python -m luceneindexer_spark.cli delete --index /idx --doc-ids 3,17
