@@ -987,6 +987,17 @@ def _q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r, "score")
 
 
+def _q_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 federation (reference searchAll, cIndex.java:59-69): the base
+    index + the tombstoned delete-root queried as one federation — exact
+    merge of the per-root top-k. The rank-1 doc appears only under root 0
+    (it is deleted in root 1), every other hit under both roots."""
+    root1 = _index_root(spark, sf_dir)
+    root2 = _delete_test_root(spark, sf_dir)
+    r = engine.federated_topk(spark, [root1, root2], BM25_QUERY, k=10)
+    return _round6(r, "score")
+
+
 def _q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search THROUGH the index (consecutive positions in
     the stopword-filtered token stream), BM25-scored."""
@@ -1679,66 +1690,16 @@ def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (VERDICT r3 #2): the driver checks only the FIRST
-    # 50 entries per round, so entries that have never appeared in a
-    # CORRECTNESS_r*.json come first — the 21 tail entries from round 3
-    # (incl. all five round-3 pipeline ops) plus every round-4 addition —
-    # followed by entries already driver-green in CORRECTNESS_r03.json.
+    # Ordering contract: the driver checks only the FIRST 50 entries per
+    # round. Round-5 rotation (VERDICT r4 next #1): new round-5 entries
+    # first, then every entry whose latest green row is r01/r02 (incl.
+    # duplicate_groups / phrase_search, whose pinned constants changed in
+    # r4 after their last check), then the similarity entries whose
+    # implementation changed this round (sketch-sizing cache), then the
+    # oldest r03-green entries. Everything checked green in r04 sits at
+    # the tail — its evidence is one round old at most.
     return {
-        # --- never driver-checked before round 4 ---
-        "shared_span_pairs": _q_shared_spans,
-        "contamination_flags": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "collocations_pmi": _q_collocations,
-        "topk_orders_join": _q_topk_orders,
-        "events_window": _q_events_window,
-        "events_stream_agg": _q_events_stream,
-        "stateful_first_seen": _q_first_seen,
-        "media_features": _q_media_features,
-        "frame_sample_plan": _q_frame_plan,
-        # --- new in round 4 ---
-        "grouped_by_lang": _q_grouped_by_lang,
-        "facet_size_ranges": _q_facet_size_ranges,
-        "lucene_qs_nested": _q_lucene_qs_nested,
-        "lucene_qs_not_phrase": _q_lucene_qs_not_phrase,
-        "lucene_qs_not_range": _q_lucene_qs_not_range,
-        "lucene_qs_not_group": _q_lucene_qs_not_group,
-        "lucene_qs_should_phrase": _q_lucene_qs_should_phrase,
-        "lucene_qs_field_group": _q_lucene_qs_field_group,
-        "lucene_qs_excl_range": _q_lucene_qs_excl_range,
-        "lucene_qs_group_expansion": _q_lucene_qs_group_expansion,
-        "lucene_qs_should_group": _q_lucene_qs_should_group,
-        "lucene_qs_member_boost": _q_lucene_qs_member_boost,
-        "lucene_qs_group_phrase": _q_lucene_qs_group_phrase,
-        "lucene_qs_nested_expansion": _q_lucene_qs_nested_expansion,
-        "lucene_qs_field_in_group": _q_lucene_qs_field_in_group,
-        "lucene_qs_range_in_group": _q_lucene_qs_range_in_group,
-        # --- round 4, final parser surface ---
-        "lucene_qs_struct_boost": _q_lucene_qs_struct_boost,
-        "lucene_qs_subgroup_boost": _q_lucene_qs_subgroup_boost,
-        "lucene_qs_field_phrase_group": _q_lucene_qs_field_phrase_group,
-        "lucene_qs_field_exp_group": _q_lucene_qs_field_exp_group,
-        "lucene_qs_should_range": _q_lucene_qs_should_range,
-        "lucene_qs_matchall": _q_lucene_qs_matchall,
-        "lucene_qs_matchall_mixed": _q_lucene_qs_matchall_mixed,
-        "lucene_qs_field_grouped": _q_lucene_qs_field_grouped,
-        "sort_multi_key": _q_sort_multi_key,
-        "sort_page2": _q_sort_page2,
-        "grouped_within_sorted": _q_grouped_within_sorted,
-        "hash_split_assign": _q_hash_split,
-        "token_budget_bins": _q_token_bins,
-        "hash_sample_mixture": _q_hash_sample,
-        "redact_pii_scan": _q_redact_pii,
-        "events_sessionized": _q_events_sessions,
-        "lucene_qs_open_range": _q_lucene_qs_open_range,
-        "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
-        "phrase_boost_search": _q_phrase_boost_search,
-        "sloppy_phrase_scored": _q_sloppy_phrase_scored,
-        "fuzzy_field_search": _q_fuzzy_field_search,
-        "events_window_watermarked": _q_events_window_wm,
-        "repetition_features": _q_repetition,
-        "search_after_page2": _q_search_after,
-        # --- driver-green in CORRECTNESS_r03.json ---
+        "federated_topk": _q_federated,
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
@@ -1750,6 +1711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase,
         "search_multifield": _q_multifield,
         "browse_after_delete": _q_browse_after_delete,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_recall_check": _q_ann_recall,
+        "knn_join_top3": _q_knn_join,
+        "sha256_invariant": _q_sha256,
         "bm25_topk_oracle": _q_bm25_oracle,
         "bm25_topk_index": _q_bm25_index,
         "bm25_or_topk": _q_bm25_or,
@@ -1779,27 +1744,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_counts": _q_facet_lang,
         "bm25_batch_serving": _q_bm25_batch,
         "bm25_hydrate": _q_bm25_hydrate,
-        "knn_join_top3": _q_knn_join,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "phrase_search_index": _q_phrase_index,
         "multifield_search_index": _q_multifield_index,
         "multifield_parsed_index": _q_multifield_parsed,
         "wholewords_fields_index": _q_wholewords_fields,
-        "ann_recall_check": _q_ann_recall,
         "term_df_top20": _q_term_df,
         "corpus_stats": _q_corpus_stats,
-        "sha256_invariant": _q_sha256,
         "minhash_sig4": _q_minhash,
         "simhash60": _q_simhash,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "dedup_components": _q_dedup_components,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "embedding_cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
         "ivfpq_recall_check": _q_ivfpq_recall,
         "lang_id": _q_lang_id,
+        "shared_span_pairs": _q_shared_spans,
+        "contamination_flags": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "collocations_pmi": _q_collocations,
+        "topk_orders_join": _q_topk_orders,
+        "events_window": _q_events_window,
+        "events_stream_agg": _q_events_stream,
+        "stateful_first_seen": _q_first_seen,
+        "media_features": _q_media_features,
+        "frame_sample_plan": _q_frame_plan,
+        "grouped_by_lang": _q_grouped_by_lang,
+        "facet_size_ranges": _q_facet_size_ranges,
+        "lucene_qs_nested": _q_lucene_qs_nested,
+        "lucene_qs_not_phrase": _q_lucene_qs_not_phrase,
+        "lucene_qs_not_range": _q_lucene_qs_not_range,
+        "lucene_qs_not_group": _q_lucene_qs_not_group,
+        "lucene_qs_should_phrase": _q_lucene_qs_should_phrase,
+        "lucene_qs_field_group": _q_lucene_qs_field_group,
+        "lucene_qs_excl_range": _q_lucene_qs_excl_range,
+        "lucene_qs_group_expansion": _q_lucene_qs_group_expansion,
+        "lucene_qs_should_group": _q_lucene_qs_should_group,
+        "lucene_qs_member_boost": _q_lucene_qs_member_boost,
+        "lucene_qs_group_phrase": _q_lucene_qs_group_phrase,
+        "lucene_qs_nested_expansion": _q_lucene_qs_nested_expansion,
+        "lucene_qs_field_in_group": _q_lucene_qs_field_in_group,
+        "lucene_qs_range_in_group": _q_lucene_qs_range_in_group,
+        "lucene_qs_struct_boost": _q_lucene_qs_struct_boost,
+        "lucene_qs_subgroup_boost": _q_lucene_qs_subgroup_boost,
+        "lucene_qs_field_phrase_group": _q_lucene_qs_field_phrase_group,
+        "lucene_qs_field_exp_group": _q_lucene_qs_field_exp_group,
+        "lucene_qs_should_range": _q_lucene_qs_should_range,
+        "lucene_qs_matchall": _q_lucene_qs_matchall,
+        "lucene_qs_matchall_mixed": _q_lucene_qs_matchall_mixed,
+        "lucene_qs_field_grouped": _q_lucene_qs_field_grouped,
+        "sort_multi_key": _q_sort_multi_key,
+        "sort_page2": _q_sort_page2,
+        "grouped_within_sorted": _q_grouped_within_sorted,
+        "hash_split_assign": _q_hash_split,
+        "token_budget_bins": _q_token_bins,
+        "hash_sample_mixture": _q_hash_sample,
+        "redact_pii_scan": _q_redact_pii,
+        "events_sessionized": _q_events_sessions,
+        "lucene_qs_open_range": _q_lucene_qs_open_range,
+        "lucene_qs_nested_field_group": _q_lucene_qs_nested_field_group,
+        "phrase_boost_search": _q_phrase_boost_search,
+        "sloppy_phrase_scored": _q_sloppy_phrase_scored,
+        "fuzzy_field_search": _q_fuzzy_field_search,
+        "events_window_watermarked": _q_events_window_wm,
+        "repetition_features": _q_repetition,
+        "search_after_page2": _q_search_after,
     }
 
 
@@ -2031,6 +2042,42 @@ SELECT doc_id, round(score, 6)::DOUBLE AS score{extra_col}
 FROM scored{" JOIN documents USING (doc_id)" if need_docs else ""}
 WHERE nt {f"= {len(terms)}" if conjunctive else f">= {min_match}"}{restrict}
 ORDER BY score DESC, doc_id ASC LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+"""
+
+
+def _federated_sql(query: str, k: int) -> str:
+    """Federated oracle: root 0 = the full corpus, root 1 = the same index
+    with the query's rank-1 doc tombstoned (lazy delete — stats unchanged,
+    exactly the delete-root the Spark side queries). The federated result
+    is the union of both roots' scored match sets, re-ranked
+    (score desc, doc_id asc, root_id asc), cut at k."""
+    terms = query_terms(query)
+    in_list = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                 (SELECT coalesce(sum(doclen), 0) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * {K1_1} / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * dl.doclen / s.avgdl))) AS score,
+         count(*) AS nt
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+m AS (SELECT doc_id, score FROM scored WHERE nt = {len(terms)}),
+top1 AS (SELECT doc_id FROM m ORDER BY score DESC, doc_id ASC LIMIT 1),
+u AS (SELECT 0 AS root_id, doc_id, score FROM m
+      UNION ALL
+      SELECT 1 AS root_id, doc_id, score FROM m
+      WHERE doc_id NOT IN (SELECT doc_id FROM top1))
+SELECT root_id, doc_id, round(score, 6)::DOUBLE AS score
+FROM u ORDER BY score DESC, doc_id ASC, root_id ASC LIMIT {k}
 """
 
 
@@ -2551,6 +2598,8 @@ FROM documents
 def oracle_sql() -> dict[str, str]:
     a, b = INTERSECT_TERMS
     return {
+        # multi-root federation: base index + tombstoned delete-root
+        "federated_topk": _federated_sql(BM25_QUERY, 10),
         "bm25_topk_oracle": _bm25_sql(BM25_QUERY, 10),
         "bm25_topk_index": _bm25_sql(BM25_QUERY, 10),
         # disjunctive: same scoring, union instead of intersection

@@ -609,6 +609,12 @@ def main() -> None:
             "qps": round(len(lat) / sum(lat), 2),
             "qps_batch": round(len(QUERY_SET) / min(qtimes[CPUS]), 2),
             "qps_batch64": round(len(big_batch) / min(qtimes64[CPUS]), 2),
+            # workload tag (ADVICE r4): qps_batch64 changed definition in
+            # round 4 (was 8 duplicated copies of QUERY_SET; now 64 DISTINCT
+            # two-term conjunctions, 8x8 vocab cross) — rounds whose record
+            # lacks this tag used the old duplicated workload and are not
+            # directly comparable
+            "qps_batch64_workload": "distinct_8x8_conjunctions",
             # PRIMARY north-rule pair (tiny -> small): core / e2e / query
             "scaling_efficiency": round(eff_core, 3),
             "scaling_efficiency_e2e": round(eff, 3),
@@ -670,6 +676,7 @@ def main() -> None:
                   if k.startswith(("par", "files_per_sec"))},
         "query_p50_s": out["query_p50_s"], "qps": out["qps"],
         "qps_batch": out["qps_batch"], "qps_batch64": out["qps_batch64"],
+        "qps_batch64_workload": out["qps_batch64_workload"],
         "scaling_efficiency": out["scaling_efficiency"],
         "scaling_efficiency_e2e": out["scaling_efficiency_e2e"],
         "scaling_efficiency_e2e_est": out["scaling_efficiency_e2e_est"],

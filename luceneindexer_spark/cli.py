@@ -254,6 +254,16 @@ def main(argv: list[str] | None = None) -> int:
                            for i, q in enumerate(args.queries))
             if not entries:
                 p.error("batch needs --queries-file or inline queries")
+            # duplicate/empty ids would silently drop queries in dict();
+            # reject them loudly instead (a line starting with a tab
+            # yields an empty id)
+            seen_ids: set[str] = set()
+            for qid, _ in entries:
+                if not qid:
+                    p.error("batch: empty query id (line starts with a tab?)")
+                if qid in seen_ids:
+                    p.error(f"batch: duplicate query id {qid!r}")
+                seen_ids.add(qid)
             qs = QuerySession(spark, args.index)
             out = qs.topk_batch(dict(entries), k=args.k, mode=args.mode)
             for r in out.orderBy("query_id", "rank").collect():

@@ -620,11 +620,13 @@ def build_index(
     fixed 2^16 default left a 200k-doc index with 4 ranges — a 4-task
     ceiling on every scorer cogroup regardless of executor count) while a
     10^12-doc corpus still caps at 2^16 docs/range (~15M ranges, metadata
-    control-plane sized). The choice derives deterministically from the
-    docmap's max doc id ALONE, so a killed build resumed at any
-    parallelism recomputes the identical value and the checkpoint
-    manifest's per-range lineage stays valid; pass an explicit
-    range_size to pin it.
+    control-plane sized). The planned geometry (range_size, n_buckets,
+    positions, fields) is persisted to a ``_plan.json`` sidecar before
+    wave 0: a resume with range_size=None reuses the PERSISTED value (not
+    the recomputed default — a checkpoint planned under a different
+    default or an explicit --range-size the user omits on resume would
+    otherwise silently mix geometries), and an explicit mismatch errors.
+    Pass an explicit range_size to pin it on a fresh build.
 
     scan_parallelism targets EXACTLY that many tokenize-scan splits (it also
     sets spark.sql.files.minPartitionNum, without which Spark silently floors
@@ -658,8 +660,35 @@ def build_index(
     report["docmap_s"] = time.time() - t0
 
     # ---- plan ranges and waves ----
+    # Geometry sidecar (ADVICE r4): manifest completion rows key on
+    # (stage, snapshot) with no range-size component, so a resume planned
+    # under a different geometry would silently mix geometries. The planned
+    # values are persisted before wave 0; a resume with range_size=None
+    # prefers the persisted value over the auto default (covering checkpoints
+    # from eras with a different default), and an explicit mismatch on any
+    # layout-determining knob (range_size, n_buckets, positions, fields)
+    # errors instead of corrupting.
+    plan = mf.read_plan(out_dir) if resume else None
+    if plan is not None:
+        if range_size is None:
+            range_size = int(plan["range_size"])
+        for knob, val in (("range_size", range_size),
+                          ("n_buckets", n_buckets),
+                          ("positions", positions),
+                          ("fields", list(field_cols))):
+            if knob in plan and plan[knob] != val:
+                raise ValueError(
+                    f"resume geometry mismatch: this index was planned with "
+                    f"{knob}={plan[knob]!r} but the resume specifies "
+                    f"{val!r}; pass the planned value (or resume=False to "
+                    f"rebuild from scratch)")
     if range_size is None:
         range_size = auto_range_size(max_id)
+    if plan is None or plan.get("snapshot") != snapshot:
+        mf.write_plan(out_dir, {
+            "range_size": range_size, "n_buckets": n_buckets,
+            "positions": positions, "fields": list(field_cols),
+            "snapshot": snapshot, "planned_at": mf.now_iso()})
     report["range_size"] = range_size
     # from MAX doc_id, not the row count: incremental appends start new docs
     # at the next range boundary, leaving id gaps (streaming.incremental)

@@ -136,6 +136,36 @@ def now_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
 
+def plan_path(root: str) -> str:
+    return os.path.join(root, "_plan.json")
+
+
+def write_plan(root: str, payload: dict) -> None:
+    """Persist the build's planned geometry (range_size, n_buckets,
+    positions, fields) BEFORE wave 0, tmp+rename. The manifest's
+    completed-partition rows key on (stage, snapshot) with no geometry
+    component, so a resume MUST re-plan under the identical geometry or
+    old-geometry range ids would be treated as complete under a new one
+    and the build would silently mix geometries (ADVICE r4). The sidecar
+    makes the planned value explicit: resume prefers it over any default
+    and errors on an explicit mismatch."""
+    tmp = plan_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, plan_path(root))
+
+
+def read_plan(root: str) -> dict | None:
+    p = plan_path(root)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def publish(root: str, payload: dict) -> None:
     """Atomic commit marker (tmp write + rename — the parquet dirs themselves
     are already atomic per Spark's output-commit protocol)."""

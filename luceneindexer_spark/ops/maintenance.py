@@ -103,6 +103,11 @@ def delete_index(root: str) -> None:
     marker = os.path.join(root, "_PUBLISHED")
     if os.path.exists(marker):
         os.remove(marker)
+    for f in ("_plan.json", "_plan.json.tmp"):
+        try:
+            os.remove(os.path.join(root, f))
+        except OSError:
+            pass
     for sub in INDEX_SUBDIRS:
         shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
         for suffix in (".old", ".compact"):  # crashed-compaction leftovers

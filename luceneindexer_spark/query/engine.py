@@ -3224,6 +3224,43 @@ def bm25_topk(spark: SparkSession, root: str, query: str, k: int = 10,
         query, k, mode, slop=slop, min_should_match=min_should_match)
 
 
+def federated_topk(spark: SparkSession, roots: "list[str]", query: str,
+                   k: int = 10, mode: str = "and", slop: int = 0,
+                   min_should_match: int = 1,
+                   sessions: "list[QuerySession] | None" = None) -> DataFrame:
+    """U1 multi-index federation: the reference keeps one Lucene index per
+    drive and answers a global search by looping the query across all of
+    them (``lucene/cIndex.java:59-69`` ``searchAll``, dispatched from
+    ``ui/fx/cSearchTable.java:248-258``), each index scored with its OWN
+    statistics. Spark shape: score each published root independently
+    (per-root idf/avgdl, exactly like the reference's per-index
+    ``IndexSearcher``s), tag rows with the root ordinal, and merge the
+    per-root top-k frames through ONE ``TakeOrderedAndProject`` — exact,
+    because every root's contribution to the federated top-k is contained
+    in that root's own top-k. No cross-root shuffle: the merge moves at
+    most ``len(roots) * k`` rows.
+
+    Returns (root_id, doc_id, score) ordered
+    (score desc, doc_id asc, root_id asc), limit k. Pass ``sessions``
+    (parallel to ``roots``) to reuse cached QuerySessions when serving.
+    """
+    if not roots:
+        raise ValueError("federated_topk needs at least one index root")
+    frames = []
+    for i, root in enumerate(roots):
+        qs = (sessions[i] if sessions is not None
+              else QuerySession(spark, root, cache=False))
+        frames.append(
+            qs.topk(query, k, mode, slop=slop,
+                    min_should_match=min_should_match)
+            .select(F.lit(i).alias("root_id"), "doc_id", "score"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return (out.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("root_id"))
+            .limit(k))
+
+
 METADATA_FIELDS = ("repo", "path", "commit", "lang")
 
 #: allowlist-vs-overfetch crossover: below this many metadata-matching docs

@@ -174,23 +174,118 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     return report
 
 
+def _debounce_step(spark: SparkSession, root: str, staging_dir: str,
+                   batch_df: DataFrame | None, now: float,
+                   debounce_s: float) -> int:
+    """One micro-batch of the per-key quiet-period debounce (the reference
+    re-arms a 4 s timer per file event and enqueues only once the key has
+    been quiet — ``drives/folderwatcher/cFolderWatcher.java:100,432-448,
+    676-731``; here the timer granularity is the micro-batch).
+
+    New rows land in a staging parquet pool stamped with their arrival
+    time; per (repo, path) key the LATEST commit survives (earlier staged
+    versions compact away — the ST2 dedup across batches) and the key's
+    newest arrival stamp re-arms its timer. Keys quiet for >= debounce_s
+    flush to the index in one ``append_documents`` upsert; the rest stay
+    staged. Crash-safe: the flush runs before the staging swap, and a
+    replayed flush is an equal-commit no-op in append_documents. The pool
+    is bounded by the keys active within a debounce window — micro-batch
+    sized, never corpus sized. Returns the number of keys flushed."""
+    from ..ops.maintenance import _swap_dir
+    from pyspark.sql import Window
+
+    staged_schema = CORPUS_SCHEMA + ", _seen_at double"
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        pool = spark.read.schema(staged_schema).parquet(staging_dir)
+    else:
+        pool = spark.createDataFrame([], staged_schema)
+    if batch_df is not None and not batch_df.isEmpty():
+        pool = pool.unionByName(
+            batch_df.withColumn("_seen_at", F.lit(float(now))))
+
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
+    latest = (pool.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "_seen_at"))
+    last_seen = (pool.groupBy("repo", "path")
+                 .agg(F.max("_seen_at").alias("_seen_at")))
+    cur = latest.join(last_seen, ["repo", "path"])
+    quiet = F.col("_seen_at") <= F.lit(float(now - debounce_s))
+    flush = cur.filter(quiet).drop("_seen_at")
+    hold = cur.filter(~quiet)
+
+    # write the survivors to a tmp pool FIRST (materializes `hold` while the
+    # old pool is still live), then flush (reads the old pool), then swap
+    tmp = staging_dir + ".compact"
+    hold.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n_flush = flush.count()
+    if n_flush:
+        append_documents(spark, root, flush)
+    if os.path.exists(staging_dir):
+        _swap_dir(tmp, staging_dir)
+    else:
+        os.rename(tmp, staging_dir)
+    return n_flush
+
+
+CORPUS_SCHEMA = ("repo string, path string, commit string, "
+                 "lang string, content string")
+
+
 def watch_corpus(spark: SparkSession, root: str, source_dir: str,
-                 checkpoint_dir: str, schema: str = (
-                     "repo string, path string, commit string, "
-                     "lang string, content string")):
-    """ST1–ST3: stream new corpus parquet files into the index. availableNow
-    processes the backlog then stops (the scheduled-rescan analog, ST4);
-    leave trigger continuous for a long-lived watcher."""
+                 checkpoint_dir: str, schema: str = CORPUS_SCHEMA,
+                 trigger_interval: str | None = None,
+                 debounce_s: float = 0.0,
+                 staging_dir: str | None = None,
+                 _clock=time.time):
+    """ST1–ST3: stream new corpus parquet files into the index.
+
+    Trigger modes (reference ``cFolderWatcher``):
+    - default (``trigger_interval=None``): ``availableNow`` — process the
+      backlog then stop, the scheduled-rescan analog (ST4).
+    - ``trigger_interval="2 seconds"``: a long-lived continuous watcher
+      polling on a ``processingTime`` cadence — the OS-WatchService loop
+      (``cFolderWatcher.java:161-300``).
+
+    ``debounce_s > 0`` adds the reference's per-key quiet period
+    (``cFolderWatcher.java:432-448``: a 4 s timer re-armed on every event
+    for the same file): a (repo, path) key reaches the index only after no
+    new version has arrived for ``debounce_s`` seconds; meanwhile its
+    versions compact latest-commit-wins in a staging pool, so a file saved
+    five times in quick succession costs ONE index generation, not five.
+    Pending keys flush on a later micro-batch; call ``flush_pending`` at
+    shutdown to force the tail out.
+    """
     stream = (spark.readStream.schema(schema).parquet(source_dir))
+    stage = staging_dir or (checkpoint_dir.rstrip("/") + "_debounce")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if debounce_s > 0:
+            _debounce_step(spark, root, stage, batch_df, _clock(),
+                           debounce_s)
+            return
         if batch_df.isEmpty():
             return
         append_documents(spark, root, batch_df)
 
-    return (stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True).start())
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def flush_pending(spark: SparkSession, root: str, checkpoint_dir: str,
+                  staging_dir: str | None = None) -> int:
+    """Force-flush every key still held in the debounce staging pool (the
+    watcher-shutdown analog of the reference draining its queues on stop).
+    Returns the number of keys flushed."""
+    stage = staging_dir or (checkpoint_dir.rstrip("/") + "_debounce")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        return 0
+    return _debounce_step(spark, root, stage, None,
+                          now=float("inf"), debounce_s=0.0)
 
 
 def events_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -259,3 +259,77 @@ def test_auto_range_size_scale_aware(spark, tmp_path):
     assert meta.range_size == 1 << 10
     qs = engine.QuerySession(spark, root)
     assert len(qs.topk(HOT_TERM, k=5).collect()) == 5
+
+
+def test_federated_topk_exact_multi_root_merge(built, spark, tmp_path):
+    """U1 federation (reference cIndex.java:59-69 searchAll): two published
+    roots — the base index and a copy-root with its own tombstone list
+    deleting the query's rank-1 doc — merged exactly: the federated top-k
+    equals the per-root union re-ranked by (score desc, doc_id, root_id)."""
+    import os
+    import shutil
+
+    root, _, _, _ = built
+    root2 = str(tmp_path / "fed_root2")
+    os.makedirs(root2)
+    for sub in ("docmap", "postings", "term_stats", "corpus_stats"):
+        os.symlink(os.path.join(root, sub), os.path.join(root2, sub))
+    shutil.copy(os.path.join(root, "_PUBLISHED"),
+                os.path.join(root2, "_PUBLISHED"))
+    from luceneindexer_spark.ops.maintenance import append_deletes
+    query = f"{HOT_TERM} mergeSegments"
+    top1 = engine.bm25_topk(spark, root, query, k=1).collect()[0]
+    append_deletes(spark, root2, [int(top1.doc_id)])
+
+    k = 10
+    got = engine.federated_topk(spark, [root, root2], query, k=k).collect()
+    assert [r["root_id"] for r in got]  # non-empty
+    # expected: union of per-root top-k, re-sorted, cut at k
+    per_root = []
+    for i, r_ in enumerate((root, root2)):
+        for row in engine.bm25_topk(spark, r_, query, k=k).collect():
+            per_root.append((i, int(row.doc_id), float(row.score)))
+    want = sorted(per_root, key=lambda t: (-t[2], t[1], t[0]))[:k]
+    assert [(r.root_id, r.doc_id) for r in got] == [
+        (i, d) for i, d, _ in want]
+    for g, (_, _, s) in zip(got, want):
+        assert abs(g.score - s) < 1e-9
+    # the tombstoned doc appears once (root 0 only)
+    hits = [(r.root_id, r.doc_id) for r in got
+            if r.doc_id == int(top1.doc_id)]
+    assert hits == [(0, int(top1.doc_id))]
+    # single-root federation degenerates to plain topk with root_id 0
+    solo = engine.federated_topk(spark, [root], query, k=5).collect()
+    plain = engine.bm25_topk(spark, root, query, k=5).collect()
+    assert [(r.root_id, r.doc_id) for r in solo] == [
+        (0, r.doc_id) for r in plain]
+
+
+def test_resume_geometry_pinned_by_plan_sidecar(spark, tmp_path):
+    """ADVICE r4 (medium): manifest completion rows carry no geometry, so a
+    resume must re-plan under the original range_size. The _plan.json
+    sidecar (written before wave 0) makes that explicit: a resume with
+    range_size omitted reuses the persisted value instead of the auto
+    default, and an explicit mismatch on any layout knob errors."""
+    root = str(tmp_path / "idx_geom")
+    corpus = synth_corpus(spark, N_DOCS, partitions=4)
+    with pytest.raises(BuildInterrupted):
+        build_index(spark, corpus, root, n_buckets=4, range_size=RANGE_SIZE,
+                    waves=4, _stop_after_waves=1)
+    assert mf.read_plan(root)["range_size"] == RANGE_SIZE
+    # explicit mismatches error instead of silently mixing geometries
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        build_index(spark, None, root, n_buckets=4,
+                    range_size=RANGE_SIZE * 2, resume=True)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        build_index(spark, None, root, n_buckets=8, range_size=RANGE_SIZE,
+                    resume=True)
+    # range_size omitted on resume -> persisted 64, NOT auto_range_size
+    # (1024 at this corpus size, which would treat done range ids as
+    # complete under the wrong geometry)
+    rep = build_index(spark, None, root, n_buckets=4, waves=4, resume=True)
+    assert rep["range_size"] == RANGE_SIZE
+    assert rep["resumed"] is True
+    meta = engine.load_meta(spark, root)
+    assert meta.range_size == RANGE_SIZE
+    assert len(engine.bm25_topk(spark, root, HOT_TERM, k=5).collect()) == 5

@@ -386,3 +386,95 @@ def test_sessionize_gap_boundaries(spark):
         (1, t0 + 240 * m, 1, 16.0),
         (2, t0, 1, 32.0),
     ]
+
+
+def _one_doc(spark, path, commit, token):
+    return spark.createDataFrame(
+        [("inc/dbn", path, commit, "python", f"def f(): return {token}")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+
+
+def test_watch_debounce_continuous_one_generation(spark, tmp_path):
+    """ST2 in continuous mode (reference cFolderWatcher.java:432-448): two
+    rapid versions of one doc, then quiet — exactly ONE index generation
+    (the latest commit) results; the first version never reaches the index.
+    processingTime trigger + injected clock, fully deterministic."""
+    from luceneindexer_spark.streaming.incremental import flush_pending
+
+    root = str(tmp_path / "idx_dbn")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    src = str(tmp_path / "incoming_dbn")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt_dbn")
+    clock = {"t": 1000.0}
+    q = watch_corpus(spark, root, src, ckpt,
+                     trigger_interval="1 seconds", debounce_s=30.0,
+                     _clock=lambda: clock["t"])
+    docmap_path = os.path.join(root, "docmap")
+    try:
+        _one_doc(spark, "src/dbn/a.py", "commit-a1",
+                 "debounceTokenOld").coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        assert spark.read.parquet(docmap_path).count() == 100  # pending
+
+        clock["t"] += 5.0   # within the quiet window: v2 re-arms the timer
+        _one_doc(spark, "src/dbn/a.py", "commit-a2",
+                 "debounceTokenNew").coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        assert spark.read.parquet(docmap_path).count() == 100  # re-armed
+
+        clock["t"] += 40.0  # past the quiet window; a later event flushes
+        _one_doc(spark, "src/dbn/b.py", "commit-b1",
+                 "otherDoc").coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docmap = spark.read.parquet(docmap_path)
+    a_rows = docmap.filter(F.col("path") == "src/dbn/a.py").collect()
+    assert [(r.commit) for r in a_rows] == ["commit-a2"]  # ONE generation
+    assert docmap.count() == 101                          # b.py still held
+    # the superseded v1 is nowhere: not in the docmap, not queryable
+    assert engine.bm25_topk(spark, root, "debounceTokenOld", k=5).count() == 0
+    assert engine.bm25_topk(spark, root, "debounceTokenNew", k=5).count() == 1
+    # shutdown drain (the reference's queue drain on stop)
+    assert flush_pending(spark, root, ckpt) == 1
+    assert spark.read.parquet(docmap_path).count() == 102
+
+
+def test_watch_debounce_available_now_across_runs(spark, tmp_path):
+    """The same quiet-period compaction across TWO availableNow watcher runs
+    sharing a checkpoint (the scheduled-rescan mode): v1 staged by run 1,
+    v2 arriving in run 2 supersedes it in the pool; the forced drain emits
+    exactly one generation."""
+    from luceneindexer_spark.streaming.incremental import flush_pending
+
+    root = str(tmp_path / "idx_dbn2")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    src = str(tmp_path / "incoming_dbn2")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt_dbn2")
+    clock = {"t": 2000.0}
+    _one_doc(spark, "src/dbn/c.py", "commit-c1",
+             "debounceAcrossRuns").coalesce(1).write.mode(
+        "append").parquet(src)
+    q = watch_corpus(spark, root, src, ckpt, debounce_s=30.0,
+                     _clock=lambda: clock["t"])
+    q.awaitTermination()
+    clock["t"] += 5.0
+    _one_doc(spark, "src/dbn/c.py", "commit-c2",
+             "debounceAcrossRuns").coalesce(1).write.mode(
+        "append").parquet(src)
+    q = watch_corpus(spark, root, src, ckpt, debounce_s=30.0,
+                     _clock=lambda: clock["t"])
+    q.awaitTermination()
+    docmap_path = os.path.join(root, "docmap")
+    assert spark.read.parquet(docmap_path).count() == 100  # both runs held
+    assert flush_pending(spark, root, ckpt) == 1
+    docmap = spark.read.parquet(docmap_path)
+    c_rows = docmap.filter(F.col("path") == "src/dbn/c.py").collect()
+    assert [r.commit for r in c_rows] == ["commit-c2"]
