@@ -998,6 +998,23 @@ def _q_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(r, "score")
 
 
+HASH_HEAD_BYTES = 64
+
+
+def _q_sha256_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-block hashing option (reference cCryptographer.java:643-646:
+    SHA-256 over only the first 4096 bytes as cheap change detection on
+    huge files). Checked through the REAL build path — build_docmap with
+    hash_head_bytes — so the oracle pins the docmap's dedup + hash plan,
+    not a bare expression; the 64-char head guarantees the hash differs
+    from the full-content sha256 on every longer doc."""
+    from luceneindexer_spark.corpus import build_docmap, corpus_from_documents
+    dm = build_docmap(corpus_from_documents(spark, sf_dir), partitions=4,
+                      hash_head_bytes=HASH_HEAD_BYTES)
+    return (dm.select("repo", "path", "content_sha256")
+            .orderBy("repo", "path"))
+
+
 def _q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search THROUGH the index (consecutive positions in
     the stopword-filtered token stream), BM25-scored."""
@@ -1700,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail — its evidence is one round old at most.
     return {
         "federated_topk": _q_federated,
+        "sha256_head_invariant": _q_sha256_head,
         "quality_features": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint_summary": _q_fingerprints,
@@ -2600,6 +2618,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         # multi-root federation: base index + tombstoned delete-root
         "federated_topk": _federated_sql(BM25_QUERY, 10),
+        # first-block hashing option through the real build_docmap path
+        "sha256_head_invariant": f"""
+SELECT source AS repo, {DOC_PATH_SQL} AS path,
+       sha256(substr(text, 1, {HASH_HEAD_BYTES})) AS content_sha256
+FROM documents ORDER BY repo, path
+""",
         "bm25_topk_oracle": _bm25_sql(BM25_QUERY, 10),
         "bm25_topk_index": _bm25_sql(BM25_QUERY, 10),
         # disjunctive: same scoring, union instead of intersection

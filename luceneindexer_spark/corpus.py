@@ -201,7 +201,8 @@ def assign_dense_ids(df: DataFrame, partitions: int, start_id: int = 0
 
 
 def build_docmap(corpus: DataFrame, partitions: int | None = None,
-                 write_path: str | None = None) -> DataFrame:
+                 write_path: str | None = None,
+                 hash_head_bytes: int | None = None) -> DataFrame:
     """Latest-commit-wins dedup + deterministic dense doc_id + sha256.
 
     Returns columns: doc_id, repo, path, commit, lang, size,
@@ -209,6 +210,15 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
     (repo, path, commit) order, independent of parallelism. Never tokenizes —
     doc lengths live in the index's DOCLEN_TERM postings (index.build), so
     the corpus is tokenized exactly once, in the wave build.
+
+    ``hash_head_bytes``: hash only the first N characters of ``content``
+    (the reference's first-block hashing option,
+    ``cryptopackage/cCryptographer.java:643-646`` — SHA-256 over the first
+    4096 bytes as cheap change detection). Default None = full-content
+    hash (the per-row invariant the driver contract checks). At 100 TB the
+    head mode makes rescan change-detection proportional to file COUNT,
+    not byte volume — rehashing unchanged multi-GB blobs is the dominant
+    rescan cost otherwise. ``size`` always reflects the full content.
     """
     spark = corpus.sparkSession
     if partitions is None:
@@ -226,10 +236,12 @@ def build_docmap(corpus: DataFrame, partitions: int | None = None,
 
     docmap, sorted_df = assign_dense_ids(latest, partitions)
     n_total = getattr(docmap, "_dense_total", 0)
+    hashed = (F.col("content") if hash_head_bytes is None
+              else F.substring("content", 1, int(hash_head_bytes)))
     docmap = (
         docmap
         .withColumn("size", F.length("content").cast("long"))
-        .withColumn("content_sha256", F.sha2(F.col("content").cast("binary"), 256))
+        .withColumn("content_sha256", F.sha2(hashed.cast("binary"), 256))
         .select("doc_id", "repo", "path", "commit", "lang", "size",
                 "content_sha256", "content")
     )

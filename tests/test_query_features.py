@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from luceneindexer_spark.corpus import HOT_TERM, PHRASE, synth_corpus
 from luceneindexer_spark.index.build import DOCLEN_TERM, build_index
+from luceneindexer_spark.index import manifest as mf
 from luceneindexer_spark.ops import maintenance as M
 from luceneindexer_spark.query import engine
 from luceneindexer_spark.query.oracle import bm25_topk_oracle
@@ -2944,3 +2945,48 @@ def test_batch_shared_decode_pool(built, spark):
                 sorted((r for r in got if r.query_id == qid),
                        key=lambda r: r.rank)]
         assert have == want
+
+
+def test_compaction_under_serving_session(spark, tmp_path):
+    """VERDICT r4 next #8: reader safety across the compaction swap. A
+    cached QuerySession opened BEFORE compact_index keeps answering from
+    its materialized cache while (and after) the swap replaces docmap and
+    wave dirs underneath it; a session opened AFTER sees the compacted
+    generation (published marker updated atomically, stats refreshed)."""
+    root = str(tmp_path / "idx_serve_compact")
+    corpus = synth_corpus(spark, 300, partitions=2)
+    build_index(spark, corpus, root, n_buckets=4, range_size=64, waves=3,
+                positions=True)
+    pre = engine.QuerySession(spark, root, cache=True)
+    pre_top = [(r.doc_id, round(r.score, 9))
+               for r in pre.topk(HOT_TERM, k=10).collect()]
+    assert pre_top
+    pub_before = mf.published(root)
+
+    victims = [int(pre_top[0][0]), 3, 130]
+    M.append_deletes(spark, root, victims)
+    rep = M.compact_index(spark, root)
+    assert rep["removed_docs"] == 3
+
+    # pre-swap session: still serving, and from the PRE-compaction
+    # generation (its postings/norms/stats were materialized in-cache
+    # before the swap — the reference analog: an open IndexSearcher keeps
+    # its commit point while the writer commits a new one)
+    again = [(r.doc_id, round(r.score, 9))
+             for r in pre.topk(HOT_TERM, k=10).collect()]
+    assert again == pre_top
+    pre.close()
+
+    # post-swap session: the compacted generation (new snapshot published,
+    # victims gone, stats = vacuumed corpus)
+    pub_after = mf.published(root)
+    assert pub_after["snapshot"] != pub_before["snapshot"]
+    assert pub_after["n_docs"] == 297
+    post = engine.QuerySession(spark, root, cache=False)
+    docmap = spark.read.parquet(f"{root}/docmap")
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            bm25_topk_oracle(docmap, HOT_TERM, k=10).collect()]
+    got = [(r.doc_id, round(r.score, 9))
+           for r in post.topk(HOT_TERM, k=10).collect()]
+    assert got == want
+    assert not {g_[0] for g_ in got} & set(victims)
