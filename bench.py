@@ -57,6 +57,11 @@ REPS_MIN = int(os.environ.get("BENCH_REPS", "2"))
 REPS_MAX = int(os.environ.get("BENCH_REPS_MAX", "8"))
 EFF_TARGET = float(os.environ.get("BENCH_EFF_TARGET", "0.8"))
 TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET", "520"))
+#: scale-proof build size (0 disables): one recorded full build at 10x the
+#: bench corpus with the AUTO range size — exercises the next
+#: auto_range_size tier (2^14 docs/range at 2M vs 2^11 at 200k) and the
+#: term merge at ~10x postings volume
+BIG_DOCS = int(os.environ.get("BENCH_BIG_DOCS", "2000000"))
 
 QUERY_SET = {
     "q_rare": "xyzzyplugh",
@@ -544,6 +549,52 @@ def main() -> None:
         q_eff = (min(qtimes64[tiny]) / min(qtimes64[small])) / (small / tiny)
         q_eff_s = (min(qtimes64[small]) / min(qtimes64[CPUS])) / (CPUS / small)
 
+        # ---- scale-proof build (VERDICT r4 next #6): ONE recorded full
+        # build at BIG_DOCS (10x the bench corpus) with the auto range
+        # size. 2M docs -> auto range 2^14 (123 ranges) vs the 200k bench
+        # corpus's 2^11 — the next tier of the scale-aware default — and a
+        # term-merge shuffle at ~10x postings volume. Phase-probed like
+        # every other build; a straggler regression would show as
+        # files_per_sec_core well below the 200k number. ----
+        big_build = None
+        if BIG_DOCS:
+            big_dir = os.path.join(BENCH_TMP or tempfile.gettempdir(),
+                                   f"corpus_{BIG_DOCS}")
+            tg = time.time()
+            if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
+                (synth_corpus(spark, BIG_DOCS, partitions=CPUS)
+                 .write.mode("overwrite").parquet(big_dir))
+            big_gen_s = round(time.time() - tg, 3)
+            big_root = os.path.join(root, "idx_big")
+            pb = round(_phase_probe(spark, corpus_dir), 3)
+            t0 = time.time()
+            rep_big = build_index(
+                spark, spark.read.parquet(big_dir), big_root, n_buckets=16,
+                merge_partitions=CPUS, docmap_partitions=CPUS)
+            big_s = time.time() - t0
+            pa = round(_phase_probe(spark, corpus_dir), 3)
+            core_big = rep_big["timings"].get("postings_write", 0.0)
+            big_build = {
+                "n_docs": BIG_DOCS, "gen_s": big_gen_s,
+                "range_size": rep_big["range_size"],
+                "n_ranges": rep_big["n_ranges"],
+                "build_s": round(big_s, 3),
+                "docmap_s": round(rep_big.get("docmap_s", 0.0), 3),
+                "core_s": round(core_big, 3),
+                "files_per_sec": round(BIG_DOCS / big_s, 1),
+                "files_per_sec_core": round(BIG_DOCS / max(core_big, 1e-9),
+                                            1),
+                "probe_pre": pb, "probe_post": pa,
+            }
+            # serving at 10x: warm p50 of the hot conjunction
+            qs_big = QuerySession(spark, big_root, cache=True)
+            qs_big.topk("sharedlogger", k=10).collect()
+            t3 = sorted(_timed(qs_big, "sharedlogger mergeSegments", 10)
+                        for _ in range(3))
+            big_build["q_hot_and_p50_s"] = round(t3[1], 4)
+            qs_big.close()
+            shutil.rmtree(big_root, ignore_errors=True)
+
         out.update({
             "metric": (
                 "index-build files/sec + BM25 p50 latency; "
@@ -605,6 +656,7 @@ def main() -> None:
                 "all_runs_docmap": {str(p): [r["docmap_s"] for r in rs]
                                     for p, rs in runs.items()},
             },
+            "build_10x": big_build,
             "query_p50_s": round(lat[len(lat) // 2], 4),
             "qps": round(len(lat) / sum(lat), 2),
             "qps_batch": round(len(QUERY_SET) / min(qtimes[CPUS]), 2),
@@ -674,6 +726,10 @@ def main() -> None:
         "queries": out["queries"],
         "build": {k: out["build"][k] for k in out["build"]
                   if k.startswith(("par", "files_per_sec"))},
+        "build_10x": (None if out.get("build_10x") is None else {
+            k: out["build_10x"][k] for k in
+            ("n_docs", "range_size", "n_ranges", "build_s", "core_s",
+             "files_per_sec", "files_per_sec_core", "q_hot_and_p50_s")}),
         "query_p50_s": out["query_p50_s"], "qps": out["qps"],
         "qps_batch": out["qps_batch"], "qps_batch64": out["qps_batch64"],
         "qps_batch64_workload": out["qps_batch64_workload"],
@@ -688,9 +744,10 @@ def main() -> None:
         "full_json": full_path,
     }
     line = json.dumps(compact)
-    if len(line) > 1800:    # stay inside the driver's stdout-tail capture
-        compact.pop("build", None)
-        line = json.dumps(compact)
+    for victim in ("build", "build_10x"):
+        if len(line) > 1800:  # stay inside the driver's stdout-tail capture
+            compact.pop(victim, None)
+            line = json.dumps(compact)
     print(line)
     if "--scaling" in sys.argv:
         _write_baseline_section(out, tiny, small)
@@ -755,7 +812,10 @@ silicon, so it is the PRIMARY north-rule pair:
   amortized, the high-load regime — cogroup throttled to the level's
   partition count): {tiny}→{small} {out['scaling_efficiency_query']},
   {small}→{big} {out[f'scaling_efficiency_query_{small}_{big}']}; 64-query
-  throughput **{out.get('qps_batch64')} q/s**. The ratio's unit of
+  throughput **{out.get('qps_batch64')} q/s** (workload
+  `{out.get('qps_batch64_workload')}` — 64 distinct conjunctions since r4;
+  earlier rounds used 8 duplicated copies of the 8-query set and are not
+  directly comparable). The ratio's unit of
   parallelism is the RANGE (the scorer cogroup's group), and at this
   corpus size the index has only {out['query_skew'][str(tiny)]['total_ranges']}
   ranges hashing onto cache partitions — the busiest partition carries
@@ -769,6 +829,11 @@ silicon, so it is the PRIMARY north-rule pair:
 - core = the data-proportional work; end-to-end additionally includes O(1)
   control-plane jobs (docmap bookkeeping, manifest, stats) that amortize at
   real corpus scale but dominate at sandbox sizes
+- scale-proof build at 10x ({json.dumps(out.get('build_10x'))}): one full
+  {big}-way build at {(out.get('build_10x') or {{}}).get('n_docs')} docs with
+  the AUTO range size — exercises the next auto_range_size tier and the
+  term merge at ~10x postings volume; read files_per_sec_core against the
+  {out['n_docs']}-doc number for the no-new-straggler check
 - BM25 query p50 (warm QuerySession, top-10): **{out['query_p50_s']} s**
 - query throughput: sequential {out['qps']} q/s, batched (topk_batch,
   {len(out['queries'])} queries/pass) **{out.get('qps_batch')} q/s**
