@@ -18,6 +18,8 @@ or locally:
     python -m luceneindexer_spark.cli search --index /idx \
         --content "tokenizer" --lang python -k 10
     python -m luceneindexer_spark.cli delete --index /idx --doc-ids 3,17
+    python -m luceneindexer_spark.cli watch  --index /idx --source incoming/ \
+        --checkpoint ckpt/ --interval '5 seconds' --debounce 4
     python -m luceneindexer_spark.cli wipe   --index /idx
 
 The input corpus is any DataFrame-readable parquet with the BASELINE.json
@@ -168,6 +170,24 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("append", help="upsert a corpus batch into an index")
     a.add_argument("--index", required=True)
     a.add_argument("--input", required=True)
+
+    wa = sub.add_parser(
+        "watch", help="stream new corpus parquet files into the index "
+                      "(the reference's folder watcher): default processes "
+                      "the backlog then exits (scheduled-rescan mode); "
+                      "--interval keeps a live watcher polling")
+    wa.add_argument("--index", required=True)
+    wa.add_argument("--source", required=True,
+                    help="directory new corpus parquet files land in")
+    wa.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (resume-safe)")
+    wa.add_argument("--interval", default=None, metavar="'5 seconds'",
+                    help="processingTime trigger for a long-lived watcher "
+                         "(omit for availableNow catch-up-and-stop)")
+    wa.add_argument("--debounce", type=float, default=0.0, metavar="SECONDS",
+                    help="per-key quiet period: a doc saved repeatedly "
+                         "reaches the index once, after this long with no "
+                         "new version (the reference's re-armed 4s timer)")
 
     w = sub.add_parser("wipe", help="delete the entire index")
     w.add_argument("--index", required=True)
@@ -334,6 +354,19 @@ def main(argv: list[str] | None = None) -> int:
             batch = spark.read.parquet(args.input)
             report = append_documents(spark, args.index, batch)
             print(json.dumps(report, default=str))
+        elif args.cmd == "watch":
+            from .streaming.incremental import flush_pending, watch_corpus
+            q = watch_corpus(spark, args.index, args.source,
+                             args.checkpoint,
+                             trigger_interval=args.interval,
+                             debounce_s=args.debounce)
+            q.awaitTermination()
+            flushed = 0
+            if args.debounce > 0 and args.interval is None:
+                # catch-up mode: drain what the quiet period still holds
+                flushed = flush_pending(spark, args.index, args.checkpoint)
+            print(json.dumps({"watched": args.source,
+                              "drained_pending": flushed}))
     finally:
         spark.stop()
     return 0

@@ -138,3 +138,38 @@ def test_cli_explain_suggest_check(spark, tmp_path):
     chk = run("check", "--index", idx)
     assert chk[0]["structural_violations"] == 0
     assert chk[0]["stats_mismatches"] == 0
+
+
+def test_cli_watch_ingests_and_drains(spark, tmp_path):
+    """watch subcommand: availableNow catch-up over a source dir; with
+    --debounce the quiet period holds the batch and the CLI's final drain
+    flushes it, so the doc is queryable when the command exits."""
+    corpus_dir = str(tmp_path / "wcorpus")
+    synth_corpus(spark, 80, partitions=2).write.parquet(corpus_dir)
+    idx = str(tmp_path / "widx")
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    (spark.createDataFrame(
+        [("inc/w", "src/w.py", "c" * 40, "python",
+          "def f(): return watchedCliToken")],
+        "repo string, path string, commit string, lang string, "
+        "content string").coalesce(1).write.mode("append").parquet(src))
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "luceneindexer_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(line) for line in r.stdout.splitlines()
+                if line.startswith("{")]
+
+    run("build", "--input", corpus_dir, "--out", idx,
+        "--range-size", "64", "--buckets", "4")
+    rep = run("watch", "--index", idx, "--source", src,
+              "--checkpoint", str(tmp_path / "wckpt"),
+              "--debounce", "30")
+    assert rep[-1]["drained_pending"] == 1
+    hits = run("query", "--index", idx, "watchedCliToken", "-k", "5")
+    assert len(hits) == 1

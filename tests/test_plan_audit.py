@@ -123,3 +123,20 @@ def test_matchall_and_open_bound_plans(built, spark):
     post = [s for s in scans3 if "docs_enc" in s[0]]
     assert post and all("bucket" in pf for _, pf, _, _ in post)
     assert all("content" not in rs for _, _, _, rs in scans3)
+
+
+def test_federated_merge_is_take_ordered_not_sort(built, spark):
+    """federated_topk's cross-root merge must plan as
+    TakeOrderedAndProject over the per-root unions (per-partition heaps +
+    a k-row driver merge), never a global Sort — the merge moves at most
+    roots*k rows regardless of corpus size."""
+    out = engine.federated_topk(spark, [built, built], HOT_TERM, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    head = plan.split("FlatMapCoGroupsInPandas")[0]
+    assert "Sort " not in head, head  # no global sort above the scorers
+    rows = out.collect()
+    assert len(rows) == 5
+    # identical roots: every hit appears under both root ids pairwise
+    assert [r.root_id for r in rows[:2]] == [0, 1]
+    assert rows[0].doc_id == rows[1].doc_id
