@@ -176,7 +176,8 @@ def append_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
 
 def _debounce_step(spark: SparkSession, root: str, staging_dir: str,
                    batch_df: DataFrame | None, now: float,
-                   debounce_s: float) -> int:
+                   debounce_s: float,
+                   schema: "str | None" = None) -> int:
     """One micro-batch of the per-key quiet-period debounce (the reference
     re-arms a 4 s timer per file event and enqueues only once the key has
     been quiet — ``drives/folderwatcher/cFolderWatcher.java:100,432-448,
@@ -194,7 +195,7 @@ def _debounce_step(spark: SparkSession, root: str, staging_dir: str,
     from ..ops.maintenance import _swap_dir
     from pyspark.sql import Window
 
-    staged_schema = CORPUS_SCHEMA + ", _seen_at double"
+    staged_schema = (schema or CORPUS_SCHEMA) + ", _seen_at double"
     if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
         pool = spark.read.schema(staged_schema).parquet(staging_dir)
     else:
@@ -261,7 +262,7 @@ def watch_corpus(spark: SparkSession, root: str, source_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if debounce_s > 0:
             _debounce_step(spark, root, stage, batch_df, _clock(),
-                           debounce_s)
+                           debounce_s, schema=schema)
             return
         if batch_df.isEmpty():
             return
@@ -277,7 +278,8 @@ def watch_corpus(spark: SparkSession, root: str, source_dir: str,
 
 
 def flush_pending(spark: SparkSession, root: str, checkpoint_dir: str,
-                  staging_dir: str | None = None) -> int:
+                  staging_dir: str | None = None,
+                  schema: str = CORPUS_SCHEMA) -> int:
     """Force-flush every key still held in the debounce staging pool (the
     watcher-shutdown analog of the reference draining its queues on stop).
     Returns the number of keys flushed."""
@@ -285,7 +287,7 @@ def flush_pending(spark: SparkSession, root: str, checkpoint_dir: str,
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         return 0
     return _debounce_step(spark, root, stage, None,
-                          now=float("inf"), debounce_s=0.0)
+                          now=float("inf"), debounce_s=0.0, schema=schema)
 
 
 def events_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
