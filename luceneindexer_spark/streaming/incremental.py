@@ -195,6 +195,7 @@ def _debounce_step(spark: SparkSession, root: str, staging_dir: str,
     from ..ops.maintenance import _swap_dir
     from pyspark.sql import Window
 
+    _repair_staging(staging_dir)
     staged_schema = (schema or CORPUS_SCHEMA) + ", _seen_at double"
     if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
         pool = spark.read.schema(staged_schema).parquet(staging_dir)
@@ -226,6 +227,16 @@ def _debounce_step(spark: SparkSession, root: str, staging_dir: str,
     else:
         os.rename(tmp, staging_dir)
     return n_flush
+
+
+def _repair_staging(staging_dir: str) -> None:
+    """Repair the ``_swap_dir`` crash window for the debounce pool: a
+    ``<stage>.old`` with NO live stage dir means the crash hit between the
+    two renames — restore it, or the held (not-yet-flushed) docs it holds
+    would silently vanish from the pipeline."""
+    old = staging_dir + ".old"
+    if not os.path.exists(staging_dir) and os.path.isdir(old):
+        os.rename(old, staging_dir)
 
 
 CORPUS_SCHEMA = ("repo string, path string, commit string, "
@@ -284,6 +295,7 @@ def flush_pending(spark: SparkSession, root: str, checkpoint_dir: str,
     watcher-shutdown analog of the reference draining its queues on stop).
     Returns the number of keys flushed."""
     stage = staging_dir or (checkpoint_dir.rstrip("/") + "_debounce")
+    _repair_staging(stage)
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         return 0
     return _debounce_step(spark, root, stage, None,

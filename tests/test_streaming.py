@@ -478,3 +478,29 @@ def test_watch_debounce_available_now_across_runs(spark, tmp_path):
     docmap = spark.read.parquet(docmap_path)
     c_rows = docmap.filter(F.col("path") == "src/dbn/c.py").collect()
     assert [r.commit for r in c_rows] == ["commit-c2"]
+
+
+def test_debounce_staging_swap_crash_repair(spark, tmp_path):
+    """A crash between _swap_dir's two renames leaves the pool at
+    <stage>.old with no live dir; the next debounce entry (or drain) must
+    restore it — held docs may never silently vanish."""
+    from luceneindexer_spark.streaming.incremental import flush_pending
+
+    root = str(tmp_path / "idx_repair")
+    build_index(spark, synth_corpus(spark, 100, partitions=2), root,
+                n_buckets=4, range_size=64, waves=1)
+    src = str(tmp_path / "incoming_repair")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt_repair")
+    clock = {"t": 500.0}
+    _one_doc(spark, "src/r.py", "commit-r1", "repairedToken").coalesce(
+        1).write.mode("append").parquet(src)
+    q = watch_corpus(spark, root, src, ckpt, debounce_s=30.0,
+                     _clock=lambda: clock["t"])
+    q.awaitTermination()
+    stage = ckpt + "_debounce"
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    os.rename(stage, stage + ".old")        # simulate the crash window
+    assert flush_pending(spark, root, ckpt) == 1
+    docmap = spark.read.parquet(os.path.join(root, "docmap"))
+    assert docmap.filter(F.col("path") == "src/r.py").count() == 1
