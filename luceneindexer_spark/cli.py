@@ -13,6 +13,8 @@ or locally:
     python -m luceneindexer_spark.cli build  --input corpus.parquet \
         --out /idx --range-size 65536 --buckets 64 --positions
     python -m luceneindexer_spark.cli query  --index /idx "parseJson fast"
+    python -m luceneindexer_spark.cli query  --index /idxA --index /idxB \
+        "parseJson fast"     # multi-root searchAll (federated top-k)
     python -m luceneindexer_spark.cli batch  --index /idx \
         --queries-file qs.txt "inline query"   # one shared-scan pass
     python -m luceneindexer_spark.cli search --index /idx \
@@ -59,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--positions", action="store_true")
 
     q = sub.add_parser("query", help="BM25 top-k")
-    q.add_argument("--index", required=True)
+    q.add_argument("--index", required=True, action="append",
+                   help="index root; repeat for multi-root federation "
+                        "(the reference's per-drive searchAll: each root "
+                        "scored with its own stats, exact top-k merge)")
     q.add_argument("query")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode",
@@ -211,8 +216,25 @@ def main(argv: list[str] | None = None) -> int:
                 positions=args.positions)
             print(json.dumps(report, default=str))
         elif args.cmd == "query":
-            from .query.engine import QuerySession, hydrate
-            qs = QuerySession(spark, args.index)
+            from .query.engine import QuerySession, federated_topk, hydrate
+            roots = args.index
+            if len(roots) > 1:
+                # multi-root searchAll (reference cIndex.java:59-69):
+                # per-root stats, exact TakeOrdered merge
+                if (args.mode not in ("and", "or", "phrase")
+                        or args.facet is not None or args.snippet
+                        or args.after or args.hydrate):
+                    p.error("multiple --index roots support plain "
+                            "and/or/phrase top-k only")
+                out = federated_topk(
+                    spark, roots, args.query, k=args.k, mode=args.mode,
+                    slop=args.slop,
+                    min_should_match=args.min_should_match)
+                for r in out.collect():
+                    print(json.dumps(r.asDict(), default=str))
+                return 0
+            idx = roots[0]
+            qs = QuerySession(spark, idx)
             if args.facet is not None:
                 if args.mode not in ("and", "or", "lucene"):
                     p.error("--facet supports and/or/lucene modes")
@@ -229,7 +251,7 @@ def main(argv: list[str] | None = None) -> int:
                 out = qs.query_string(args.query, k=args.k)
             elif args.snippet:
                 from .query.engine import highlight_topk
-                out = highlight_topk(spark, args.index, args.query,
+                out = highlight_topk(spark, idx, args.query,
                                      k=args.k, mode=args.mode, session=qs)
             else:
                 after = None
@@ -242,7 +264,7 @@ def main(argv: list[str] | None = None) -> int:
                               phrase_scoring=args.phrase_scoring,
                               after=after)
             if args.hydrate and args.facet is None and not args.snippet:
-                out = hydrate(spark, args.index, out)
+                out = hydrate(spark, idx, out)
             rows = out.collect()
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))

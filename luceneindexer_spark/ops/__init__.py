@@ -9,8 +9,9 @@ large-scale training-data pipeline needs, built Spark-first:
   ``array<float>`` embedding column
 - ``textstats``: language-ID, quality scoring, token counting, winnowing
   document fingerprints
-- ``multimodal``: opaque binary media columns + Arrow-batched decode plumbing
-  (decode itself stubbed — no media libs in this environment)
+- ``multimodal``: opaque binary media columns + Arrow-batched decode; real
+  image decode via a pure-stdlib PNG codec (Pillow preferred when present),
+  plus the SQL-reproducible deterministic stub for oracle-checked contracts
 - ``sampling``: deterministic hash train/val/test split, per-category
   mixture sampling, token-budget sharding (distributed prefix sum)
 - ``maintenance``: delete-list anti-join, duplicate groups, browse

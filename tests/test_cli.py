@@ -173,3 +173,29 @@ def test_cli_watch_ingests_and_drains(spark, tmp_path):
     assert rep[-1]["drained_pending"] == 1
     hits = run("query", "--index", idx, "watchedCliToken", "-k", "5")
     assert len(hits) == 1
+
+
+def test_cli_query_multi_root_federation(spark, tmp_path):
+    """query with repeated --index federates: per-root scored frames,
+    exact merged top-k with root_id tags (reference searchAll)."""
+    corpus_dir = str(tmp_path / "fcorpus")
+    synth_corpus(spark, 80, partitions=2).write.parquet(corpus_dir)
+    idx = str(tmp_path / "fidx")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "luceneindexer_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(line) for line in r.stdout.splitlines()
+                if line.startswith("{")]
+
+    run("build", "--input", corpus_dir, "--out", idx,
+        "--range-size", "64", "--buckets", "4")
+    hits = run("query", "--index", idx, "--index", idx, HOT_TERM, "-k", "6")
+    assert len(hits) == 6
+    # identical roots: hits pair up (root 0 then root 1, same doc/score)
+    assert [h["root_id"] for h in hits[:2]] == [0, 1]
+    assert hits[0]["doc_id"] == hits[1]["doc_id"]
