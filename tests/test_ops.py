@@ -960,3 +960,23 @@ def test_ann_lsh_topk_schedules_no_sizing_job(spark, monkeypatch):
     reloaded = spark.read.parquet(path)
     got2 = S.ann_lsh_topk(reloaded, q, k=3).collect()
     assert [r.id for r in got2] == [r.id for r in got]
+
+
+def test_png_roundtrip_property():
+    """Property: encode->decode identity over arbitrary small images —
+    every size (incl. 1x1 and single-row/column) and channel count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 9), w=st.integers(1, 9),
+           ch=st.sampled_from([1, 2, 3, 4]),
+           seed=st.integers(0, 2**31 - 1))
+    def check(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint16
+                           ).astype(np.uint8)
+        arr = img.squeeze(-1) if ch == 1 else img
+        assert np.array_equal(MM.decode_image_real(MM.encode_png(arr)), arr)
+
+    check()
